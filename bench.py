@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly
+ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Per-query timing = full plan execution to completion.  Results are
+consumed via count() (aggregated queries are small) so we measure engine
+time, not driver-side row materialization of wide outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: the headline set: flagship + one representative per operator family,
+#: weighted toward the scale-sensitive shapes (joins, dedup, windows,
+#: near-dup LSH, similarity).
+HEADLINE = (
+    "multiway_star_join",      # flagship: 4-way star join + agg
+    "join_sortmerge_fact",     # big fact-fact shuffle join
+    "join_broadcast_dim",      # broadcast dim joins
+    "agg_counts_by_group",     # hash agg
+    "agg_distinct",            # count-distinct expand
+    "dedup_exact",             # hash dedup (window keep-one)
+    "dedup_keep_latest",       # keep-latest window
+    "upsert_changed_rows",     # outer-join upsert classify
+    "window_rank_frames",      # analytic windows
+    "tumbling_window_counts",  # event-time tumbling
+    "session_windows",         # session windows
+    "range_join_events",       # range join
+    "asof_latest_event_per_order",  # as-of join
+    "project_content_hash",    # scan + hash projection
+    "text_quality_score",      # token-level text analysis
+    "token_count_bpe",         # regex tokenization
+    "dedup_minhash_near",      # MinHash+LSH near-dup
+    "similarity_topk",         # brute-force cosine top-k
+    "approx_distinct",         # HLL sketch agg
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from data_integration_system_spark.registry import get_queries
+    from data_integration_system_spark.session import get_spark
+
+    queries = get_queries()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest SF so q1 doesn't pay startup.
+    queries["multiway_star_join"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

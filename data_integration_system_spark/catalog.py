@@ -1,0 +1,60 @@
+"""Table catalog: the synthetic star schema as parquet-backed DataFrames.
+
+The reference persisted rows in Postgres heap tables + JSON side indexes
+(`/root/reference/schema.sql:66`, `storage/filesystem_store.py:201-211`);
+here the tables ARE parquet — schema travels with the data, scans are
+columnar, and Catalyst gets pushdown/pruning for free (SURVEY.md §1.4).
+
+At 100 TB the same call reads a partitioned table (e.g. partitioned by
+site/date mirroring the reference's btree indexes, SURVEY.md §4.1); the
+sf_dir layout used in tests is a single file per table, which Spark splits
+by row-group anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Column pruning + predicate pushdown reach the
+    parquet scan because this stays a plain `spark.read.parquet`."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
+    # microsecond timestamps with integer division — double division
+    # would lose precision above 2^53 ns.
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict; also registers each as a temp view so
+    `spark.sql` works against the same catalog names DuckDB sees."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,43 @@
+"""Shared aggregation helpers enforcing the cross-engine determinism
+discipline (SURVEY.md §2B 'Hard parts & risks').
+
+Double-precision SUMs are order-dependent, and Spark/DuckDB do not
+accumulate in the same order (Spark: partial aggs per partition; DuckDB:
+its own morsel order / segment trees for window frames).  To make value
+hashes match bit-for-bit we sum in DECIMAL (exact, associative,
+order-independent), round, and cast back to DOUBLE.  The same pattern is
+used verbatim in the oracle SQL:
+
+    CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)
+
+At 100 TB this costs nothing extra: decimal sum is still a single-pass
+hash aggregate with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dec(col: Column | str, scale: int = 4) -> Column:
+    """Cast to the canonical exact-sum operand type."""
+    return _c(col).cast(f"decimal(18,{scale})")
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-independent SUM of a money-like double, rounded to 2dp,
+    returned as DOUBLE. Mirror SQL: CAST(ROUND(SUM(CAST(x AS
+    DECIMAL(18,4))), 2) AS DOUBLE)."""
+    return F.round(F.sum(dec(col)), 2).cast("double")
+
+
+def mean2(col: Column | str) -> Column:
+    """Deterministic 2dp mean: exact decimal sum -> double -> / count.
+    Mirror SQL: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+    / COUNT(*), 2)."""
+    return F.round(F.sum(dec(col)).cast("double") / F.count("*"), 2)

@@ -1,0 +1,411 @@
+"""Deduplication family (SURVEY §2B Q7/Q12/Q14/Q28 + north-star
+SimHash / n-gram-Jaccard / embedding near-dup).
+
+The reference's signature move is hash-keyed dedup/upsert
+(D1-D8, SURVEY §2A): in-memory visited sets, content-hash skip
+(filesystem_store.py:112-114), changed-rows upsert
+(db/postgres_store.py:126-184), global first-writer-wins
+(db/postgres_store.py:88).  Here each becomes a declarative pattern that
+scales: window keep-one, outer-join classification, groupBy-hash dedup.
+
+Near-dup additions are pure JVM higher-order expressions (shingle →
+xxhash64 → min) + a bucket self-join — the MinHash/LSH shape that runs on
+100 TB corpora: the only shuffle is on (band_id, band_hash), candidate
+verification touches candidate pairs only, never the n² pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.functions.hashing import normalize_ws
+from data_integration_system_spark.registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             sha256(substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 24)) AS content_key
+      FROM documents
+    ), r AS (
+      SELECT doc_id, content_key,
+             row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, content_key FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — D6 first-writer-wins content dedup (ON CONFLICT (content_hash)
+    DO NOTHING, db/postgres_store.py:88), made deterministic as
+    min-doc_id-per-hash. Key is the hash of a normalized prefix so
+    collisions actually occur in the synthetic corpus.
+
+    At 100 TB: a single shuffle on the hash key; since the key is already
+    uniform, no salting needed — this is the cheapest possible dedup.
+    """
+    docs = table(spark, sf_dir, "documents")
+    key = F.sha2(F.substring(normalize_ws(F.col("text")), 1, 24), 256)
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    return (
+        docs.select("doc_id", key.alias("content_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — D4/T6 keep-newest-version upsert (filesystem_store.py:95-128:
+    re-seen page with changed hash overwrites). Window keep-one with a
+    total-order tie-break; one shuffle on the key. This exact pattern is
+    the batch form of streaming dropDuplicates-within-watermark."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+# Q14 derives a "current" store and an "incoming" batch from documents so
+# the three-way upsert classification is exercised deterministically:
+#   current  = docs with doc_id % 3 != 0            (what's in the store)
+#   incoming = docs with doc_id % 2 == 0,           (the new batch)
+#              text changed when doc_id % 4 == 0    (so some hashes differ)
+_UPSERT_ORACLE = r"""
+WITH current AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0
+), incoming AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT i.doc_id,
+       CASE WHEN c.doc_id IS NULL THEN 'INSERTED'
+            WHEN i.h = c.h        THEN 'SKIPPED'
+            ELSE 'UPSERTED' END AS status
+FROM incoming i LEFT JOIN current c ON i.doc_id = c.doc_id
+"""
+
+
+@query("upsert_changed_rows", oracle=_UPSERT_ORACLE)
+def upsert_changed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 — D5/S11 hash-compare upsert classification, preserving the
+    reference's three-way outcome (db/postgres_store.py:140-184):
+    SKIPPED (same hash) / UPSERTED (changed hash) / INSERTED (new key).
+
+    Join new-batch against current-store on the key, classify by hash
+    equality. At scale this is the changed-rows-only pattern: only
+    non-SKIPPED rows proceed to the writer, so an incremental re-crawl
+    that changed 0.1% of pages writes 0.1% of rows (T4/T5 semantics).
+    """
+    docs = table(spark, sf_dir, "documents")
+    current = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("c_doc_id"), F.sha2(F.col("text"), 256).alias("c_h")
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("h"),
+    )
+    joined = incoming.join(current, incoming.doc_id == current.c_doc_id, "left")
+    status = (
+        F.when(F.col("c_doc_id").isNull(), "INSERTED")
+        .when(F.col("h") == F.col("c_h"), "SKIPPED")
+        .otherwise("UPSERTED")
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (north-star tier; rows-only checks)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 32          # minhash signature length
+_BANDS = 8              # LSH bands (r = 4 rows/band) -> s-curve @ ~0.5 jaccard
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def _shingles(tok_col, k: int = 3):
+    """k-word shingles as distinct strings, via pure array expressions."""
+    n = F.greatest(F.size(tok_col) - (k - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.when(
+        F.size(tok_col) >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tok_col)))
+
+
+def _minhash_sig(base_hash_col):
+    """32 minhash values from per-shingle 64-bit base hashes: sig[i] =
+    min over shingles of xxhash64(base_hash, i).
+
+    The expensive part — hashing the shingle STRING — happens once per
+    shingle (in the caller's projection); the 32 signature lanes remix
+    the resulting long with integer-only xxhash64, so the whole signature
+    is one string pass + 32 cheap integer passes.  (The naive form,
+    hashing `concat(seed, shingle)` per lane, re-evaluates the shingle
+    expression per lane: 32× the work — measured 500 s -> 4 s at sf0.1.)
+    """
+    seeds = F.sequence(F.lit(0), F.lit(_N_HASHES - 1))
+    return F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(base_hash_col, lambda h: F.xxhash64(h, i))
+        ),
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingles: array<string>) with distinct k-word shingles.
+
+    Tokens are materialized BEFORE shingling: `_shingles` references its
+    token argument ~3× per shingle index, and Catalyst inlines column
+    aliases (CollapseProject), so feeding it the raw `split(text)`
+    expression re-splits the document per reference — O(n²) per doc.
+    The localCheckpoint is the evaluation barrier that keeps each stage
+    once-per-row (measured 7 s -> <1 s at sf0.1 for this stage alone)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint()
+    return toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("shingles")
+    ).localCheckpoint()
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """doc -> (band_id, band_hash) rows; the LSH bucketing relation.
+    Pass a precomputed `shingle_sets` result to share it with the
+    verification stage.
+
+    Each stage (shingles -> base hashes -> signature -> bands) is
+    materialized with localCheckpoint: Catalyst's CollapseProject would
+    otherwise inline the alias into every downstream reference — the
+    shingle expression duplicated into 32 signature lanes × 8 band
+    expressions ≈ 256 re-evaluations per row (measured: 185 s -> 2 s at
+    sf0.1).  The checkpointed intermediates are tiny (id + one small
+    array per doc).  At 100 TB signatures are computed once at write
+    time and stored — this is the batch analog."""
+    if shingles_df is None:
+        shingles_df = shingle_sets(docs, text_col, id_col)
+    hashed = shingles_df.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
+    ).localCheckpoint()
+    sig_df = hashed.select("doc_id", _minhash_sig(F.col("hs")).alias("sig")).localCheckpoint()
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("sig"), (b * _ROWS_PER_BAND + j + 1).cast("int")).cast("string")
+                        for j in range(_ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("band_hash"),
+        ),
+    )
+    return (
+        sig_df.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+@query("dedup_minhash_near", oracle=None)
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28 — MinHash+LSH near-dup candidate pairs with exact-Jaccard
+    verification. shingle → 32 minhashes → 8 bands → bucket self-join →
+    verify Jaccard on the candidate pairs only.
+
+    Scale: the n² pair space is never formed; the shuffle key is
+    (band_id, band_hash) which is uniform by construction. A hot bucket
+    (boilerplate text) is the one skew risk — cap bucket size upstream
+    or salt the verify join. Approx by design -> rows-only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # shingle sets computed ONCE, shared by bucketing and verification;
+    # both relations feed both sides of a self-join, so each is already
+    # materialized (shingle_sets/minhash_bands checkpoint internally).
+    sh = shingle_sets(docs)
+    bands = minhash_bands(docs, shingles_df=sh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / uni, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star SimHash: 64-bit signature by per-bit token voting,
+    candidate pairs via 16-bit chunk LSH (Hamming-distance blocking),
+    verified by exact Hamming distance <= 12.
+
+    All signature math is JVM higher-order expressions over the token
+    array; the chunk join is the standard pigeonhole trick: distance<=12
+    over 4 chunks guarantees at least one identical chunk... for d<=3 —
+    wider distances trade recall, which is the documented LSH behavior.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # hash each token ONCE; the 64 bit-lanes then read bits of the long
+    # (inlining xxhash64 into the per-bit aggregate would hash every
+    # token 64 times — same trap as the naive minhash, see _minhash_sig)
+    hashed = docs.select(
+        "doc_id",
+        F.transform(_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+    ).localCheckpoint()  # barrier: stop CollapseProject inlining th into 64 lanes
+    # SQL form because F.shiftright's Python wrapper only takes a literal
+    # shift; SQL's shiftright accepts the lambda-bound bit index.
+    bits = F.expr(
+        """
+        transform(sequence(0, 63), b ->
+          CASE WHEN aggregate(th, 0, (acc, h) ->
+                 acc + CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+               THEN 1 ELSE 0 END)
+        """
+    )
+    sigs = hashed.select("doc_id", bits.alias("bits")).localCheckpoint()
+    # chunk value = 16 bits folded to an int via aggregate over the slice
+    chunked = sigs.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda cch: F.struct(
+                    cch.alias("chunk_id"),
+                    F.aggregate(
+                        F.slice(F.col("bits"), cch * 16 + 1, 16),
+                        F.lit(0),
+                        lambda acc, x: acc * 2 + x,
+                    ).alias("chunk_val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "bits", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")).localCheckpoint()
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    ham = F.aggregate(
+        F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_embedding_near", oracle=None)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star embedding near-dup: pairs with cosine >= 0.8, blocked by
+    random-hyperplane sign-bit LSH (8 bits via xxhash64-seeded pseudo
+    planes) so the pair space stays near-linear; exact cosine verifies.
+
+    Rows-only (float thresholding is not oracle-stable)."""
+    from data_integration_system_spark.functions.vectors import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    # pseudo-random hyperplanes: plane p component j = hash(p, j) mapped to ±1
+    nbits = 8
+    bit = lambda p: F.when(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, j: x.cast("double")
+                * F.when(F.xxhash64(F.concat_ws(":", F.lit(p), j.cast("string"))).bitwiseAND(1) == 1, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= 0,
+        1,
+    ).otherwise(0)
+    sig = F.concat_ws("", *[bit(p).cast("string") for p in range(nbits)])
+    keyed = emb.select(F.col("vec_id"), F.col("embedding"), sig.alias("bucket")).localCheckpoint()
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,270 @@
+"""Join operators: broadcast dim lookups, sort-merge fact joins, semi/anti
+membership, range + as-of joins, and the flagship star join (SURVEY §2B
+Q11/Q11b/Q13/Q15/Q21/Q22/Q23).
+
+Scale notes (the reference did all of this as O(n) Python probes or SQL
+point lookups — SURVEY §2A J1-J5):
+
+* Dimension joins broadcast (`F.broadcast`): region/nation/customer/
+  supplier are tiny relative to facts; no shuffle of the fact side.
+* Fact-fact joins (lineitem ⋈ orders) shuffle on the key — sort-merge,
+  AQE-skew-handled.  At 100 TB: bucket both tables by the join key to
+  make this shuffle-free.
+* Semi/anti joins never materialize the probe side's payload.
+* The as-of join uses the union+window formulation — one shuffle on
+  (key), no per-row subqueries; this is the only formulation that scales
+  (join+max would re-shuffle twice and explode intermediate rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.operators._common import money_sum
+from data_integration_system_spark.registry import query
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 — J1/J3 keyed dim lookup (the reference's O(n) list probe at
+    filesystem_store.py:95 and jobs FK at db/schema.sql:32) as broadcast
+    hash joins: the orders fact never shuffles."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("sum_total"))
+    )
+
+
+@query(
+    "join_sortmerge_fact",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_sortmerge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11b — large fact ⋈ fact join on the natural key; above the
+    broadcast threshold this plans as a sort-merge join (AQE may downgrade
+    to broadcast at small SF — both are correct; at 100 TB, bucket both
+    tables by orderkey to eliminate the shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(rev.cast("decimal(18,4)")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "semi_join_existing",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — D8/J5 existence probe (the dead raw_document_exists at
+    db/postgres_store.py:115-123; visited-set membership) as LEFT SEMI:
+    probe side payload never shuffles, dedup is implicit."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_unvisited",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def anti_join_unvisited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — D2/F6 visited-set subtraction (crawler_core.py:157-159:
+    'url in visited -> skip') as LEFT ANTI join — the scalable negation
+    of Q13 (a broadcast-able NOT IN without the NULL traps)."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "multiway_star_join",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 — FLAGSHIP: region→nation→customer→orders→lineitem star join
+    (TPC-H-Q5-shaped), filters, group agg, order, deterministic tie-break.
+
+    Plan shape to want at scale: lineitem (the 100 TB table) is scanned
+    once, never broadcast; orders⋈lineitem is the one big shuffle
+    (bucketing removes it); region/nation/customer collapse into
+    broadcast hash joins on the fact stream; the date filter pushes into
+    the orders scan, pruning partitions if orders is date-partitioned.
+    """
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev.cast("decimal(18,4)")), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, COUNT(c.event_id) AS n_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 — north-star range join: clicks within 10 minutes after each
+    error, per user. The equality key (user_id) keeps this a hash/SMJ
+    join with the range as a residual condition — NOT a cartesian; at
+    100 TB, additionally bucket by user_id and partition by coarse time
+    to bound the probe range."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (err.user_id == clk.c_user_id)
+        & (clk.c_ts >= err.ts)
+        & (clk.c_ts < err.ts + F.expr("INTERVAL 10 MINUTE"))
+    )
+    return (
+        err.join(clk, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count("c_event_id").alias("n_clicks"))
+    )
+
+
+@query(
+    "asof_latest_event_per_order",
+    oracle="""
+    WITH pri AS (
+      SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS prior_ts
+      FROM events p
+      LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type IN ('click','view') AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT pri.event_id, pri.user_id, pri.ts,
+           max(c2.event_id) AS prior_event_id, pri.prior_ts
+    FROM pri
+    LEFT JOIN events c2
+      ON c2.user_id = pri.user_id AND c2.ts = pri.prior_ts
+     AND c2.event_type IN ('click','view')
+    GROUP BY pri.event_id, pri.user_id, pri.ts, pri.prior_ts
+    """,
+)
+def asof_latest_event_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23 — north-star AS-OF join: for every purchase, the latest
+    click/view at-or-before it for the same user (ties on ts broken by
+    max event_id).
+
+    Implementation: the union+window formulation — tag both streams,
+    sort within user by (ts, tag, event_id), carry the last non-null
+    prior via last(ignorenulls). ONE shuffle on user_id total; the
+    join+max alternative (used only by the oracle SQL) would shuffle
+    twice and explode pairs. This is the scalable as-of pattern.
+    """
+    ev = table(spark, sf_dir, "events")
+    prior = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.struct(F.col("ts"), F.col("event_id")).alias("prior"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast(prior.schema["prior"].dataType).alias("prior"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = prior.unionByName(purch).withColumn(
+        "lp", F.last("prior", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("lp.event_id").alias("prior_event_id"),
+        F.col("lp.ts").alias("prior_ts"),
+    )

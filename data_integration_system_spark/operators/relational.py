@@ -1,0 +1,346 @@
+"""Relational core: scans, filters, projections, aggregation (SURVEY §2B
+Q1-Q10, Q16-Q19 + Q8b/Q8c/Q30).
+
+Every query here is a pure declarative DataFrame plan — Catalyst pushes the
+filters and prunes the columns into the parquet scan (verify with
+``.explain``: PushedFilters / ReadSchema), and whole-stage codegen runs the
+expressions JVM-side.  At 100 TB these are scan-dominated, embarrassingly
+parallel, zero-shuffle (aggregations shuffle once on their grouping keys
+with map-side partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.functions.hashing import content_hash
+from data_integration_system_spark.functions.urls import domain_of, is_blocked_ext
+from data_integration_system_spark.registry import query
+
+# Synthetic URL built over documents.source so the URL-shaped operators
+# (blocklist F1, domain extraction P1) are exercised on the oracle tables.
+# CASE keeps it deterministic; both engines build the identical string.
+_EXT_CASE_SQL = """CASE doc_id % 5
+        WHEN 0 THEN '.png' WHEN 1 THEN '.pdf' WHEN 2 THEN '.js'
+        WHEN 3 THEN '.txt' ELSE '.css' END"""
+
+
+def _doc_url(df: DataFrame) -> DataFrame:
+    ext = (
+        F.when(F.col("doc_id") % 5 == 0, ".png")
+        .when(F.col("doc_id") % 5 == 1, ".pdf")
+        .when(F.col("doc_id") % 5 == 2, ".js")
+        .when(F.col("doc_id") % 5 == 3, ".txt")
+        .otherwise(".css")
+    )
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".example.com/files/doc"),
+        F.col("doc_id").cast("string"), ext, F.lit("?dl=1"),
+    )
+    return df.withColumn("url", url)
+
+
+_DOC_URL_SQL = (
+    "'https://WWW.' || source || '.example.com/files/doc' || CAST(doc_id AS VARCHAR) || "
+    + _EXT_CASE_SQL
+    + " || '?dl=1'"
+)
+
+
+@query(
+    "scan_project",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — source scan + projection (reference: reading the pages index,
+    storage/filesystem_store.py:48-70; field selection of models.py:43-57).
+
+    Column pruning reaches the scan: ReadSchema lists only the 4 columns.
+    """
+    return table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "filter_blocklist",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url FROM u
+    WHERE lower(regexp_extract(regexp_replace(url, '[?#].*$', ''), '(\\.[^./\\\\]+)$', 1))
+          NOT IN ('.js', '.css', '.png')
+    """,
+)
+def filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — F1 static-extension blocklist (crawler_core.py:15-24): drop
+    asset URLs before any further work (manual pushdown in the reference;
+    Catalyst pushes the derived-column predicate automatically here)."""
+    docs = _doc_url(table(spark, sf_dir, "documents"))
+    return docs.filter(~is_blocked_ext(F.col("url"))).select("doc_id", "url")
+
+
+@query(
+    "filter_scope",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'click' AND user_id BETWEEN 2 AND 10 AND value > 50.0
+    """,
+)
+def filter_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — F2+F4 compound scope predicate (domain + depth gates,
+    crawler_core.py:81-93) as a multi-clause filter; all three conjuncts
+    reach the parquet scan as PushedFilters."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("user_id").between(2, 10)
+        & (F.col("value") > 50.0)
+    ).select("event_id", "user_id", "value")
+
+
+@query(
+    "filter_size_cap",
+    oracle="SELECT doc_id, n_chars FROM documents WHERE n_chars <= 300",
+)
+def filter_size_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — F9 size cap (file_ingestion.py:79-80: len(data) > max -> skip),
+    as a pushed-down comparison on the stored size column."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.col("n_chars") <= 300).select("doc_id", "n_chars")
+
+
+@query(
+    "project_domain",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                          '^www\\.', '') AS domain
+    FROM u
+    """,
+)
+def project_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — P1 domain extraction (utils.py:6-8): lowercase host, strip
+    leading www. (unifying the api/main.py:40-41 variant, SURVEY §2A P10)."""
+    docs = _doc_url(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", domain_of(F.col("url")).alias("domain"))
+
+
+@query(
+    "project_content_hash",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+    FROM documents
+    """,
+)
+def project_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — P3 whitespace-normalized sha256 (utils.py:15-20): CRLF->LF,
+    collapse \\s+, strip, sha256 hex. The identity every dedup/upsert
+    operator keys on."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", content_hash(F.col("text")).alias("content_hash"))
+
+
+@query(
+    "agg_counts_by_group",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def agg_counts_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — A1 report counts (filesystem_store.py:211) generalized to a
+    grouped hash aggregation. One shuffle on the grouping keys with
+    map-side partial agg; AQE coalesces the post-shuffle partitions."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS g_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8b — rollup completeness (the Postgres surface the reference sits
+    on supports grouping sets; SURVEY §2A 'Aggregations' note)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("g_id"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select("lang", "source", "g_id", "n_docs", "sum_chars")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8c — COUNT(DISTINCT) per group. Spark plans this as a two-phase
+    expand + aggregate; exact (Q30 is the approx HLL variant)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
+    "topk_oldest_pending",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_orderdate, o_orderkey LIMIT 10
+    """,
+)
+def topk_oldest_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — A2/S14 job pick: oldest PENDING first (db/postgres_store.py:
+    32-39 ORDER BY created_at LIMIT 1), generalized to top-N with a
+    total-order tie-break. Spark runs this as TakeOrderedAndProject —
+    no global sort materializes."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "stale_timeout_filter",
+    oracle="""
+    SELECT event_id, user_id, ts FROM events
+    WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def stale_timeout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — F11 stale-job predicate (db/postgres_store.py:58-68:
+    updated_at < NOW() - interval). 'Now' is pinned to max(ts) so the
+    query is deterministic. The 1-row aggregate is broadcast, so the
+    filter still pushes down to a scan + broadcast-nested-loop."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cutoff"))
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("cutoff"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@query(
+    "union_pages_files",
+    oracle="""
+    SELECT doc_id, 'short' AS kind, n_chars FROM documents WHERE n_chars < 200
+    UNION ALL
+    SELECT doc_id, 'long' AS kind, n_chars FROM documents WHERE n_chars >= 200
+    """,
+)
+def union_pages_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — A3 partition-by-predicate then recombine (crawler_core.py:
+    182-193 splits links into clean vs file streams). unionByName is a
+    zero-shuffle concatenation of the two filtered scans."""
+    docs = table(spark, sf_dir, "documents")
+    short = docs.filter(F.col("n_chars") < 200).select(
+        "doc_id", F.lit("short").alias("kind"), "n_chars"
+    )
+    long_ = docs.filter(F.col("n_chars") >= 200).select(
+        "doc_id", F.lit("long").alias("kind"), "n_chars"
+    )
+    return short.unionByName(long_)
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS op, user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_only' AS op, user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 — set-op completeness: INTERSECT / EXCEPT (distinct semantics
+    on both engines)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select(F.lit("both").alias("op"), "user_id")
+    only = clicks.subtract(buys).select(F.lit("click_only").alias("op"), "user_id")
+    return both.unionByName(only)
+
+
+@query(
+    "json_config_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_config_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 — P11 JSONB unpack (api/main.py:52-69 packs config to JSON;
+    worker_daemon.py:35-40 schema-on-reads it back). get_json_object is
+    a codegen'd JSON path walk — no Python."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 50)
+
+
+@query(
+    "string_metrics",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_len,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS src_num
+    FROM documents
+    """,
+)
+def string_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 — P9 length metrics (text_len / size_bytes, filesystem_store.py:
+    93,182) + P4-style suffix extraction. Integer outputs cast to BIGINT on
+    both sides per the registry's type discipline."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_len"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("long").alias("src_num"),
+    )
+
+
+@query("approx_distinct", oracle=None)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30 — approx_count_distinct (HyperLogLog++). The 100 TB answer to
+    Q8c: constant memory per group, one shuffle of sketches instead of an
+    Expand of raw values. Approx by design -> rows-only check."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (SURVEY §2B Q29 + north-star
+IVF variant).
+
+Brute-force cosine top-k is the exactness baseline: broadcast the (small)
+query set against the corpus, compute cosine via JVM higher-order
+functions, rank per query.  At 100 TB the corpus side stays distributed
+and is scanned once — the classic "broadcast the queries, never the
+corpus" shape.  The IVF variant adds the scale path: cluster-assign the
+corpus once (write-time), then probe only the nearest partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.functions.vectors import cosine
+from data_integration_system_spark.registry import query
+
+_N_QUERIES = 8
+_TOP_K = 5
+
+# The oracle mirrors the double-precision left-to-right fold of
+# F.aggregate: list_zip + list_transform(cast to double) + ordered sum.
+# (list_zip yields an unnamed struct in DuckDB 1.0 -> numeric x[1]/x[2].)
+_COSINE_SQL = """
+list_aggregate(list_transform(list_zip({a}, {b}),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+/ (sqrt(list_aggregate(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+ * sqrt(list_aggregate(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+"""
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+         sims AS (
+           SELECT q_id, c_id,
+                  {_COSINE_SQL.format(a="qe", b="ce")} AS sim
+           FROM q CROSS JOIN c
+         ),
+         ranked AS (
+           SELECT q_id, c_id, sim,
+                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+           FROM sims
+         )
+    SELECT q_id, c_id, CAST(rn AS BIGINT) AS rnk, ROUND(sim, 4) AS cos_sim
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29 — brute-force cosine top-k: queries (vec_id < 8) broadcast
+    against the corpus, cosine in double precision, top-5 per query with
+    a deterministic tie-break on c_id.
+
+    The dot product folds left-to-right in double on both engines
+    (F.aggregate vs ordered list_aggregate), so values hash-match; the
+    displayed similarity is rounded AFTER ranking."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    sims = F.broadcast(q).crossJoin(c).select(
+        "q_id", "c_id", cosine(F.col("qe"), F.col("ce")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rn").cast("long").alias("rnk"),
+            F.round("sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star IVF-style ANN: corpus vectors are assigned to the
+    nearest of k centroids (here: per-label mean vectors — a stand-in for
+    k-means, computed distributively via posexplode + per-position mean);
+    each query probes only the `nprobe` nearest centroids' partitions.
+
+    At 100 TB: centroid assignment happens at write time (a partition
+    column), so a query touches nprobe/k of the data — this is the
+    scale path over Q29's exact scan. Approximate -> rows-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    nprobe = 3
+
+    # centroids: per-label elementwise mean via posexplode (distributed,
+    # no driver collect of vectors)
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("cent_id"),
+            F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+    # assign each corpus vector to its nearest centroid
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    asg_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cent_id")
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", cosine("embedding", "centroid").alias("d"))
+        .withColumn("rn", F.row_number().over(asg_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+    # each query probes its nprobe nearest centroids
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "cent_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("q_id", "qe", "cent_id", cosine("qe", "centroid").alias("d"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qe", "cent_id")
+    )
+
+    top_w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    return (
+        probes.join(assigned, "cent_id")
+        .select("q_id", F.col("vec_id").alias("c_id"), cosine("qe", "embedding").alias("sim"))
+        .withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "c_id", F.col("rn").cast("long").alias("rnk"), F.round("sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2B Q27 +
+north-star: quality scoring, token counting, language-ID, fingerprinting).
+
+All hot-path text math is JVM-side (split / higher-order array functions /
+regexp), never per-row Python — at 100 TB these run inside the scan
+project with whole-stage codegen.  The reference's only text analytics
+was `text_len` (filesystem_store.py:93); this module is the north-star
+extension tier the BASELINE.json calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.registry import query
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "it")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+
+def tokens_of(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+           ROUND(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27 — corpus token/char statistics per language: whitespace token
+    counts + char metrics, grouped. Integer sums are exact so the double
+    division is deterministic cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(tokens_of("text")).cast("long")
+    return (
+        docs.select("lang", ntok.alias("ntok"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("sum_tokens"),
+            F.round(F.sum("ntok").cast("double") / F.count("*"), 2).alias("avg_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
+                 / len(toks), 4) AS stop_ratio,
+           ROUND(CAST(len(list_filter(toks, t -> length(t) >= 6)) AS DOUBLE)
+                 / len(toks), 4) AS long_tok_ratio,
+           ROUND(CAST(n_len AS DOUBLE) / len(toks), 4) AS chars_per_token
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star quality scoring: stopword ratio, long-token ratio,
+    chars-per-token — the standard cheap quality signals a pretraining
+    pipeline filters on (C4/Gopher-style heuristics, expressed as pure
+    column math)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+    d = docs.select(
+        "doc_id", toks.alias("toks"), F.length("text").cast("long").alias("n_len")
+    )
+    ntok = F.size("toks")
+    stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    longt = F.size(F.filter("toks", lambda t: F.length(t) >= 6))
+    return d.select(
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+        F.round(stop.cast("double") / ntok, 4).alias("stop_ratio"),
+        F.round(longt.cast("double") / ntok, 4).alias("long_tok_ratio"),
+        F.round(F.col("n_len").cast("double") / ntok, 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star token counting: whitespace tokens + a BPE-ish regex
+    count (letter runs / digit runs / single punctuation) — the standard
+    cheap proxy for tokenizer-true counts when budgeting corpora."""
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
+    ws = F.size(tokens_of("text"))
+    return docs.select(
+        "doc_id",
+        bpe.cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query("text_lang_id", oracle=None)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star language-ID heuristic: score each candidate language by
+    its marker-token hit count over the document's tokens; argmax with a
+    deterministic tie-break (language order). Rows-only (the heuristic is
+    ours, not SQL-canonical).
+
+    Pure array expressions — at 100 TB this is a single codegen'd pass
+    per document, no shuffle, no Python."""
+    markers = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "und", "die"),
+        "fr": ("le", "et", "la"),
+        "es": ("el", "y", "de"),
+        "zh": ("zh0", "zh1", "zh2"),  # synthetic corpus has no CJK markers
+    }
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+
+    def marker_score(ms: tuple[str, ...]):
+        # NB: a 1-arg lambda is required — F.filter dispatches on lambda
+        # arity, so a `lambda t, ms=ms:` default-arg trick would bind the
+        # element INDEX to ms.
+        return F.size(F.filter(toks, lambda t: t.isin(*ms)))
+
+    scores = [marker_score(ms).alias(f"s_{lang}") for lang, ms in markers.items()]
+    d = docs.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in markers])
+    pred = F.lit("und")
+    for lg in reversed(list(markers)):  # earlier langs win ties -> fold from the back
+        pred = F.when((F.col(f"s_{lg}") == best) & (best > 0), lg).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+@query("doc_fingerprint", oracle=None)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star document fingerprinting (winnowing): hash every 5-token
+    shingle (rolling-hash analog via xxhash64), then keep the minimum
+    hash per window of 4 consecutive shingle hashes — the classic
+    winnowing fingerprint set, as distinct sorted hashes.
+
+    Rows-only: xxhash64 has no DuckDB twin. All JVM array expressions."""
+    docs = table(spark, sf_dir, "documents")
+    k, w = 5, 4
+    # tokens staged first: `element_at(tokens_of(text), …)` would re-split
+    # the document per shingle position after CollapseProject inlining —
+    # O(n²) per doc (same trap as dedup.shingle_sets; localCheckpoint is
+    # the evaluation barrier).
+    td = docs.select("doc_id", tokens_of("text").alias("toks")).localCheckpoint()
+    toks = F.col("toks")
+    nsh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    sh_hashes = F.transform(
+        F.sequence(F.lit(0), nsh - 1),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
+        ),
+    )
+    d = td.select("doc_id", sh_hashes.alias("h")).localCheckpoint()
+    nwin = F.greatest(F.size("h") - (w - 1), F.lit(1))
+    fp = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), nwin - 1),
+                lambda i: F.array_min(F.slice(F.col("h"), (i + 1).cast("int"), w)),
+            )
+        )
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("n_fingerprints", F.size("fingerprint").cast("long"))
+    )

@@ -1,0 +1,168 @@
+"""Window operators: analytic frames and event-time windows (SURVEY §2B
+Q20, Q24-Q26).
+
+The reference is purely processing-time (SURVEY §2A T-family); the
+events-table queries declare the event-time layer a real engine needs.
+Batch forms here; `streaming/jobs.py` runs the same windows on a stream.
+
+Determinism: tumbling/sliding buckets are epoch-aligned exactly like
+Spark's `F.window` (origin 1970-01-01 UTC), and the oracle SQL reproduces
+that alignment arithmetically (epoch_ms floor), so the two engines agree
+bucket-for-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.operators._common import dec
+from data_integration_system_spark.registry import query
+
+
+@query(
+    "window_rank_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rnk,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS run_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 — analytic-window completeness: per-customer order history with
+    rank, lag, and a running sum over an explicit row frame. One shuffle
+    on the partition key; the running sum uses exact decimal accumulation
+    (DuckDB evaluates frames via segment trees, so double summation order
+    differs — decimal makes it associative, SURVEY §2B determinism)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(F.sum(dec("o_totalprice")).over(wf), 2).cast("double").alias("run_sum"),
+    )
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT epoch_ms(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600000) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24 — per-10-minute tumbling window counts (T-family analog of the
+    reference's poll cadence, worker_daemon.py:24-28). `F.window` buckets
+    are epoch-aligned; the oracle floors epoch seconds to match. Plain
+    grouped agg -> one shuffle, map-side partials."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "sliding_window_avg",
+    oracle="""
+    WITH twice AS (
+      SELECT epoch_ms(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300000) AS bucket_start, value
+      FROM events
+      UNION ALL
+      SELECT epoch_ms((CAST(floor(epoch(ts) / 300) AS BIGINT) - 1) * 300000) AS bucket_start, value
+      FROM events
+    )
+    SELECT bucket_start,
+           COUNT(*) AS n_events,
+           ((2 * CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) + 100 * COUNT(*))
+            // (200 * COUNT(*))) / 100.0 AS avg_value
+    FROM twice GROUP BY bucket_start
+    """,
+)
+def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25 — sliding window (10 min length, 5 min slide): every event lands
+    in exactly two windows. Spark expands via `F.window(ts, len, slide)`;
+    the oracle materializes the same two epoch-aligned buckets by UNION
+    ALL. Window start is the bucket identity on both sides.
+
+    avg is rounded half-up in INTEGER space (sum is exact in 1e-4 units,
+    values are non-negative): double ROUND at the .xx5 boundary is
+    engine-dependent — Spark rounds the shortest decimal repr, DuckDB the
+    binary double, so sum=32.05/n=2 gave 16.03 vs 16.02.  The integer
+    formula (2·S + 100·n) div (200·n) / 100 is bit-identical on both."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(dec("value")) * 10000).cast("long").alias("_s_units"),  # exact 1e-4 units
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            (
+                F.expr("(2 * _s_units + 100 * n_events) div (200 * n_events)")
+                / F.lit(100.0)
+            ).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26 — session windows, 30-minute gap, per user (T3's timeout-based
+    state eviction, db/postgres_store.py:58-68, as proper session
+    semantics). Spark `session_window` merges events strictly closer than
+    the gap; the oracle's lag+cumsum formulation starts a new session at
+    diff >= gap — the same convention (SURVEY §2B 'hard parts').
+
+    session_end = last event + gap, matching Spark's window.end."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,162 @@
+"""The BFS crawl loop: the reference's dataflow engine, generation-batched.
+
+`Crawler.run()` (/root/reference/crawler/crawler_core.py:253-294) is an
+asyncio queue drained by 8 worker tasks; here it becomes a driver-side
+iteration over frontier *generations* (SURVEY §3.4):
+
+    frontier₀ = seeds (depth 0)
+    genᵢ      = scope-filter(frontierᵢ) − visited
+    pagesᵢ    = extract(fetch(genᵢ))
+    frontierᵢ₊₁ = links(pagesᵢ) at depth i+1, deduped
+    stop when frontier empty, depth cap hit, or page budget spent
+
+Each arrow is a DataFrame transformation; `visited` is maintained by
+union + dropDuplicates, localCheckpoint()-ed each generation to cut
+lineage (SURVEY §7 'BFS loop at scale').  `max_pages_total` is ENFORCED
+— the reference declared it but never read it (models.py:23, SURVEY §6).
+
+Gate order preserves the reference's manual pushdown (crawler_core.py:
+157-167: cheap predicates before the expensive fetch — which Catalyst
+can't reorder across the Python fetch boundary, so the order here is
+load-bearing exactly like it was in the reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.functions.hashing import content_hash, url_hash
+from data_integration_system_spark.functions.urls import (
+    domain_of,
+    ext_of,
+    is_blocked_ext,
+    path_of,
+)
+from data_integration_system_spark.pipeline.extract import extract_pages
+from data_integration_system_spark.pipeline.fetch import FetchFn, fetch_frontier
+
+
+@dataclass
+class CrawlConfig:
+    """Mirror of CrawlJob (/root/reference/models.py:5-34), minus the
+    identity fields the engine doesn't need."""
+
+    root_domain: str
+    max_depth: int = 10            # max_depth_root, models.py:22
+    max_pages_total: int = 20_000  # models.py:23 — enforced here (dead in ref)
+    single_page: bool = False      # models.py:15
+    path_mode: bool = False        # models.py:16
+    base_path: str = ""            # crawler_core.py:74-79
+    same_domain_only: bool = True  # F2, crawler_core.py:81-83
+    allowed_file_exts: tuple[str, ...] = (
+        ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".txt",
+    )  # models.py:26-32
+    per_domain: int = 2            # http_fetcher.py:23
+    checkpoint_every: int = 4      # lineage cut cadence (ours)
+    extra: dict = field(default_factory=dict)  # config jsonb escape hatch
+
+
+def scope_filter(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """F1-F5 gates (crawler_core.py:15-24,81-93,157-167) as one composed
+    predicate over the frontier.  All column math — runs before fetch."""
+    df = frontier.filter(~is_blocked_ext(F.col("url")))  # F1
+    if cfg.same_domain_only:
+        df = df.filter(domain_of(F.col("url")) == F.lit(cfg.root_domain))  # F2
+    if cfg.path_mode and cfg.base_path:
+        base = cfg.base_path.rstrip("/") + "/"  # crawler_core.py:74-79
+        df = df.filter(
+            path_of(F.col("url")).startswith(base)
+            | (path_of(F.col("url")) == cfg.base_path.rstrip("/"))
+        )  # F3
+    cap = 0 if cfg.single_page else cfg.max_depth  # F5 / F4
+    return df.filter(F.col("depth") <= cap)
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    fetch_fn: FetchFn,
+) -> DataFrame:
+    """Run the BFS to completion; returns the pages table:
+    (page_id, url, domain, depth, text, links, content_hash, text_len).
+
+    Column semantics match PageRecord (models.py:43-57): page_id =
+    sha1(url) (utils.py:11-12), content_hash = whitespace-normalized
+    sha256 (utils.py:15-20)."""
+    frontier = (
+        spark.createDataFrame([(u, 0) for u in seeds], "url string, depth long")
+        .dropDuplicates(["url"])  # D1 enqueue-dedup, crawler_core.py:263-267
+    )
+    visited = spark.createDataFrame([], "url string")
+    pages: DataFrame | None = None
+    budget = cfg.max_pages_total
+    generation = 0
+
+    while budget > 0:
+        gen = (
+            scope_filter(frontier, cfg)
+            .join(visited, "url", "left_anti")  # D2/F6 visited subtraction
+            .dropDuplicates(["url"])
+            .limit(budget)  # max_pages_total, enforced (ref never did)
+            .localCheckpoint()  # cut lineage + freeze the generation
+        )
+        n = gen.count()
+        if n == 0:
+            break
+        budget -= n
+        visited = visited.unionByName(gen.select("url")).localCheckpoint()
+
+        fetched = fetch_frontier(gen, fetch_fn, per_domain=cfg.per_domain)
+        html = fetched.filter(
+            F.col("content").isNotNull()
+            & F.col("content_type").contains("text/html")  # F10 dispatch
+        )
+        extracted = extract_pages(html)
+        gen_pages = extracted.select(
+            url_hash("url").alias("page_id"),
+            "url",
+            domain_of(F.col("url")).alias("domain"),
+            "depth",
+            "text",
+            "links",
+            content_hash(F.col("text")).alias("content_hash"),
+            F.length("text").cast("long").alias("text_len"),
+        ).localCheckpoint()  # materialize: fetch exactly once per URL
+
+        pages = gen_pages if pages is None else pages.unionByName(gen_pages)
+        if generation % cfg.checkpoint_every == cfg.checkpoint_every - 1:
+            pages = pages.localCheckpoint()
+
+        # EXPAND (crawler_core.py:237-241): next generation = discovered
+        # links at depth+1; file links are split out by extension (A3).
+        frontier = (
+            gen_pages.select(
+                F.explode("links").alias("url"), (F.col("depth") + 1).alias("depth")
+            )
+            .filter(~ext_of(F.col("url")).isin(list(cfg.allowed_file_exts)))
+            .dropDuplicates(["url"])
+        )
+        generation += 1
+
+    if pages is None:
+        return spark.createDataFrame(
+            [],
+            "page_id string, url string, domain string, depth long, "
+            "text string, links array<string>, content_hash string, text_len long",
+        )
+    return pages
+
+
+def file_links_of(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """The A3 file-stream split (crawler_core.py:182-193): discovered
+    links whose extension is on the allowlist (F7), same-domain filtered
+    when configured (F8)."""
+    links = pages.select(F.explode("links").alias("url"), "depth")
+    df = links.filter(ext_of(F.col("url")).isin(list(cfg.allowed_file_exts)))
+    if cfg.same_domain_only:
+        df = df.filter(domain_of(F.col("url")) == F.lit(cfg.root_domain))
+    return df.dropDuplicates(["url"])  # D3

@@ -1,0 +1,118 @@
+"""Scalar-function unit tests (SURVEY §5.2 item 2): Spark column
+expressions vs CPython hashlib/urllib ground truth, including the
+non-ASCII (Turkish) cases the reference is explicitly aware of
+(crawler_core.py:44,49)."""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.functions.hashing import (
+    content_hash,
+    normalize_ws,
+    url_hash,
+)
+from data_integration_system_spark.functions.urls import (
+    domain_of,
+    ext_of,
+    is_blocked_ext,
+    path_of,
+)
+from data_integration_system_spark.pipeline.extract import normalize_ws_py
+
+TEXTS = [
+    "hello world",
+    "  leading and trailing  ",
+    "tabs\tand\nnewlines\r\nand  doubles",
+    "merhaba dünya çğışöü",  # Turkish — non-ASCII utf-8
+    "",
+    "a",
+]
+
+URLS = [
+    "https://www.Example.COM/path/page.html?q=1#frag",
+    "http://sub.site.org/a/b/doc.PDF?download=true",
+    "https://ex.com/",
+    "https://ex.com/assets/app.min.js",
+    "https://ex.com/img/logo.PNG",
+    "https://ex.com/paper.pdf",
+]
+
+
+def _col_vals(spark, data, col):
+    df = spark.createDataFrame([(d,) for d in data], "v string")
+    return [r.out for r in df.select(col(F.col("v")).alias("out")).collect()]
+
+
+def test_content_hash_matches_hashlib(spark):
+    got = _col_vals(spark, TEXTS, content_hash)
+    want = [hashlib.sha256(normalize_ws_py(t).encode()).hexdigest() for t in TEXTS]
+    assert got == want  # utils.py:15-20 ported exactly, incl. UTF-8 bytes
+
+
+def test_url_hash_matches_hashlib(spark):
+    got = _col_vals(spark, URLS, url_hash)
+    want = [hashlib.sha1(u.encode()).hexdigest() for u in URLS]
+    assert got == want  # utils.py:11-12
+
+
+def test_normalize_ws_matches_python_twin(spark):
+    got = _col_vals(spark, TEXTS, normalize_ws)
+    assert got == [normalize_ws_py(t) for t in TEXTS]
+
+
+def test_domain_of_matches_urlparse(spark):
+    got = _col_vals(spark, URLS, domain_of)
+    want = [
+        urlparse(u).netloc.lower().removeprefix("www.") for u in URLS
+    ]  # utils.py:6-8 (leading-www variant per SURVEY §2A P1/P10)
+    assert got == want
+
+
+def test_path_of_matches_urlparse(spark):
+    got = _col_vals(spark, URLS, path_of)
+    assert got == [urlparse(u).path for u in URLS]
+
+
+@pytest.mark.parametrize(
+    ("url", "ext"),
+    [
+        ("https://ex.com/a/b/doc.PDF?download=true", ".pdf"),
+        ("https://ex.com/x.tar.gz", ".gz"),
+        ("https://ex.com/noext", ""),
+        ("https://ex.com/q.html#frag", ".html"),
+    ],
+)
+def test_ext_of(spark, url, ext):
+    assert _col_vals(spark, [url], ext_of) == [ext]  # crawler_core.py:27-30
+
+
+def test_blocklist(spark):
+    got = _col_vals(spark, URLS, is_blocked_ext)
+    want = [u.lower().split("?")[0].split("#")[0].endswith((".js", ".png")) for u in URLS]
+    assert got == want  # crawler_core.py:15-24 family
+
+
+def test_dedup_idempotence_property(spark):
+    """f(f(x)) == f(x) for exact dedup (SURVEY §5.2 item 4)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 3)], "k string, v int"
+    )
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    assert sorted((r.k) for r in once.collect()) == sorted(r.k for r in twice.collect())
+    assert once.count() == 2
+
+
+def test_union_of_partition_equals_input(spark):
+    """A3 property: the two predicate-split halves recombine to the input
+    exactly (crawler_core.py:182-193)."""
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+    lo = df.filter(F.col("v") < 50)
+    hi = df.filter(F.col("v") >= 50)
+    assert lo.unionByName(hi).count() == 100
+    assert lo.unionByName(hi).exceptAll(df).count() == 0

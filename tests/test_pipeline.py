@@ -1,0 +1,225 @@
+"""Pipeline-library tests (SURVEY §5.2 items 2-4): extraction semantics,
+BFS crawl on a synthetic in-memory site, upsert writer classification,
+and the golden incrementality property — a second identical run yields
+zero changed rows (T4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.pipeline.crawl import (
+    CrawlConfig,
+    crawl,
+    file_links_of,
+    scope_filter,
+)
+from data_integration_system_spark.pipeline.extract import (
+    decode_bytes,
+    extract_document,
+    html_to_text_and_links,
+    normalize_ws_py,
+)
+from data_integration_system_spark.pipeline.writer import (
+    STATUS_COL,
+    classify_upsert,
+    merge_keep_latest,
+    write_changed_only,
+)
+
+# ---------------------------------------------------------------------------
+# extract.py unit tests (pure Python — no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_cascade_utf8():
+    assert decode_bytes("merhaba dünya".encode()) == "merhaba dünya"
+
+
+def test_decode_cascade_header_charset_wins():
+    data = "çğş".encode("windows-1254")
+    assert decode_bytes(data, "windows-1254") == "çğş"
+
+
+def test_decode_cascade_turkish_fallback():
+    # windows-1254 bytes with no header: utf-8 fails, cascade recovers
+    data = "şğı".encode("windows-1254")
+    out = decode_bytes(data)
+    assert out == "şğı"
+
+
+def test_decode_cascade_replacement_last_resort():
+    out = decode_bytes(b"\xff\xfe\x00ok")
+    assert "ok" in out
+
+
+def test_html_text_and_links():
+    html = """
+    <html><head><style>body{}</style><script>var x=1;</script></head>
+    <body><h1>Title</h1><p>Hello <a href="/a">A</a> and
+    <a href="/b#frag">B</a> and <a href="/a">A again</a></p>
+    <noscript>NOJS</noscript></body></html>
+    """
+    text, links = html_to_text_and_links(html, base_url="https://ex.com/page")
+    assert "Title" in text and "Hello" in text
+    assert "var x=1" not in text and "NOJS" not in text and "body{}" not in text
+    # absolutized, defragged, order-preserving deduped (link_extractor.py:14-31)
+    assert links == ["https://ex.com/a", "https://ex.com/b"]
+
+
+def test_extract_document_dispatch_and_errors():
+    text, err = extract_document(b"hello world", ".txt")
+    assert (text, err) == ("hello world", "")
+    _, err = extract_document(b"x" * 10, ".pdf")  # fitz absent -> stub
+    assert err == "" or err.startswith("skipped")
+    _, err = extract_document(b"x", ".xyz")
+    assert err == "unsupported_ext:.xyz"
+    _, err = extract_document(b"x" * 100, ".txt", max_bytes=10)
+    assert err == "skipped_too_large"  # F9, file_ingestion.py:79-80
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl over a synthetic site
+# ---------------------------------------------------------------------------
+
+SITE = {
+    "https://ex.com/": '<a href="/a">a</a><a href="/b">b</a><a href="https://other.com/x">x</a>',
+    "https://ex.com/a": '<a href="/c">c</a><a href="/style.css">css</a>Text A',
+    "https://ex.com/b": '<a href="/doc1.pdf">pdf</a>Text B',
+    "https://ex.com/c": '<a href="/">home</a>Leaf C',
+    "https://other.com/x": "<p>off-domain</p>",
+}
+
+
+def make_fake_fetch(site):
+    """Returns a closure (cloudpickled by value, so executors don't need
+    this test module on their import path)."""
+
+    def fetch(url: str):
+        body = site.get(url)
+        if body is None:
+            return None, ""
+        return f"<html><body>{body}</body></html>".encode(), "text/html; charset=utf-8"
+
+    return fetch
+
+
+fake_fetch = make_fake_fetch(SITE)
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark):
+    cfg = CrawlConfig(root_domain="ex.com", max_depth=5, max_pages_total=100)
+    pages = crawl(spark, ["https://ex.com/"], cfg, fake_fetch)
+    return pages, cfg
+
+
+def test_crawl_visits_reachable_same_domain(crawl_result):
+    pages, _ = crawl_result
+    urls = {r.url for r in pages.select("url").collect()}
+    assert urls == {
+        "https://ex.com/",
+        "https://ex.com/a",
+        "https://ex.com/b",
+        "https://ex.com/c",
+    }  # other.com excluded (F2), .css blocked (F1), .pdf routed to files (F7)
+
+
+def test_crawl_each_url_once(crawl_result):
+    pages, _ = crawl_result
+    n, nd = pages.count(), pages.dropDuplicates(["url"]).count()
+    assert n == nd == 4  # D1/D2: visit-once even though /c links back to /
+
+
+def test_crawl_depths_are_bfs_minimal(crawl_result):
+    pages, _ = crawl_result
+    depths = {r.url: r.depth for r in pages.collect()}
+    assert depths["https://ex.com/"] == 0
+    assert depths["https://ex.com/a"] == 1
+    assert depths["https://ex.com/c"] == 2
+
+
+def test_crawl_page_identity_matches_reference(crawl_result):
+    pages, _ = crawl_result
+    row = pages.filter(F.col("url") == "https://ex.com/").first()
+    assert row.page_id == hashlib.sha1(b"https://ex.com/").hexdigest()  # utils.py:11-12
+    norm = normalize_ws_py(row.text)
+    assert row.content_hash == hashlib.sha256(norm.encode()).hexdigest()  # utils.py:15-20
+
+
+def test_crawl_file_links_split(crawl_result, spark):
+    pages, cfg = crawl_result
+    files = file_links_of(pages, cfg)
+    assert [r.url for r in files.collect()] == ["https://ex.com/doc1.pdf"]
+
+
+def test_crawl_budget_enforced(spark):
+    cfg = CrawlConfig(root_domain="ex.com", max_depth=5, max_pages_total=2)
+    pages = crawl(spark, ["https://ex.com/"], cfg, fake_fetch)
+    assert pages.count() <= 2  # the knob the reference never read (models.py:23)
+
+
+def test_crawl_single_page_mode(spark):
+    cfg = CrawlConfig(root_domain="ex.com", single_page=True)
+    pages = crawl(spark, ["https://ex.com/"], cfg, fake_fetch)
+    assert [r.url for r in pages.collect()] == ["https://ex.com/"]  # F5
+
+
+def test_scope_filter_path_mode(spark):
+    cfg = CrawlConfig(root_domain="ex.com", path_mode=True, base_path="/docs")
+    frontier = spark.createDataFrame(
+        [("https://ex.com/docs/a", 0), ("https://ex.com/other/b", 0), ("https://ex.com/docs", 0)],
+        "url string, depth long",
+    )
+    kept = {r.url for r in scope_filter(frontier, cfg).collect()}
+    assert kept == {"https://ex.com/docs/a", "https://ex.com/docs"}  # F3
+
+
+# ---------------------------------------------------------------------------
+# writer.py — upsert classification + keep-latest merge
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def store_and_batch(spark):
+    current = spark.createDataFrame(
+        [("k1", "h1", 1), ("k2", "h2", 1)], "key string, content_hash string, v int"
+    )
+    incoming = spark.createDataFrame(
+        [("k1", "h1", 2), ("k2", "h2x", 2), ("k3", "h3", 2)],
+        "key string, content_hash string, v int",
+    )
+    return current, incoming
+
+
+def test_classify_upsert_three_way(store_and_batch):
+    current, incoming = store_and_batch
+    got = {
+        r.key: r[STATUS_COL]
+        for r in classify_upsert(incoming, current, "key").collect()
+    }
+    # db/postgres_store.py:140-184 outcome set
+    assert got == {"k1": "SKIPPED", "k2": "UPSERTED", "k3": "INSERTED"}
+
+
+def test_write_changed_only_drops_skipped(store_and_batch):
+    current, incoming = store_and_batch
+    keys = {r.key for r in write_changed_only(incoming, current, "key").collect()}
+    assert keys == {"k2", "k3"}
+
+
+def test_merge_keep_latest_and_idempotence(store_and_batch):
+    current, incoming = store_and_batch
+    merged = merge_keep_latest(current, incoming, "key", "v")
+    got = {r.key: (r.content_hash, r.v) for r in merged.collect()}
+    assert got == {"k1": ("h1", 2), "k2": ("h2x", 2), "k3": ("h3", 2)}
+    # T4 golden property: re-applying the same batch changes nothing
+    again = merge_keep_latest(merged, incoming, "key", "v")
+    assert {(r.key, r.content_hash, r.v) for r in again.collect()} == {
+        (r.key, r.content_hash, r.v) for r in merged.collect()
+    }
+    # and the changed-rows feed of the second run is empty
+    merged_h = merged.select("key", "content_hash")
+    assert write_changed_only(incoming.select("key", "content_hash"), merged_h, "key").count() == 0
