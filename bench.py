@@ -44,8 +44,10 @@ HEADLINE = (
     "text_quality_score",      # token-level text analysis
     "token_count_bpe",         # regex tokenization
     "dedup_minhash_near",      # MinHash+LSH near-dup
+    "dedup_ngram_jaccard",     # exact blocked n-gram Jaccard
     "similarity_topk",         # brute-force cosine top-k
     "approx_distinct",         # HLL sketch agg
+    "multimodal_decode_meta",  # Arrow-batched mapInPandas decode
 )
 
 

@@ -11,8 +11,10 @@ Layout:
   catalog.py    parquet table registry for the synthetic star schema
   functions/    scalar expression helpers (hashing, urls, text, vectors)
   operators/    query builders — each registers into the query registry
-  pipeline/     ingestion pipeline library (extract/BFS/writer)
+  pipeline/     ingestion pipeline library (fetch/extract/BFS/writer)
   streaming/    Structured Streaming analogs of the worker/poll loops
+  sources/      connectors: backfill reader, HTTP Python DataSource
+  plans/        physical-plan introspection for scale regression tests
   registry.py   name -> (spark_fn, oracle_sql) registry driving
                 __spark_entry__.queries() / oracle_sql()
 """

@@ -409,3 +409,69 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.8)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star EXACT n-gram Jaccard near-dup: word-3-gram sets compared
+    pairwise within (lang, source) blocks — the deterministic, oracle-
+    checkable sibling of Q28's MinHash approximation.
+
+    Blocking bounds the pair space: the self-join key is (lang, source),
+    so candidates = sum over blocks of |B|² instead of n².  At 100 TB the
+    block key becomes a real partitioner (e.g. language × content-length
+    band × LSH band) — same plan shape, one shuffle on the block key.
+    Token/shingle arrays are staged via localCheckpoint (CollapseProject
+    would otherwise re-split the text per array reference)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", _tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    sh = toks.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(_shingles(F.col("toks"))).alias("sh"),
+    ).localCheckpoint()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / uni
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= 0.5)
+        .drop("_j")
+    )

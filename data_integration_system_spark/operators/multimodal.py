@@ -93,3 +93,118 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     ).repartition(8, "doc_id")
     return payloads.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+    ]
+)
+
+_MAX_SIDE = 256
+
+
+def _fit_box(w: int, h: int, box: int = _MAX_SIDE) -> tuple[int, int]:
+    """Integer aspect-preserving fit (the resize STUB's geometry — the
+    real op would hand these dims to PIL.Image.resize)."""
+    m = max(w, h)
+    if m <= box:
+        return w, h
+    return max(w * box // m, 1), max(h * box // m, 1)
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the resize stage: decode (stub) -> fit-box
+    geometry.  In production the same batch shape carries the re-encoded
+    payload bytes out; here we emit geometry only (codec libs absent)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = _fake_decode(bytes(b))
+            nw, nh = _fit_box(w, h)
+            rows.append((int(doc_id), w, h, nw, nh))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "new_width", "new_height"])
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+             CAST(strlen(text) % 480 + 1 AS BIGINT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) <= {_MAX_SIDE} THEN width
+                ELSE greatest(width * {_MAX_SIDE} // greatest(width, height), 1) END AS new_width,
+           CASE WHEN greatest(width, height) <= {_MAX_SIDE} THEN height
+                ELSE greatest(height * {_MAX_SIDE} // greatest(width, height), 1) END AS new_height
+    FROM d
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star image-resize plumbing: binary payload -> aspect-fit
+    target geometry via mapInPandas (decode stubbed; geometry is integer
+    math, so the oracle recomputes it exactly from the payload length).
+
+    Scale: resize is embarrassingly parallel; the win is doing it in the
+    SAME Arrow batch pass as decode so pixels cross the Python boundary
+    once. Metadata-only predicates (e.g. skip small images) stay Spark-
+    side, BEFORE this stage."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+    ]
+)
+
+_SAMPLE_K = 4
+
+
+def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for video frame sampling: the stub derives a
+    frame count from the payload size (a real decoder would read the
+    container), then emits k evenly-spaced frame indices as ROWS — the
+    1:N exploding UDF shape (one input blob -> many output frames)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(bytes(b)) // 100 + 1
+            k = min(_SAMPLE_K, n_frames)
+            for j in range(k):
+                rows.append((int(doc_id), n_frames, j * n_frames // k))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "frame_idx"])
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, strlen(text) // 100 + 1 AS n_frames FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(j * n_frames // least({_SAMPLE_K}, n_frames) AS BIGINT) AS frame_idx
+    FROM d, range(0, {_SAMPLE_K}) r(j)
+    WHERE j < least({_SAMPLE_K}, n_frames)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star video frame-sampling plumbing: one binary blob -> k
+    evenly-spaced frame rows via an exploding mapInPandas stage (decode
+    stubbed — frame count is a pure function of payload size, which the
+    oracle reproduces with a lateral range join)."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(frame_sample_batches, FRAMES_SCHEMA)

@@ -33,6 +33,36 @@ RUNTIME_CONF = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers regardless
+    of the driver's cwd/PYTHONPATH (mapInPandas/pandas-UDF stages pickle
+    module functions BY REFERENCE, so workers must import the module).
+    addPyFile distributes a zip once per session and extends the worker
+    import path — works in local and cluster mode alike."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dis_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dis_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. identical file already added by a previous session user
+    sc._dis_pkg_shipped = True
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable determinism/perf conf to an existing session.
 
@@ -43,6 +73,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # key not runtime-settable in this build — defaults are fine
+    _ship_package(spark)
     return spark
 
 

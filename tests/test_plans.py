@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB,
+pinned at sf0.001 (plan SHAPE is scale-invariant for these checks —
+except join strategy, which AQE may flip at tiny sizes; those assertions
+test the forced-broadcast sides only).
+
+A failure here means a scale regression the oracle tests can't see:
+a filter no longer reaching the scan, a fact table being broadcast, an
+extra shuffle.
+"""
+
+from __future__ import annotations
+
+from data_integration_system_spark.plans.analyze import (
+    broadcast_join_count,
+    is_broadcast,
+    pushed_filters,
+    scan_read_schemas,
+    shuffle_count,
+)
+from data_integration_system_spark.registry import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_filters_reach_scans(spark):
+    df = get_queries()["multiway_star_join"](spark, SF)
+    assert any("ASIA" in f for f in pushed_filters(df, "region"))
+    assert any("o_orderdate" in f for f in pushed_filters(df, "orders"))
+
+
+def test_flagship_column_pruning(spark):
+    df = get_queries()["multiway_star_join"](spark, SF)
+    schemas = scan_read_schemas(df)
+    # lineitem has 16 columns; the query needs exactly 3
+    assert sorted(schemas["lineitem"]) == ["l_discount", "l_extendedprice", "l_orderkey"]
+    assert sorted(schemas["orders"]) == ["o_custkey", "o_orderdate", "o_orderkey"]
+
+
+def test_flagship_fact_never_broadcast(spark):
+    df = get_queries()["multiway_star_join"](spark, SF)
+    # the 100 TB table must stay distributed; dims must broadcast
+    assert not is_broadcast(df, "lineitem")
+    assert broadcast_join_count(df) == 4
+    assert is_broadcast(df, "nation")
+    assert is_broadcast(df, "region")
+
+
+def test_flagship_single_agg_shuffle(spark):
+    df = get_queries()["multiway_star_join"](spark, SF)
+    # one shuffle for the groupBy + one range partition for the final
+    # orderBy; anything more is a regression
+    assert shuffle_count(df) <= 2
+
+
+def test_scan_project_prunes_columns(spark):
+    df = get_queries()["scan_project"](spark, SF)
+    schemas = scan_read_schemas(df)
+    assert sorted(schemas["documents"]) == ["doc_id", "lang", "n_chars", "source"]
+
+
+def test_filter_scope_pushdown(spark):
+    df = get_queries()["filter_scope"](spark, SF)
+    pf = " ".join(pushed_filters(df, "events"))
+    assert "event_type" in pf and "user_id" in pf and "value" in pf
+
+
+def test_broadcast_dim_join_no_fact_shuffle(spark):
+    df = get_queries()["join_broadcast_dim"](spark, SF)
+    # orders joins two broadcast dims -> the only shuffle is the final agg
+    assert not is_broadcast(df, "orders")
+    assert broadcast_join_count(df) == 2
+    assert shuffle_count(df) <= 1
+
+
+def test_keep_latest_single_shuffle(spark):
+    df = get_queries()["dedup_keep_latest"](spark, SF)
+    assert shuffle_count(df) == 1  # one hash partition on user_id

@@ -1,0 +1,87 @@
+"""Source-connector tests: the S13 backfill join and the http_fetch
+DataSource (driven with file:// URLs — same code path as HTTP minus the
+socket)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.pipeline.extract import normalize_ws_py
+from data_integration_system_spark.sources.backfill import read_backfill
+
+
+@pytest.fixture(scope="module")
+def site_store(tmp_path_factory):
+    """A miniature filesystem store in the reference's layout: text blobs
+    + pages_index.json (filesystem_store.py:201-211)."""
+    root = tmp_path_factory.mktemp("site_store")
+    texts = root / "pages" / "text"
+    texts.mkdir(parents=True)
+    records = []
+    for i, (pid, body) in enumerate(
+        [("p1", "hello world"), ("p2", "second page"), ("p3", "hello world")]
+    ):
+        p = texts / f"{pid}.txt"
+        p.write_text(body)
+        records.append(
+            {
+                "page_id": pid,
+                "url": f"https://ex.com/{pid}",
+                "domain": "ex.com",
+                "depth": i,
+                "text_path": str(p),
+            }
+        )
+    idx = root / "pages_index.json"
+    idx.write_text(json.dumps(records))
+    return str(idx), str(texts)
+
+
+def test_backfill_joins_index_and_text(spark, site_store):
+    idx, tdir = site_store
+    docs = read_backfill(spark, idx, tdir, dedup_by_content=False)
+    got = {r.page_id: (r.text, r.text_len) for r in docs.collect()}
+    assert got == {
+        "p1": ("hello world", 11),
+        "p2": ("second page", 11),
+        "p3": ("hello world", 11),
+    }
+    h = docs.filter(F.col("page_id") == "p1").first().content_hash
+    assert h == hashlib.sha256(normalize_ws_py("hello world").encode()).hexdigest()
+
+
+def test_backfill_dedups_by_content(spark, site_store):
+    idx, tdir = site_store
+    docs = read_backfill(spark, idx, tdir)  # D6: first writer (min page_id) wins
+    assert {r.page_id for r in docs.collect()} == {"p1", "p2"}
+
+
+@pytest.fixture(scope="module")
+def file_urls(tmp_path_factory):
+    d = tmp_path_factory.mktemp("blobs")
+    (d / "a.html").write_text("<html>alpha</html>")
+    (d / "b.html").write_text("<html>beta</html>")
+    return [f"file://{d}/a.html", f"file://{d}/b.html"]
+
+
+def test_http_datasource_fetches_and_reports_errors(spark, file_urls):
+    from data_integration_system_spark.sources.http_source import HttpDataSource
+
+    spark.dataSource.register(HttpDataSource)
+    urls = file_urls + ["file:///nonexistent/x.html"]
+    df = (
+        spark.read.format("http_fetch")
+        .option("urls", ",".join(urls))
+        .load()
+    )
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == 3
+    assert bytes(rows[file_urls[0]].content) == b"<html>alpha</html>"
+    assert rows[file_urls[0]].error == ""
+    # errors-as-data (http_fetcher.py:55-56): failed fetch is a row
+    bad = rows["file:///nonexistent/x.html"]
+    assert bad.content is None and bad.error == "fetch_failed"
