@@ -450,21 +450,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", "source", _tokens(F.col("text")).alias("toks")
     ).localCheckpoint()
+    # Pairwise set math runs on 64-bit shingle HASHES, not strings:
+    # array_intersect over longs is far cheaper than over ~20-char
+    # strings, and |union| = na + nb - |inter| needs no second set op.
+    # (Hash collisions would perturb jaccard with p ≈ n²/2⁶⁴ per pair —
+    # negligible against the oracle.)
     sh = toks.select(
         "doc_id", "lang", "source",
-        F.array_distinct(_shingles(F.col("toks"))).alias("sh"),
+        F.transform(
+            F.array_distinct(_shingles(F.col("toks"))), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     ).localCheckpoint()
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sized = sh.withColumn("n", F.size("sh"))
+    a = sized.alias("a")
+    b = sized.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    uni = F.col("a.n") + F.col("b.n") - inter
     jac = inter / uni
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: J <= min(na,nb)/max(na,nb), so pairs whose
+            # sizes differ by >2x can't reach 0.5 — drops them BEFORE the
+            # intersect runs (plan: extra cheap conjunct in the join)
+            & (F.least(F.col("a.n"), F.col("b.n"))
+               >= 0.5 * F.greatest(F.col("a.n"), F.col("b.n"))),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -474,4 +487,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_j") >= 0.5)
         .drop("_j")
+    )
+
+
+@query("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star dedup-cluster assignment: connected components over the
+    near-duplicate pair graph (MinHash candidates verified at jaccard >=
+    0.2), labels = min doc_id reachable.  The canonical "pick one
+    representative per duplicate cluster" step after pair detection.
+
+    Iterative min-label propagation as a driver loop (the same
+    generation-batched shape as the BFS crawler, pipeline/crawl.py):
+    each round joins labels to edges, takes min over neighbors, stops at
+    fixpoint.  Rounds needed = graph diameter (tiny for dup clusters);
+    each round is ONE shuffle on doc_id.  localCheckpoint per round cuts
+    the lineage exactly like the crawl loop does.  Rows-only (iterative,
+    not single-statement SQL)."""
+    pairs = dedup_minhash_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; dup clusters are near-cliques
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .select(
+            F.col("label").alias("cluster_rep"), "cluster_size", "members"
+        )
+        .orderBy("cluster_rep")
     )

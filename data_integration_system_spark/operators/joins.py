@@ -268,3 +268,42 @@ def asof_latest_event_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lp.event_id").alias("prior_event_id"),
         F.col("lp.ts").alias("prior_ts"),
     )
+
+
+@query(
+    "partsupp_profit",
+    oracle="""
+    SELECT n_name, p_brand,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size >= 25
+    GROUP BY n_name, p_brand
+    """,
+)
+def partsupp_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-flavored coverage of the remaining dimension tables
+    (part, supplier): revenue per supplier-nation × part-brand for large
+    parts. Same star discipline as Q21 — the lineitem fact streams
+    through three broadcast hash joins (part/supplier/nation all small),
+    one agg shuffle; the p_size filter pushes into the part scan, which
+    shrinks the broadcast, not the fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(rev.cast("decimal(18,4)")), 2).cast("double").alias("revenue"),
+        )
+    )

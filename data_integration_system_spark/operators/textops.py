@@ -120,22 +120,47 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_lang_id", oracle=None)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+    "zh": ("zh0", "zh1", "zh2"),  # synthetic corpus has no CJK markers
+}
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lg: "len(list_filter(toks, t -> t IN ('" + "','".join(ms) + "')))"
+        for lg, ms in _LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {score[lg]} = {best} THEN '{lg}'"
+        for lg in _LANG_MARKERS  # first matching lang wins ties, same as Spark fold
+    ) + " ELSE 'und' END"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           {pred} AS predicted_lang,
+           CAST({best} AS BIGINT) AS marker_hits
+    FROM t
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star language-ID heuristic: score each candidate language by
     its marker-token hit count over the document's tokens; argmax with a
-    deterministic tie-break (language order). Rows-only (the heuristic is
-    ours, not SQL-canonical).
+    deterministic tie-break (language declaration order) — exact-oracle
+    since the whole heuristic is pure set arithmetic both engines share.
 
     Pure array expressions — at 100 TB this is a single codegen'd pass
     per document, no shuffle, no Python."""
-    markers = {
-        "en": ("the", "and", "of"),
-        "de": ("der", "und", "die"),
-        "fr": ("le", "et", "la"),
-        "es": ("el", "y", "de"),
-        "zh": ("zh0", "zh1", "zh2"),  # synthetic corpus has no CJK markers
-    }
+    markers = _LANG_MARKERS
     docs = table(spark, sf_dir, "documents")
     toks = tokens_of("text")
 
@@ -195,4 +220,102 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", fp.alias("fingerprint"))
         .withColumn("n_fingerprints", F.size("fingerprint").cast("long"))
+    )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text normalization (the P3 prep generalized into a
+    reusable cleaning stage): lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical pre-dedup/pre-tokenize transform.
+    Pure codegen'd regexp chain; at 100 TB this rides inside the scan."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "sample_stratified",
+    oracle=r"""
+    SELECT lang, doc_id,
+           substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+    FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star deterministic sampling: keep docs whose sha256(doc_id)
+    first hex digit < '4' — an exact 4/16 Bernoulli sample that is
+    reproducible across engines, runs, and partitionings (unlike
+    df.sample, whose RNG is partition-dependent).  Stratification is
+    free: the hash is independent of lang, so each stratum is sampled
+    at the same rate.  At 100 TB: a scan-side filter, zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 1)
+    return (
+        docs.select("lang", "doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket").isin("0", "1", "2", "3"))
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [array_to_string(toks, ' ')] END) AS shingle
+      FROM t
+    ), bench AS (
+      SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0
+    ), corpus AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(DISTINCT c.shingle) AS n_shared
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id, b.bench_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star benchmark-contamination check: which corpus documents
+    share word-3-gram shingles with a held-out benchmark set (stand-in:
+    doc_id % 50 == 0), and how many.
+
+    Implementation is the inverted-index join: explode shingles on both
+    sides, equi-join on the shingle, count distinct shared shingles per
+    (corpus_doc, bench_doc).  At 100 TB the bench side is small ->
+    broadcast; the corpus side streams through one exploded scan, so the
+    cost is O(corpus shingles), not O(pairs)."""
+    from data_integration_system_spark.operators.dedup import shingle_sets
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
     )

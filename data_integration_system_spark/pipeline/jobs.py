@@ -1,0 +1,74 @@
+"""Job orchestration: the reference's submit→claim→run surface.
+
+A user of the reference drives it with a job dict POSTed to the API
+(api/main.py:44-78), serialized to `config jsonb`, then deserialized by
+the worker with dataclass-field filtering (worker_daemon.py:10-12,35-40
+— the schema-on-read pattern) and handed to `Crawler(job).run()`.
+
+`run_job` is that entrypoint: same field-filtered config unpack, same
+derived root_domain (P10 unified onto P1's lowercase semantics,
+SURVEY §2A), then the BFS pipeline + store write.  The job-status
+lifecycle (PENDING→RUNNING→DONE/FAILED, schema.sql:56-61) becomes a
+returned report instead of Postgres row updates — errors are data here
+too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+from data_integration_system_spark.pipeline.crawl import CrawlConfig, crawl
+from data_integration_system_spark.pipeline.fetch import FetchFn, default_http_fetch
+from data_integration_system_spark.pipeline.writer import write_pages
+
+_CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
+
+#: reference job-option name -> our CrawlConfig field
+#: (CrawlJob fields, models.py:5-34)
+_ALIASES = {
+    "max_depth_root": "max_depth",
+    "exclusive_depth": "max_depth",
+    "download_only_same_domain": "same_domain_only",
+    "allowed_file_extensions": "allowed_file_exts",
+}
+
+
+def config_from_job(job: dict[str, Any]) -> CrawlConfig:
+    """Schema-on-read unpack (worker_daemon.py:10-12,35-40): keep only
+    keys that are CrawlConfig fields (after alias mapping), ignore the
+    rest — unknown options never crash a job."""
+    cfg: dict[str, Any] = {}
+    for k, v in job.items():
+        k = _ALIASES.get(k, k)
+        if k in _CFG_FIELDS and v is not None:
+            cfg[k] = tuple(v) if k == "allowed_file_exts" else v
+    if "root_domain" not in cfg:
+        start = job.get("start_urls", [""])[0]
+        # P1 semantics (utils.py:6-8), unifying api/main.py:40-41's
+        # non-lowercased variant (SURVEY §2A P10)
+        host = urlparse(start).netloc.lower()
+        cfg["root_domain"] = host.removeprefix("www.")
+    return CrawlConfig(**cfg)
+
+
+def run_job(
+    spark: SparkSession,
+    job: dict[str, Any],
+    output_path: str,
+    fetch_fn: FetchFn = default_http_fetch,
+) -> dict[str, Any]:
+    """Execute one crawl job end-to-end: unpack config, run the BFS,
+    write the pages table, return the DONE/FAILED report (the worker's
+    status write, worker_daemon.py:54-58, as a value)."""
+    try:
+        cfg = config_from_job(job)
+        pages = crawl(spark, list(job.get("start_urls", [])), cfg, fetch_fn)
+        n = pages.count()
+        write_pages(pages.drop("links"), output_path)
+        return {"status": "DONE", "pages": n, "output": output_path, "error": ""}
+    except Exception as e:  # noqa: BLE001 — job errors are data (T-family)
+        return {"status": "FAILED", "pages": 0, "output": output_path, "error": str(e)}

@@ -223,3 +223,88 @@ def test_merge_keep_latest_and_idempotence(store_and_batch):
     # and the changed-rows feed of the second run is empty
     merged_h = merged.select("key", "content_hash")
     assert write_changed_only(incoming.select("key", "content_hash"), merged_h, "key").count() == 0
+
+
+def test_incremental_recrawl_golden(spark, tmp_path):
+    """T4 golden property, end-to-end: crawl -> write -> re-crawl the
+    UNCHANGED site -> classify against the store => every page SKIPPED,
+    zero rows proceed to the writer (the reference's skip-same-hash
+    contract, filesystem_store.py:112-114, as a full-pipeline test)."""
+    from data_integration_system_spark.pipeline.writer import (
+        classify_upsert,
+        write_pages,
+    )
+
+    cfg = CrawlConfig(root_domain="ex.com", max_depth=5)
+    first = crawl(spark, ["https://ex.com/"], cfg, fake_fetch).drop("links")
+    store_path = str(tmp_path / "pages_store")
+    write_pages(first, store_path)
+    store = spark.read.parquet(store_path)
+    assert store.count() == 4
+
+    second = crawl(spark, ["https://ex.com/"], cfg, fake_fetch).drop("links")
+    statuses = {
+        r[STATUS_COL]
+        for r in classify_upsert(second, store, "page_id").collect()
+    }
+    assert statuses == {"SKIPPED"}
+
+    # now mutate one page and re-crawl: exactly that page is UPSERTED
+    site2 = dict(SITE)
+    site2["https://ex.com/c"] = '<a href="/">home</a>Leaf C CHANGED'
+    third = crawl(spark, ["https://ex.com/"], cfg, make_fake_fetch(site2)).drop("links")
+    by_status = {
+        r.url: r[STATUS_COL]
+        for r in classify_upsert(third, store, "page_id").collect()
+    }
+    assert by_status["https://ex.com/c"] == "UPSERTED"
+    assert sum(1 for v in by_status.values() if v == "SKIPPED") == 3
+
+
+# ---------------------------------------------------------------------------
+# jobs.py — the reference's job-dict entrypoint
+# ---------------------------------------------------------------------------
+
+
+def test_config_from_job_field_filtering():
+    from data_integration_system_spark.pipeline.jobs import config_from_job
+
+    job = {
+        "start_urls": ["https://WWW.Ex.com/start"],
+        "max_depth_root": 3,                      # reference name -> max_depth
+        "download_only_same_domain": True,        # -> same_domain_only
+        "allowed_file_extensions": [".pdf"],      # -> allowed_file_exts tuple
+        "unknown_future_option": 42,              # ignored, never crashes
+        "agent_id": "a1",                         # identity field: ignored
+    }
+    cfg = config_from_job(job)
+    assert cfg.root_domain == "ex.com"  # P1: lowercase + strip www.
+    assert cfg.max_depth == 3
+    assert cfg.same_domain_only is True
+    assert cfg.allowed_file_exts == (".pdf",)
+
+
+def test_run_job_end_to_end(spark, tmp_path):
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    out = str(tmp_path / "job_out")
+    report = run_job(
+        spark,
+        {"start_urls": ["https://ex.com/"], "max_depth_root": 5},
+        out,
+        fetch_fn=fake_fetch,
+    )
+    assert report["status"] == "DONE" and report["pages"] == 4
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_run_job_failure_is_data(spark, tmp_path):
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    report = run_job(spark, {"start_urls": []}, str(tmp_path / "x"), fetch_fn=fake_fetch)
+    # empty seeds -> empty crawl is fine (DONE, 0 pages); a genuinely bad
+    # config must come back FAILED, not raise
+    assert report["status"] in ("DONE", "FAILED")
+    bad = run_job(spark, {"start_urls": ["https://ex.com/"], "max_depth_root": "not_an_int"},
+                  str(tmp_path / "y"), fetch_fn=fake_fetch)
+    assert bad["status"] == "FAILED" and bad["error"]
