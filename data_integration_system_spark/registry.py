@@ -49,6 +49,7 @@ def _load_all_modules() -> None:
     """Import every operator module so registration side-effects run."""
     from data_integration_system_spark.operators import (  # noqa: F401
         dedup,
+        groupops,
         joins,
         multimodal,
         relational,

@@ -117,3 +117,37 @@ def pending_job_picker(jobs_stream: DataFrame) -> DataFrame:
     caller's `trigger(processingTime="2 seconds")`, and the SKIP LOCKED
     claim race disappears — the stream owns its input exactly once."""
     return jobs_stream.filter(F.col("status") == "PENDING")
+
+
+def running_user_totals(events: DataFrame):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total maintained ACROSS micro-batches —
+    the arbitrary-state surface (T2/T3's hand-rolled per-entity state,
+    crawler visited-sets and stale-job bookkeeping, done properly).
+
+    State = (n_events, total_value) per user_id; each batch folds its
+    rows into the state and emits the updated snapshot.  At scale state
+    lives in the state store (RocksDB in prod conf), partitioned by the
+    group key; eviction belongs to a timeout conf (NoTimeout here — the
+    test drives a bounded input)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd  # local import: runs on workers
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -29,11 +29,11 @@ def events_stream_dir(spark, tmp_path_factory):
     return d
 
 
-def _run_to_memory(spark, sdf, name: str):
+def _run_to_memory(spark, sdf, name: str, mode: str = "append"):
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if not sdf.isStreaming or True else "complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"/tmp/ckpt-{name}-{uuid.uuid4().hex}")
         .start()
@@ -111,3 +111,22 @@ def test_upsert_sink_effectively_once(spark, tmp_path):
     sink(batch, 0)  # redelivery
     got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
     assert got == {"k1": (1, "a"), "k2": (2, "b2"), "k3": (1, "c")}
+
+
+def test_running_user_totals_stateful(spark, events_stream_dir):
+    """applyInPandasWithState: final per-user snapshot must equal the
+    batch groupBy aggregate (state folded correctly across batches)."""
+    from data_integration_system_spark.streaming.jobs import running_user_totals
+
+    stream = _read_stream(spark, events_stream_dir)
+    got_df = _run_to_memory(spark, running_user_totals(stream), "user_totals", mode="update")
+    # update mode may emit one snapshot per batch; keep the last per user
+    last = {r.user_id: (r.n_events, r.total_value) for r in got_df.collect()}
+    batch = spark.read.parquet(events_stream_dir)
+    want = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert last and all(want[u][0] == v[0] for u, v in last.items())
