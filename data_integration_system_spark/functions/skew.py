@@ -1,0 +1,72 @@
+"""Skew-mitigation helpers: salting for hot keys (SURVEY §4.1 — the
+per-domain-semaphore problem's batch analog: real web data is domain- and
+content-skewed, so one hot key can stall a 1000-executor stage).
+
+AQE's skew-join handling (enabled in session conf) covers sort-merge
+joins at runtime; these helpers cover the cases AQE doesn't: skewed
+AGGREGATION keys, and broadcast-infeasible skewed joins where you choose
+the salt fan-out explicitly.
+
+Both are semantics-preserving rewrites — tests assert equality with the
+unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: deterministic per-row salt that varies WITHIN a key (salting BY the
+#: key would defeat the point). spark_partition_id is stable for a given
+#: scan layout and free to compute.
+def _row_salt(n: int) -> Column:
+    return F.spark_partition_id() % n
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    n_salt: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates on
+    (key, salt) — the hot key's rows spread over n_salt reducers — and
+    phase 2 combines the partials on key alone.
+
+    `aggs` maps column -> one of count/sum/min/max (the re-aggregable
+    functions; avg must be decomposed into sum+count by the caller).
+    Output columns are named `{fn}_{col}` (count: `count`).
+    """
+    combine = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    phase1 = df.withColumn("_salt", _row_salt(n_salt)).groupBy(key, "_salt")
+    p1_cols = []
+    for col, fn in aggs.items():
+        name = "count" if fn == "count" else f"{fn}_{col}"
+        p1_cols.append(getattr(F, fn)(col if fn != "count" else "*").alias(name))
+    partial = phase1.agg(*p1_cols)
+    p2_cols = []
+    for col, fn in aggs.items():
+        name = "count" if fn == "count" else f"{fn}_{col}"
+        p2_cols.append(combine[fn](name).alias(name))
+    return partial.groupBy(key).agg(*p2_cols)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Equi-join robust to a skewed key on the big side: big rows get a
+    per-row salt, the small side is replicated n_salt times, and the join
+    key becomes (key, salt) — the hot key's probe rows land on n_salt
+    reducers instead of one.
+
+    Cost: small side shuffled ×n_salt (or broadcast ×1 if it fits —
+    then you don't need salting at all; this is for the mid-size dim
+    that's too big to broadcast but joins a skewed fact)."""
+    big_s = big.withColumn("_salt", _row_salt(n_salt))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
+    small_r = small.select("*", salts)
+    out = big_s.join(small_r, on=[key, "_salt"]).drop("_salt")
+    return out

@@ -52,6 +52,19 @@ def scan_read_schemas(df: DataFrame) -> dict[str, list[str]]:
     return out
 
 
+def partition_filters(df: DataFrame, table_path_fragment: str) -> list[str]:
+    """PartitionFilters entries for the scan whose location contains
+    `table_path_fragment` — nonempty means partition pruning happened."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for block in plan.split("\n\n"):
+        if "Scan parquet" in block and table_path_fragment in block:
+            m = re.search(r"PartitionFilters: \[(.*?)\]", block)
+            if m and m.group(1):
+                out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) nodes — broadcast exchanges excluded."""
     plan = formatted_plan(df)

@@ -91,6 +91,8 @@ def get_spark(app_name: str = "data_integration_system_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table tests (saveAsTable) must not write into the repo
+        .config("spark.sql.warehouse.dir", "/tmp/dis-spark-warehouse")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -1,0 +1,100 @@
+"""Property-based checks (SURVEY §5.2 item 4), hypothesis-driven.
+
+The defining property of the content hash (P3, utils.py:15-20) is
+whitespace-insensitivity: any mutation of whitespace runs must not change
+the hash, and any non-whitespace change must. Pure-Python twins run per
+example; one Spark test cross-checks a generated batch through the real
+column expressions."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_integration_system_spark.pipeline.extract import (
+    decode_bytes,
+    html_to_text_and_links,
+    normalize_ws_py,
+)
+
+_ws = st.sampled_from([" ", "  ", "\t", "\n", "\r\n", " \t "])
+_word = st.text(
+    alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+    min_size=1,
+    max_size=8,
+)
+_texts = st.lists(_word, min_size=0, max_size=12)
+
+
+def _hash(t: str) -> str:
+    return hashlib.sha256(normalize_ws_py(t).encode()).hexdigest()
+
+
+@given(words=_texts, seps1=st.data(), seps2=st.data())
+@settings(max_examples=200, deadline=None)
+def test_hash_invariant_under_whitespace_mutation(words, seps1, seps2):
+    """Same words, different whitespace runs -> same hash (P3's defining
+    property); CRLF, tabs, doubled spaces all collapse."""
+    a = "".join(w + seps1.draw(_ws) for w in words)
+    b = "".join(w + seps2.draw(_ws) for w in words)
+    assert _hash(a) == _hash(b)
+
+
+@given(words=st.lists(_word, min_size=1, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_hash_changes_on_content_change(words):
+    base = " ".join(words)
+    mutated = " ".join(words) + "x"
+    assert _hash(base) != _hash(mutated)
+
+
+@given(t=st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(t):
+    once = normalize_ws_py(t)
+    assert normalize_ws_py(once) == once
+
+
+@given(t=st.text(max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_decode_total(t):
+    """decode_bytes never raises on arbitrary utf-8 bytes and round-trips
+    clean text."""
+    data = t.encode("utf-8")
+    out = decode_bytes(data)
+    if not any(m in t for m in ("ý", "þ", "ð")):  # mojibake markers re-decode
+        assert out == t
+
+
+@given(t=st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_html_parser_total(t):
+    """The HTML extractor is total: arbitrary input never raises, always
+    returns (str, list) (errors-as-data, link_extractor contract)."""
+    text, links = html_to_text_and_links(t, base_url="https://ex.com/")
+    assert isinstance(text, str) and isinstance(links, list)
+
+
+def test_spark_hash_matches_python_on_generated_batch(spark):
+    """One Spark round-trip over a hypothesis-shaped corpus: the column
+    expression and the Python twin agree on every example."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.functions.hashing import content_hash
+
+    corpus = [
+        "a  b\tc",
+        "\r\nleading",
+        "trailing\n\n",
+        "tab\there",
+        "çğş  ü",
+        "",
+        " ",
+        "x " * 50,
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "t string")
+    got = [r.h for r in df.select(content_hash(F.col("t")).alias("h")).collect()]
+    want = [_hash(t) for t in corpus]
+    assert got == want
