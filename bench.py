@@ -68,25 +68,28 @@ def main() -> None:
     queries["multiway_star_join"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_suite = time.perf_counter()
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # one broken query must not kill the round's JSON
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
     total = round(time.perf_counter() - t_suite, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -116,3 +116,32 @@ def test_union_of_partition_equals_input(spark):
     hi = df.filter(F.col("v") >= 50)
     assert lo.unionByName(hi).count() == 100
     assert lo.unionByName(hi).exceptAll(df).count() == 0
+
+
+def test_spark_sql_surface_matches_dataframe(spark):
+    """The engine's tables register as temp views (catalog.load_all), so
+    the whole inventory is reachable from spark.sql too — flagship
+    rewritten as SQL text must equal the DataFrame plan's result."""
+    from data_integration_system_spark.catalog import load_all
+    from data_integration_system_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    load_all(spark, sf)
+    sql_df = spark.sql("""
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+    df = get_queries()["multiway_star_join"](spark, sf)
+    assert [tuple(r) for r in sql_df.collect()] == [tuple(r) for r in df.collect()]
