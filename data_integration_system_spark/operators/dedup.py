@@ -365,48 +365,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cosine threshold for "near-duplicate" embeddings. 0.3 suits the
+#: synthetic corpus (max pairwise cosine ≈ 0.44 — real dup corpora use
+#: 0.8+; the operator is threshold-parametric, the plan identical).
+_EMB_SIM_MIN = 0.3
+_LSH_TABLES = 6   # L independent hash tables…
+_LSH_BITS = 6     # …of k sign-bits each: candidate iff ANY table matches.
+                  # Recall ≈ 1-(1-(1-θ/π)^k)^L — multi-table is what makes
+                  # sign-bit LSH usable (one exact-match 8-bit bucket ≈ 2%)
+
+
 @query("dedup_embedding_near", oracle=None)
 def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star embedding near-dup: pairs with cosine >= 0.8, blocked by
-    random-hyperplane sign-bit LSH (8 bits via xxhash64-seeded pseudo
-    planes) so the pair space stays near-linear; exact cosine verifies.
+    """North-star embedding near-dup: pairs with cosine >= threshold,
+    blocked by multi-table random-hyperplane LSH (L=6 tables × k=6 sign
+    bits, planes derived from xxhash64 so the whole thing is
+    deterministic and JVM-side); exact cosine verifies candidates.
 
-    Rows-only (float thresholding is not oracle-stable)."""
+    Scale: the self-join key is (table_id, bucket) — candidates are
+    near-linear in corpus size; L and k trade recall vs candidate count
+    via the standard s-curve. Rows-only (float thresholding is not
+    oracle-stable)."""
+    import hashlib
+
     from data_integration_system_spark.functions.vectors import cosine
 
     emb = table(spark, sf_dir, "embeddings")
-    # pseudo-random hyperplanes: plane p component j = hash(p, j) mapped to ±1
-    nbits = 8
-    bit = lambda p: F.when(  # noqa: E731
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), F.size("embedding") - 1),
-                lambda x, j: x.cast("double")
-                * F.when(F.xxhash64(F.concat_ws(":", F.lit(p), j.cast("string"))).bitwiseAND(1) == 1, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        >= 0,
-        1,
-    ).otherwise(0)
-    sig = F.concat_ws("", *[bit(p).cast("string") for p in range(nbits)])
-    keyed = emb.select(F.col("vec_id"), F.col("embedding"), sig.alias("bucket")).localCheckpoint()
+    dim = len(emb.select("embedding").first()[0])
+
+    # Deterministic ±1 hyperplanes, built driver-side as ONE literal
+    # matrix: a per-bit expression tree (36 nested HOF aggregates) takes
+    # ~20-30 s just to ANALYZE/codegen — the literal keeps the tree one
+    # node wide and the row work a single transform pass.
+    def sign(t: int, p: int, j: int) -> float:
+        h = hashlib.sha256(f"{t}:{p}:{j}".encode()).digest()[0]
+        return 1.0 if h & 1 else -1.0
+
+    planes = F.lit(
+        [
+            [sign(t, p, j) for j in range(dim)]
+            for t in range(_LSH_TABLES)
+            for p in range(_LSH_BITS)
+        ]
+    )
+    proj_bits = F.transform(
+        planes,
+        lambda row: F.when(
+            F.aggregate(
+                F.zip_with(row, F.col("embedding"), lambda a, x: a * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            "1",
+        ).otherwise("0"),
+    )
+    bits_df = emb.select("vec_id", "embedding", proj_bits.alias("bits")).localCheckpoint()
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_TABLES - 1)),
+        lambda t: F.struct(
+            t.alias("tbl"),
+            F.array_join(
+                F.slice(F.col("bits"), t * _LSH_BITS + 1, _LSH_BITS), ""
+            ).alias("bucket"),
+        ),
+    )
+    keyed = (
+        bits_df.select("vec_id", F.explode(tables).alias("h"))
+        .select("vec_id", F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket"))
+        .localCheckpoint()
+    )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
+    # distinct the candidate PAIRS before the exact-cosine verify: a pair
+    # colliding in several tables would otherwise pay the 64-dim cosine
+    # once per table (up to L×) instead of once.
+    pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.8)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = bits_df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = bits_df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cosine("e_a", "e_b"), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _EMB_SIM_MIN)
         .orderBy("vec_a", "vec_b")
     )
 

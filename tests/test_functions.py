@@ -145,3 +145,19 @@ def test_spark_sql_surface_matches_dataframe(spark):
     """)
     df = get_queries()["multiway_star_join"](spark, sf)
     assert [tuple(r) for r in sql_df.collect()] == [tuple(r) for r in df.collect()]
+
+
+def test_ivf_recall_against_exact(spark):
+    """Quality guard for the IVF approximate path: recall@5 vs the exact
+    brute-force top-k. The synthetic embeddings are weakly clustered
+    (max pairwise cosine ~0.44), so nprobe=3 of 10 centroids recovering
+    half the true neighbors is the honest operating point — a drop below
+    0.45 means the centroid assignment or probe selection regressed."""
+    from data_integration_system_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = get_queries()
+    exact = {(r.q_id, r.c_id) for r in qs["similarity_topk"](spark, sf).collect()}
+    ivf = {(r.q_id, r.c_id) for r in qs["similarity_ivf_topk"](spark, sf).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.45, f"IVF recall@5 regressed: {recall:.2f}"

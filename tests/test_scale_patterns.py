@@ -28,8 +28,14 @@ def test_bucketed_join_eliminates_shuffle(spark):
     broadcast disabled: the plan must be a SortMergeJoin with NO
     Exchange — the shuffle happened once at write time, every later
     join is free. This is the 100 TB answer for recurring fact joins."""
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    # the warehouse dir outlives the in-memory catalog: a fresh session's
+    # DROP is a no-op on a table it never knew, leaving a stale location
+    for t in ("li_b", "o_b"):
+        shutil.rmtree(f"/tmp/dis-spark-warehouse/{t}", ignore_errors=True)
     table(spark, SF, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
         "l_orderkey"
     ).mode("overwrite").saveAsTable("li_b")
