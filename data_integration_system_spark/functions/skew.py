@@ -16,11 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: deterministic per-row salt that varies WITHIN a key (salting BY the
-#: key would defeat the point). spark_partition_id is stable for a given
-#: scan layout and free to compute.
+#: per-row salt that varies WITHIN a key (salting BY the key would
+#: defeat the point).  NOT spark_partition_id: that is constant per
+#: input partition, so when the hot key is co-located (key-partitioned
+#: layout — exactly the case that needs salting) every hot row would get
+#: the same salt.  monotonically_increasing_id varies per row.
 def _row_salt(n: int) -> Column:
-    return F.spark_partition_id() % n
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n))
 
 
 def salted_agg(

@@ -19,10 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: crawler_core.py:15-24 — 23 static asset extensions the crawler skips.
+#: crawler_core.py:15-20 — the 24 static asset extensions the crawler
+#: skips (STATIC_EXTENSIONS), ported verbatim: archives (.rar/.7z/.tar)
+#: included — dropping them would fetch multi-GB dumps the reference
+#: never touches.
 BLOCKED_EXTS = (
-    ".js .mjs .css .png .jpg .jpeg .gif .svg .ico .webp .woff .woff2 "
-    ".ttf .eot .otf .mp4 .webm .mp3 .wav .avi .mov .zip .gz"
+    ".js .css .png .jpg .jpeg .gif .webp .ico .svg .woff .woff2 "
+    ".ttf .eot .otf .mp4 .webm .avi .mov .mp3 .wav .zip .rar .7z .gz .tar"
 ).split()
 
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"

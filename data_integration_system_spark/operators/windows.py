@@ -128,7 +128,7 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_windows",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
@@ -136,7 +136,7 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessioned AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM marked
     )

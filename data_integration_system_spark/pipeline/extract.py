@@ -47,8 +47,10 @@ from pyspark.sql.types import (
 # ---------------------------------------------------------------------------
 
 #: mojibake markers the reference uses to reject a utf-8 decode of
-#: Turkish text mis-encoded as single-byte (crawler_core.py:44,49).
-_MOJIBAKE = ("ý", "þ", "ð")
+#: Turkish text mis-encoded as single-byte (crawler_core.py:44: exactly
+#: 'ý' and 'þ' — adding more would misroute legitimate UTF-8 that
+#: contains them, e.g. Icelandic 'ð', into the windows-1254 fallback).
+_MOJIBAKE = ("ý", "þ")
 
 
 def decode_bytes(data: bytes, header_charset: str | None = None) -> str:
@@ -98,7 +100,10 @@ class _TextAndLinks(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
-        elif tag == "a":
+        elif tag == "a" and self._skip_depth == 0:
+            # the reference decomposes skip-subtrees BEFORE selecting
+            # a[href] (link_extractor.py:9-21), so links inside
+            # noscript/script never enter the frontier
             for k, v in attrs:
                 if k == "href" and v:
                     self.hrefs.append(v)

@@ -89,7 +89,11 @@ def fetch_frontier(
         )
 
         def one(url: str) -> tuple[bytes | None, str]:
-            dom = url.split("/")[2] if "://" in url else url
+            # normalize like domain_of (lowercase, strip www.) — keying
+            # on the raw host would give WWW.Ex.com and ex.com separate
+            # semaphores, doubling the per-site budget
+            dom = url.split("/")[2].lower() if "://" in url else url.lower()
+            dom = dom.removeprefix("www.")
             with sems[dom]:
                 return fetch_fn(url)
 

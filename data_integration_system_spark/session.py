@@ -87,13 +87,19 @@ def get_spark(app_name: str = "data_integration_system_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # bucketed-table tests (saveAsTable) must not write into the repo
         .config("spark.sql.warehouse.dir", "/tmp/dis-spark-warehouse")
     )
+    # Only default the master when none was provided externally —
+    # builder.master() would OVERRIDE spark-submit's --master, silently
+    # turning a cluster job into a single-host local[*] run.
+    from pyspark import SparkConf
+
+    if SparkConf().get("spark.master", None) is None:
+        builder = builder.master(f"local[{cpus}]")
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())

@@ -308,3 +308,36 @@ def test_run_job_failure_is_data(spark, tmp_path):
     bad = run_job(spark, {"start_urls": ["https://ex.com/"], "max_depth_root": "not_an_int"},
                   str(tmp_path / "y"), fetch_fn=fake_fetch)
     assert bad["status"] == "FAILED" and bad["error"]
+
+
+# ---------------------------------------------------------------------------
+# reference-fidelity regressions (round-1 review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_eth_is_not_mojibake():
+    """'ð' is legitimate UTF-8 (Icelandic/IPA) — only 'ý'/'þ' are the
+    reference's mojibake markers (crawler_core.py:44); routing 'ð' into
+    the windows-1254 fallback would corrupt the text and its hash."""
+    # NB: 'þ'/'ý' remain markers (so e.g. Icelandic 'það' still reroutes,
+    # exactly like the reference) — only 'ð' must pass through clean
+    assert decode_bytes("góður dagur".encode()) == "góður dagur"
+
+
+def test_links_inside_noscript_are_dropped():
+    """The reference removes script/style/noscript subtrees BEFORE
+    extracting links (link_extractor.py:9-21) — tracking links in
+    noscript must not enter the frontier."""
+    html = '<body><noscript><a href="/tracking">t</a></noscript><a href="/real">r</a></body>'
+    _, links = html_to_text_and_links(html, base_url="https://ex.com/")
+    assert links == ["https://ex.com/real"]
+
+
+def test_archive_extensions_blocked():
+    """.rar/.7z/.tar are on the reference's STATIC_EXTENSIONS blocklist
+    (crawler_core.py:15-20) — fetching a multi-GB archive the reference
+    skips is a scale hazard, not just a parity bug."""
+    from data_integration_system_spark.functions.urls import BLOCKED_EXTS
+
+    for ext in (".rar", ".7z", ".tar", ".gz", ".zip"):
+        assert ext in BLOCKED_EXTS

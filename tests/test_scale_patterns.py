@@ -116,3 +116,18 @@ def test_salted_join_matches_plain(spark, skewed):
     g = got.groupBy("k").count().collect()
     p = plain.groupBy("k").count().collect()
     assert {(r.k, r["count"]) for r in g} == {(r.k, r["count"]) for r in p}
+
+
+def test_salt_varies_within_colocated_hot_key(spark, tmp_path):
+    """The salt must vary WITHIN a key even when the hot key is
+    co-located (key-partitioned input — exactly the layout that needs
+    salting; a per-partition salt is constant there and mitigates
+    nothing)."""
+    d = str(tmp_path / "hot_by_key")
+    spark.range(0, 5000).select(F.lit("HOT").alias("k"), F.col("id").alias("v")) \
+        .repartition(1).write.partitionBy("k").parquet(d)
+    df = spark.read.parquet(d)
+    from data_integration_system_spark.functions.skew import _row_salt
+
+    n_salts = df.select(_row_salt(8).alias("s")).select("s").distinct().count()
+    assert n_salts > 1
