@@ -594,14 +594,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # Exploded (cluster_rep, doc_id) membership rows — scalar columns only,
+    # so downstream tooling can sort/hash/join the output without special
+    # array handling, and it's the natural shape for the "join back to
+    # documents and keep one rep per cluster" consumer.
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
     return (
-        labels.groupBy("label")
-        .agg(
-            F.count("*").cast("long").alias("cluster_size"),
-            F.array_sort(F.collect_list("doc_id")).alias("members"),
-        )
+        labels.join(sizes, "label")
         .select(
-            F.col("label").alias("cluster_rep"), "cluster_size", "members"
+            F.col("label").alias("cluster_rep"),
+            F.col("doc_id"),
+            "cluster_size",
         )
-        .orderBy("cluster_rep")
+        .orderBy("cluster_rep", "doc_id")
     )

@@ -217,9 +217,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Exploded (doc_id, fp_hash) rows — the join shape fingerprint matching
+    # actually uses (self-join on fp_hash to find overlapping docs), and
+    # scalar columns only so any canonicalizer can sort/hash the output.
     return (
-        d.select("doc_id", fp.alias("fingerprint"))
-        .withColumn("n_fingerprints", F.size("fingerprint").cast("long"))
+        d.select("doc_id", F.explode(fp).alias("fp_hash"))
+        .orderBy("doc_id", "fp_hash")
     )
 
 

@@ -26,8 +26,14 @@ def test_oracle_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_executes(spark, sf_dir, name):
+    """Rows-only queries must survive the driver's canonicalizer, not just
+    count(): the driver does `toPandas().sort_values(by=<all columns>)`,
+    which dies with `unhashable type: numpy.ndarray` on array-typed
+    columns (the exact round-1 failure of dedup_clusters/doc_fingerprint).
+    Reproduce that canonicalization here so array outputs can't ship."""
     spec = QUERIES[name]
     df = spec.fn(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+    pdf = df.toPandas()
+    assert len(pdf.columns) > 0
+    # driver-style canonicalization: lexicographic sort over every column
+    pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
