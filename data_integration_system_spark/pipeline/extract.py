@@ -152,34 +152,95 @@ def _extract_txt(data: bytes) -> str:
     return data.decode("utf-8", errors="ignore")
 
 
-def _gated(modname: str, fn_name: str) -> Extractor:
-    """Import-gated extractor: use the real library when present,
-    otherwise a clearly-marked deterministic stub so the pipeline's
-    plumbing stays testable in this container (the reference's real
-    implementations are at file_ingestion.py:19-55)."""
+def _extract_pdf(data: bytes) -> str:
+    """S4 — PDF page-text join (file_ingestion.py:19-24).  The reference
+    opens a temp file; PyMuPDF accepts in-memory bytes directly, which is
+    the right shape for an executor (no local temp-file churn per blob)."""
+    import fitz
+
+    doc = fitz.open(stream=data, filetype="pdf")
+    try:
+        return "\n".join(page.get_text() for page in doc)
+    finally:
+        doc.close()
+
+
+def _extract_docx(data: bytes) -> str:
+    """S5 — DOCX paragraph join (file_ingestion.py:26-28)."""
+    import io
+
+    from docx import Document
+
+    doc = Document(io.BytesIO(data))
+    return "\n".join(p.text for p in doc.paragraphs)
+
+
+def _extract_pptx(data: bytes) -> str:
+    """S6 — PPTX slide/shape text join (file_ingestion.py:36-44): every
+    shape with a `text` attribute, stripped, empties dropped."""
+    import io
+
+    from pptx import Presentation
+
+    prs = Presentation(io.BytesIO(data))
+    out: list[str] = []
+    for slide in prs.slides:
+        for shape in slide.shapes:
+            if hasattr(shape, "text"):
+                t = (shape.text or "").strip()
+                if t:
+                    out.append(t)
+    return "\n".join(out)
+
+
+def _extract_xlsx(data: bytes) -> str:
+    """S7 — XLSX data_only row join (file_ingestion.py:46-54): computed
+    cell values, non-empty cells space-joined per row, rows newline-joined
+    across all worksheets."""
+    import io
+
+    from openpyxl import load_workbook
+
+    wb = load_workbook(io.BytesIO(data), data_only=True)
+    out: list[str] = []
+    for ws in wb.worksheets:
+        for row in ws.iter_rows(values_only=True):
+            vals = [str(c) for c in row if c is not None and str(c).strip()]
+            if vals:
+                out.append(" ".join(vals))
+    return "\n".join(out)
+
+
+def _gated(modname: str, fn_name: str, binding: Extractor) -> Extractor:
+    """Import-gated extractor: run the real binding when the library is
+    present, otherwise a clearly-marked deterministic stub so the
+    pipeline's plumbing stays testable in this container (reference
+    implementations at file_ingestion.py:19-55).  Binding exceptions
+    propagate to extract_document's errors-as-data channel."""
 
     def extract(data: bytes) -> str:
         try:
             __import__(modname)
         except ImportError:
             return f"[STUB:{fn_name}] {len(data)} bytes"
-        raise NotImplementedError(
-            f"{fn_name}: {modname} present but binding not implemented"
-        )
+        return binding(data)
 
     return extract
 
 
 #: ext → extractor, mirroring the dispatch table at file_ingestion.py:17-65.
+#: .ppt routes through python-pptx and .xls through openpyxl exactly as the
+#: reference does (file_ingestion.py:36,46) — both libraries reject the
+#: legacy container formats, which surfaces as error-as-data, same as there.
 EXTRACTORS: dict[str, Extractor] = {
     ".txt": _extract_txt,
-    ".pdf": _gated("fitz", "extract_pdf"),        # S4 PyMuPDF
-    ".docx": _gated("docx", "extract_docx"),      # S5 python-docx
+    ".pdf": _gated("fitz", "extract_pdf", _extract_pdf),        # S4 PyMuPDF
+    ".docx": _gated("docx", "extract_docx", _extract_docx),     # S5 python-docx
     ".doc": lambda b: "[legacy .doc not supported]",  # file_ingestion.py:33-34
-    ".pptx": _gated("pptx", "extract_pptx"),      # S6 python-pptx
-    ".ppt": _gated("pptx", "extract_ppt"),
-    ".xlsx": _gated("openpyxl", "extract_xlsx"),  # S7 openpyxl
-    ".xls": _gated("openpyxl", "extract_xls"),
+    ".pptx": _gated("pptx", "extract_pptx", _extract_pptx),     # S6 python-pptx
+    ".ppt": _gated("pptx", "extract_ppt", _extract_pptx),
+    ".xlsx": _gated("openpyxl", "extract_xlsx", _extract_xlsx),  # S7 openpyxl
+    ".xls": _gated("openpyxl", "extract_xls", _extract_xlsx),
 }
 
 

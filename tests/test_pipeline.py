@@ -81,6 +81,110 @@ def test_extract_document_dispatch_and_errors():
 
 
 # ---------------------------------------------------------------------------
+# S4-S7 real-binding tests: fake libraries monkeypatched into sys.modules,
+# asserting each binding reproduces the reference's join semantics
+# (file_ingestion.py:19-55) when the library IS present.
+# ---------------------------------------------------------------------------
+
+
+def _install_fake(monkeypatch, name: str, **attrs):
+    import sys
+    import types
+
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    monkeypatch.setitem(sys.modules, name, mod)
+    return mod
+
+
+class _Obj:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_extract_pdf_binding(monkeypatch):
+    """S4: page get_text() newline-join, doc closed (file_ingestion.py:19-24)."""
+    closed = []
+
+    class FakePdf:
+        def __init__(self, pages):
+            self._pages = pages
+
+        def __iter__(self):
+            return iter(self._pages)
+
+        def close(self):
+            closed.append(True)
+
+    def fake_open(stream=None, filetype=None):
+        assert filetype == "pdf" and stream == b"%PDF"
+        return FakePdf([_Obj(get_text=lambda: "page one"), _Obj(get_text=lambda: "page two")])
+
+    _install_fake(monkeypatch, "fitz", open=fake_open)
+    text, err = extract_document(b"%PDF", ".pdf")
+    assert (text, err) == ("page one\npage two", "")
+    assert closed == [True]
+
+
+def test_extract_docx_binding(monkeypatch):
+    """S5: paragraph text newline-join (file_ingestion.py:26-28),
+    empty paragraphs kept as empty lines exactly like the reference."""
+
+    def fake_document(f):
+        assert f.read(4) == b"PK\x03\x04"
+        return _Obj(paragraphs=[_Obj(text="para 1"), _Obj(text=""), _Obj(text="para 2")])
+
+    _install_fake(monkeypatch, "docx", Document=fake_document)
+    text, err = extract_document(b"PK\x03\x04", ".docx")
+    assert (text, err) == ("para 1\n\npara 2", "")
+
+
+def test_extract_pptx_binding(monkeypatch):
+    """S6: shapes with a text attr, stripped, empties dropped
+    (file_ingestion.py:36-44); .ppt routes through the same binding."""
+    slides = [
+        _Obj(shapes=[_Obj(text="  Title  "), _Obj(no_text_attr=1), _Obj(text="   ")]),
+        _Obj(shapes=[_Obj(text="Body")]),
+    ]
+
+    def fake_presentation(f):
+        return _Obj(slides=slides)
+
+    _install_fake(monkeypatch, "pptx", Presentation=fake_presentation)
+    assert extract_document(b"PK", ".pptx") == ("Title\nBody", "")
+    assert extract_document(b"PK", ".ppt") == ("Title\nBody", "")
+
+
+def test_extract_xlsx_binding(monkeypatch):
+    """S7: data_only computed values, non-empty cells space-joined per row,
+    empty rows dropped, all worksheets (file_ingestion.py:46-54)."""
+
+    def fake_load_workbook(f, data_only=False):
+        assert data_only is True
+        ws1 = _Obj(iter_rows=lambda values_only: iter([("a", None, 1), (None, "  ", None), ("b",)]))
+        ws2 = _Obj(iter_rows=lambda values_only: iter([(2.5, "x")]))
+        return _Obj(worksheets=[ws1, ws2])
+
+    _install_fake(monkeypatch, "openpyxl", load_workbook=fake_load_workbook)
+    assert extract_document(b"PK", ".xlsx") == ("a 1\nb\n2.5 x", "")
+
+
+def test_extract_binding_error_is_data(monkeypatch):
+    """A binding exception surfaces on the error channel, never raises
+    (file_ingestion.py:61-63) — and is a real error, not NotImplementedError."""
+
+    def bad_open(stream=None, filetype=None):
+        raise ValueError("corrupt xref table")
+
+    _install_fake(monkeypatch, "fitz", open=bad_open)
+    text, err = extract_document(b"%PDF", ".pdf")
+    assert text == ""
+    assert err == "ValueError: corrupt xref table"
+    assert "NotImplementedError" not in err
+
+
+# ---------------------------------------------------------------------------
 # BFS crawl over a synthetic site
 # ---------------------------------------------------------------------------
 
