@@ -89,9 +89,12 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     source bytes — so the Arrow round-trip, schema, and batch handling
     are genuinely correctness-checked, even though the codec is stubbed."""
     docs = table(spark, sf_dir, "documents")
+    # No repartition: decode runs at scan parallelism, blobs never shuffle.
+    # Decode width is the number of input splits — at 100 TB that's the
+    # file-split count (maxPartitionBytes), exactly the knob you'd tune.
     payloads = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
-    ).repartition(8, "doc_id")
+    )
     return payloads.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 

@@ -75,3 +75,12 @@ def test_broadcast_dim_join_no_fact_shuffle(spark):
 def test_keep_latest_single_shuffle(spark):
     df = get_queries()["dedup_keep_latest"](spark, SF)
     assert shuffle_count(df) == 1  # one hash partition on user_id
+
+
+def test_multimodal_decode_no_shuffle(spark):
+    # binary payloads must flow scan -> mapInPandas with NO Exchange:
+    # a repartition here caps decode parallelism and shuffles every blob
+    df = get_queries()["multimodal_decode_meta"](spark, SF)
+    assert shuffle_count(df) == 0
+    df2 = get_queries()["multimodal_resize_meta"](spark, SF)
+    assert shuffle_count(df2) == 0
