@@ -295,14 +295,15 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star SimHash: 64-bit signature by per-bit token voting,
-    candidate pairs via 16-bit chunk LSH (Hamming-distance blocking),
-    verified by exact Hamming distance <= 12.
+    candidate pairs via 8-bit chunk LSH (Hamming-distance blocking),
+    verified by exact Hamming distance <= 7.
 
     All signature math is JVM higher-order expressions over the token
-    array; the chunk join is the standard pigeonhole trick: distance<=12
-    over 4 chunks guarantees at least one identical chunk... for d<=3 —
-    wider distances trade recall, which is the documented LSH behavior.
-    """
+    array; the chunk join is the standard pigeonhole trick, and here the
+    accept threshold matches the blocking guarantee EXACTLY: 8 chunks of
+    8 bits mean any pair at distance <= 7 shares at least one identical
+    chunk, so recall within the accepted distance is 1.0 (no silent
+    blocking/verification mismatch)."""
     docs = table(spark, sf_dir, "documents")
     # hash each token ONCE; the 64 bit-lanes then read bits of the long
     # (inlining xxhash64 into the per-bit aggregate would hash every
@@ -322,17 +323,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     sigs = hashed.select("doc_id", bits.alias("bits")).localCheckpoint()
-    # chunk value = 16 bits folded to an int via aggregate over the slice
+    # chunk value = 8 bits folded to an int via aggregate over the slice
     chunked = sigs.select(
         "doc_id",
         "bits",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
+                F.sequence(F.lit(0), F.lit(7)),
                 lambda cch: F.struct(
                     cch.alias("chunk_id"),
                     F.aggregate(
-                        F.slice(F.col("bits"), cch * 16 + 1, 16),
+                        F.slice(F.col("bits"), cch * 8 + 1, 8),
                         F.lit(0),
                         lambda acc, x: acc * 2 + x,
                     ).alias("chunk_val"),
@@ -360,7 +361,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("long").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 12)
+        .filter(F.col("hamming") <= 7)
         .orderBy("doc_a", "doc_b")
     )
 

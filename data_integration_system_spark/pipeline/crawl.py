@@ -50,7 +50,11 @@ class CrawlConfig:
     single_page: bool = False      # models.py:15
     path_mode: bool = False        # models.py:16
     base_path: str = ""            # crawler_core.py:74-79
-    same_domain_only: bool = True  # F2, crawler_core.py:81-83
+    same_domain_only: bool = True  # F2 page scope, crawler_core.py:81-83
+    #: F8 FILE-download domain gate (crawler_core.py:107-109) — the
+    #: reference's `download_only_same_domain` relaxes ONLY this; page
+    #: crawl scope (_in_scope) is unconditionally same-domain there.
+    file_same_domain_only: bool = True  # models.py:17
     allowed_file_exts: tuple[str, ...] = (
         ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".txt",
     )  # models.py:26-32
@@ -157,6 +161,6 @@ def file_links_of(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
     when configured (F8)."""
     links = pages.select(F.explode("links").alias("url"), "depth")
     df = links.filter(ext_of(F.col("url")).isin(list(cfg.allowed_file_exts)))
-    if cfg.same_domain_only:
+    if cfg.file_same_domain_only:
         df = df.filter(domain_of(F.col("url")) == F.lit(cfg.root_domain))
     return df.dropDuplicates(["url"])  # D3

@@ -28,11 +28,14 @@ from data_integration_system_spark.pipeline.writer import write_pages
 _CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
 
 #: reference job-option name -> our CrawlConfig field
-#: (CrawlJob fields, models.py:5-34)
+#: (CrawlJob fields, models.py:5-34).  `download_only_same_domain` gates
+#: only FILE downloads (crawler_core.py:107-109) — page crawl scope is
+#: unconditionally same-domain in the reference (_in_scope, :81-87), so
+#: it must NOT map to the page-scope flag.  `exclusive_depth` is handled
+#: explicitly below (precedence, not dict order).
 _ALIASES = {
     "max_depth_root": "max_depth",
-    "exclusive_depth": "max_depth",
-    "download_only_same_domain": "same_domain_only",
+    "download_only_same_domain": "file_same_domain_only",
     "allowed_file_extensions": "allowed_file_exts",
 }
 
@@ -46,6 +49,10 @@ def config_from_job(job: dict[str, Any]) -> CrawlConfig:
         k = _ALIASES.get(k, k)
         if k in _CFG_FIELDS and v is not None:
             cfg[k] = tuple(v) if k == "allowed_file_exts" else v
+    # exclusive_depth overrides max_depth_root when set (crawler_core.py:
+    # 89-90: _depth_cap prefers it) — explicit precedence, never key order
+    if job.get("exclusive_depth") is not None:
+        cfg["max_depth"] = job["exclusive_depth"]
     if "root_domain" not in cfg:
         start = job.get("start_urls", [""])[0]
         # P1 semantics (utils.py:6-8), unifying api/main.py:40-41's

@@ -43,8 +43,10 @@ except ImportError:  # pragma: no cover — pyspark < 4
 
 
 def _domain(url: str) -> str:
+    # same normalization as fetch.py's politeness keying: www.ex.com and
+    # ex.com must share ONE partition/semaphore, not double the budget
     try:
-        return url.split("://", 1)[1].split("/", 1)[0].lower()
+        return url.split("://", 1)[1].split("/", 1)[0].lower().removeprefix("www.")
     except IndexError:
         return url
 

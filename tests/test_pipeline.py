@@ -376,7 +376,7 @@ def test_config_from_job_field_filtering():
     job = {
         "start_urls": ["https://WWW.Ex.com/start"],
         "max_depth_root": 3,                      # reference name -> max_depth
-        "download_only_same_domain": True,        # -> same_domain_only
+        "download_only_same_domain": False,       # -> file_same_domain_only ONLY
         "allowed_file_extensions": [".pdf"],      # -> allowed_file_exts tuple
         "unknown_future_option": 42,              # ignored, never crashes
         "agent_id": "a1",                         # identity field: ignored
@@ -384,8 +384,26 @@ def test_config_from_job_field_filtering():
     cfg = config_from_job(job)
     assert cfg.root_domain == "ex.com"  # P1: lowercase + strip www.
     assert cfg.max_depth == 3
+    # page crawl stays same-domain (reference _in_scope is unconditional);
+    # download_only_same_domain relaxes only the file-download gate
     assert cfg.same_domain_only is True
+    assert cfg.file_same_domain_only is False
     assert cfg.allowed_file_exts == (".pdf",)
+
+
+def test_config_from_job_exclusive_depth_precedence():
+    """crawler_core.py:89-90 — exclusive_depth wins over max_depth_root
+    regardless of dict key order (serialized jobs put it first)."""
+    from data_integration_system_spark.pipeline.jobs import config_from_job
+
+    cfg = config_from_job(
+        {"start_urls": ["https://ex.com/"], "exclusive_depth": 2, "max_depth_root": 10}
+    )
+    assert cfg.max_depth == 2
+    cfg = config_from_job(
+        {"start_urls": ["https://ex.com/"], "exclusive_depth": None, "max_depth_root": 4}
+    )
+    assert cfg.max_depth == 4
 
 
 def test_run_job_end_to_end(spark, tmp_path):
