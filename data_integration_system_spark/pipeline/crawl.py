@@ -79,18 +79,60 @@ def scope_filter(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return df.filter(F.col("depth") <= cap)
 
 
+PAGES_SCHEMA = (
+    "page_id string, url string, domain string, depth long, "
+    "text string, links array<string>, content_hash string, text_len long"
+)
+
+
+def _committed_generations(spark: SparkSession, checkpoint_dir: str) -> list[int]:
+    """Generations with a committed state marker, ascending.  Uses the
+    Hadoop FileSystem API via the JVM gateway so the same code lists
+    local paths, HDFS, or s3a:// — the driver-side listing is O(#gens),
+    never O(#urls)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/state")
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    gens = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("gen=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            gens.append(int(name.removeprefix("gen=")))
+    return sorted(gens)
+
+
 def crawl(
     spark: SparkSession,
     seeds: list[str],
     cfg: CrawlConfig,
     fetch_fn: FetchFn,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Run the BFS to completion; returns the pages table:
     (page_id, url, domain, depth, text, links, content_hash, text_len).
 
     Column semantics match PageRecord (models.py:43-57): page_id =
     sha1(url) (utils.py:11-12), content_hash = whitespace-normalized
-    sha256 (utils.py:15-20)."""
+    sha256 (utils.py:15-20).
+
+    Durable frontier (url_frontier, db/schema.sql:30-44, re-expressed
+    as generation-versioned parquet): with `checkpoint_dir`, each
+    generation g commits pages/gen=g, then frontier/gen=g+1,
+    visited/gen=g+1, and finally state/gen=g+1 — the state write is the
+    commit point (its _SUCCESS marker is the reference's
+    'queued'→'done' transition for the whole generation).  A killed job
+    rerun with `resume=True` restarts from the latest committed
+    generation; a partially-written generation is overwritten
+    idempotently (same semantics as the reference's retry of 'processing'
+    rows whose lock expired).  Pages accumulate ON DISK, not as driver
+    lineage — at 100 TB the result is a parquet union, never a
+    1000-generation in-memory plan."""
     frontier = (
         spark.createDataFrame([(u, 0) for u in seeds], "url string, depth long")
         .dropDuplicates(["url"])  # D1 enqueue-dedup, crawler_core.py:263-267
@@ -99,6 +141,16 @@ def crawl(
     pages: DataFrame | None = None
     budget = cfg.max_pages_total
     generation = 0
+
+    if checkpoint_dir and resume:
+        done = _committed_generations(spark, checkpoint_dir)
+        if done:
+            generation = done[-1]
+            frontier = spark.read.parquet(f"{checkpoint_dir}/frontier/gen={generation}")
+            visited = spark.read.parquet(f"{checkpoint_dir}/visited/gen={generation}")
+            budget = spark.read.parquet(
+                f"{checkpoint_dir}/state/gen={generation}"
+            ).head()["budget"]
 
     while budget > 0:
         gen = (
@@ -131,10 +183,6 @@ def crawl(
             F.length("text").cast("long").alias("text_len"),
         ).localCheckpoint()  # materialize: fetch exactly once per URL
 
-        pages = gen_pages if pages is None else pages.unionByName(gen_pages)
-        if generation % cfg.checkpoint_every == cfg.checkpoint_every - 1:
-            pages = pages.localCheckpoint()
-
         # EXPAND (crawler_core.py:237-241): next generation = discovered
         # links at depth+1; file links are split out by extension (A3).
         frontier = (
@@ -144,14 +192,44 @@ def crawl(
             .filter(~ext_of(F.col("url")).isin(list(cfg.allowed_file_exts)))
             .dropDuplicates(["url"])
         )
+
+        if checkpoint_dir:
+            # generation commit protocol: pages, next frontier, visited,
+            # then state LAST — its _SUCCESS marker is the commit point
+            gen_pages.write.mode("overwrite").parquet(
+                f"{checkpoint_dir}/pages/gen={generation}"
+            )
+            frontier.write.mode("overwrite").parquet(
+                f"{checkpoint_dir}/frontier/gen={generation + 1}"
+            )
+            visited.write.mode("overwrite").parquet(
+                f"{checkpoint_dir}/visited/gen={generation + 1}"
+            )
+            spark.createDataFrame(
+                [(generation + 1, budget)], "generation long, budget long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{checkpoint_dir}/state/gen={generation + 1}"
+            )
+            # re-read from the committed files: frontier/visited lineage
+            # restarts from disk, exactly as a resumed job would see them
+            frontier = spark.read.parquet(f"{checkpoint_dir}/frontier/gen={generation + 1}")
+            visited = spark.read.parquet(f"{checkpoint_dir}/visited/gen={generation + 1}")
+        else:
+            pages = gen_pages if pages is None else pages.unionByName(gen_pages)
+            if generation % cfg.checkpoint_every == cfg.checkpoint_every - 1:
+                pages = pages.localCheckpoint()
         generation += 1
 
-    if pages is None:
-        return spark.createDataFrame(
-            [],
-            "page_id string, url string, domain string, depth long, "
-            "text string, links array<string>, content_hash string, text_len long",
+    if checkpoint_dir:
+        done = _committed_generations(spark, checkpoint_dir)
+        if not done:
+            return spark.createDataFrame([], PAGES_SCHEMA)
+        # pages/gen=g is committed by state/gen=g+1
+        return spark.read.parquet(
+            *[f"{checkpoint_dir}/pages/gen={g - 1}" for g in done]
         )
+    if pages is None:
+        return spark.createDataFrame([], PAGES_SCHEMA)
     return pages
 
 

@@ -366,6 +366,41 @@ def test_incremental_recrawl_golden(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# durable frontier: checkpoint + resume (url_frontier, db/schema.sql:30-44)
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_checkpoint_resume(spark, tmp_path):
+    """Kill the crawl mid-generation (fetch raises on a depth-2 page),
+    resume from the committed frontier, and get the identical pages table
+    a never-killed run produces."""
+    from data_integration_system_spark.pipeline.crawl import _committed_generations
+
+    ckpt = str(tmp_path / "frontier_ckpt")
+    cfg = CrawlConfig(root_domain="ex.com", max_depth=5, max_pages_total=100)
+
+    def dying_fetch(url: str):
+        if url == "https://ex.com/c":
+            raise RuntimeError("simulated worker death")
+        return fake_fetch(url)
+
+    with pytest.raises(Exception):
+        crawl(spark, ["https://ex.com/"], cfg, dying_fetch, checkpoint_dir=ckpt)
+
+    # generations 0 (root) and 1 (/a, /b) committed before the death
+    assert _committed_generations(spark, ckpt) == [1, 2]
+
+    resumed = crawl(
+        spark, ["https://ex.com/"], cfg, fake_fetch, checkpoint_dir=ckpt, resume=True
+    )
+    full = crawl(spark, ["https://ex.com/"], cfg, fake_fetch)
+    cols = ["page_id", "url", "domain", "depth", "content_hash", "text_len"]
+    assert sorted(map(tuple, resumed.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+
+
+# ---------------------------------------------------------------------------
 # jobs.py — the reference's job-dict entrypoint
 # ---------------------------------------------------------------------------
 
