@@ -250,26 +250,32 @@ def minhash_bands(
     )
 
 
-@query("dedup_minhash_near", oracle=None)
-def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q28 — MinHash+LSH near-dup candidate pairs with exact-Jaccard
-    verification. shingle → 32 minhashes → 8 bands → bucket self-join →
-    verify Jaccard on the candidate pairs only.
+#: LSH bucket-size cap: buckets larger than this are dropped before the
+#: self-join.  A bucket of n docs contributes n(n-1)/2 candidate pairs —
+#: one boilerplate bucket of 10⁵ docs is 5×10⁹ pairs, a job-killing skew.
+#: Oversized buckets ARE boilerplate (identical band signature across
+#: many docs); their members are near-identical and belong to exact /
+#: keep-latest dedup, not the pairwise near-dup path.
+_MAX_BUCKET = 100
 
-    Scale: the n² pair space is never formed; the shuffle key is
-    (band_id, band_hash) which is uniform by construction. A hot bucket
-    (boilerplate text) is the one skew risk — cap bucket size upstream
-    or salt the verify join. Approx by design -> rows-only.
-    """
-    docs = table(spark, sf_dir, "documents")
-    # shingle sets computed ONCE, shared by bucketing and verification;
-    # both relations feed both sides of a self-join, so each is already
-    # materialized (shingle_sets/minhash_bands checkpoint internally).
-    sh = shingle_sets(docs)
-    bands = minhash_bands(docs, shingles_df=sh)
+
+def lsh_candidate_pairs(bands: DataFrame, max_bucket: int | None = _MAX_BUCKET) -> DataFrame:
+    """(doc_id, band_id, band_hash) -> distinct candidate (doc_a, doc_b)
+    pairs via the banded self-join, with the hot-bucket defense: bucket
+    counts are one co-keyed aggregation, the oversized set is tiny by
+    construction, so it broadcasts into a map-side anti-join — the bands
+    relation is never reshuffled."""
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -279,6 +285,27 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dedup_minhash_near", oracle=None)
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28 — MinHash+LSH near-dup candidate pairs with exact-Jaccard
+    verification. shingle → 32 minhashes → 8 bands → bucket self-join →
+    verify Jaccard on the candidate pairs only.
+
+    Scale: the n² pair space is never formed; the shuffle key is
+    (band_id, band_hash) which is uniform by construction, and oversized
+    buckets (boilerplate) are dropped before the self-join
+    (lsh_candidate_pairs) so one hot key can't quadratically explode the
+    candidate set. Approx by design -> rows-only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # shingle sets computed ONCE, shared by bucketing and verification;
+    # both relations feed both sides of a self-join, so each is already
+    # materialized (shingle_sets/minhash_bands checkpoint internally).
+    sh = shingle_sets(docs)
+    bands = minhash_bands(docs, shingles_df=sh)
+    pairs = lsh_candidate_pairs(bands)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -147,6 +147,63 @@ def test_spark_sql_surface_matches_dataframe(spark):
     assert [tuple(r) for r in sql_df.collect()] == [tuple(r) for r in df.collect()]
 
 
+def test_minhash_recall_against_exact(spark):
+    """Quality guard for the LSH parameters (32 hashes, 8 bands x 4 rows):
+    every true pair at exact Jaccard >= 0.8 must be recovered with >= 90%
+    recall (theoretical: 1-(1-0.8^4)^8 ~ 0.985). Brute-force ground truth
+    over the sf0.001 shingle sets — a drop means bands/rows or the
+    bucket cap silently degraded."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.dedup import (
+        dedup_minhash_near,
+        shingle_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sh = {
+        r.doc_id: set(r.shingles)
+        for r in shingle_sets(table(spark, sf, "documents")).collect()
+    }
+    ids = sorted(sh)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= 0.8:
+                true_pairs.add((a, b))
+    assert true_pairs, "ground truth is vacuous — corpus has no 0.8+ pairs"
+    found = {(r.doc_a, r.doc_b) for r in dedup_minhash_near(spark, sf).collect()}
+    missed = true_pairs - found
+    assert len(missed) <= 0.1 * len(true_pairs), f"minhash recall regressed: missed {missed}"
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """The hot-bucket defense: a 200-doc boilerplate bucket must be
+    dropped before the self-join (bounded candidates), while a small
+    legitimate near-dup bucket survives."""
+    from data_integration_system_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, boiler) for i in range(200)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = minhash_bands(docs)
+    capped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(bands, max_bucket=100).collect()}
+    assert (1000, 1001) in capped  # small bucket: kept
+    assert all(not (a < 200 and b < 200) for a, b in capped)  # hot bucket: dropped
+    # uncapped would be quadratic in the hot bucket
+    assert lsh_candidate_pairs(bands, max_bucket=None).count() >= 199 * 200 / 2
+
+
 def test_ivf_recall_against_exact(spark):
     """Quality guard for the IVF approximate path: recall@5 vs the exact
     brute-force top-k. The synthetic embeddings are weakly clustered
