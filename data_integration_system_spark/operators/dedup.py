@@ -401,10 +401,15 @@ _LSH_TABLES = 6   # L independent hash tables…
 _LSH_BITS = 6     # …of k sign-bits each: candidate iff ANY table matches.
                   # Recall ≈ 1-(1-(1-θ/π)^k)^L — multi-table is what makes
                   # sign-bit LSH usable (one exact-match 8-bit bucket ≈ 2%)
+#: Embedding dimensionality is pipeline CONFIG (you know your embedding
+#: model), not something to probe from the data — a driver-side .first()
+#: during query construction would block plan building on a cluster
+#: round-trip.  Matches TESTDATA.md's embeddings.parquet (64-dim).
+_EMB_DIM = 64
 
 
 @query("dedup_embedding_near", oracle=None)
-def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) -> DataFrame:
     """North-star embedding near-dup: pairs with cosine >= threshold,
     blocked by multi-table random-hyperplane LSH (L=6 tables × k=6 sign
     bits, planes derived from xxhash64 so the whole thing is
@@ -419,7 +424,6 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_system_spark.functions.vectors import cosine
 
     emb = table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
 
     # Deterministic ±1 hyperplanes, built driver-side as ONE literal
     # matrix: a per-bit expression tree (36 nested HOF aggregates) takes

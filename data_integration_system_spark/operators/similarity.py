@@ -109,15 +109,30 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # assign each corpus vector to its nearest centroid
+    # assign each corpus vector to its nearest centroid — SHUFFLE-FREE:
+    # all k centroids ride along as one broadcast single-row relation and
+    # the argmax is an inline array expression (struct array_max compares
+    # (d, -cent_id) lexicographically = best sim, ties to lowest id).
+    # The naive shape (crossJoin ×k + row_number over vec_id) shuffles
+    # the whole corpus; this evaluates inside the scan stage.
+    cents_one = cent.agg(
+        F.collect_list(F.struct("cent_id", "centroid")).alias("cents")
+    )
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    asg_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cent_id")
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine(F.col("embedding"), c.getField("centroid")).alias("d"),
+            (-c.getField("cent_id")).alias("neg_id"),
+        ),
+    )
     assigned = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", cosine("embedding", "centroid").alias("d"))
-        .withColumn("rn", F.row_number().over(asg_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        corpus.crossJoin(F.broadcast(cents_one))
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.array_max(scored).getField("neg_id")).alias("cent_id"),
+        )
     )
 
     # each query probes its nprobe nearest centroids

@@ -77,6 +77,15 @@ def test_keep_latest_single_shuffle(spark):
     assert shuffle_count(df) == 1  # one hash partition on user_id
 
 
+def test_ivf_assignment_shuffle_free(spark):
+    # centroid assignment must be an inline argmax over the broadcast
+    # centroid array — the corpus itself is never shuffled for it.
+    # Remaining exchanges: 2x centroid aggs (computed for each consumer),
+    # the small query-probe window, and the final top-k window.
+    df = get_queries()["similarity_ivf_topk"](spark, SF)
+    assert shuffle_count(df) <= 6
+
+
 def test_multimodal_decode_no_shuffle(spark):
     # binary payloads must flow scan -> mapInPandas with NO Exchange:
     # a repartition here caps decode parallelism and shuffles every blob
