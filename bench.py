@@ -89,7 +89,39 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # self-comparison vs the latest recorded round: queries >1.5x slower
+    # are flagged so a regression is visible in the round's JSON itself
+    prev = _latest_round_bench()
+    if prev:
+        regressions = {
+            name: {"prev": p, "now": timings[name]}
+            for name, p in prev.get("queries", {}).items()
+            if name in timings and p > 0 and timings[name] / p > 1.5
+        }
+        out["prev_suite_sec"] = prev.get("value")
+        out["regressions"] = regressions
     print(json.dumps(out))
+
+
+def _latest_round_bench() -> dict | None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    if not rounds:
+        return None
+    try:
+        with open(os.path.join(here, max(rounds)[1])) as fh:
+            data = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver wraps our JSON line: {"parsed": {...}, "tail": "..."}
+    if "parsed" in data:
+        return data["parsed"]
+    return data
 
 
 if __name__ == "__main__":

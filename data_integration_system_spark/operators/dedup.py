@@ -60,6 +60,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_full",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key
+      FROM documents
+    ), r AS (
+      SELECT doc_id, content_key,
+             row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, content_key FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 fidelity variant: first-writer-wins dedup keyed on the COMPLETE
+    P3 content hash (whitespace-normalized sha256, utils.py:15-20) — the
+    reference's exact `ON CONFLICT (content_hash) DO NOTHING` semantics
+    (db/postgres_store.py:88).  dedup_exact's prefix key stays as the
+    synthetic-corpus collision demo; this one is byte-for-byte D6.
+
+    Same scale shape: one shuffle on a uniform hash key."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.sha2(normalize_ws(F.col("text")), 256)
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    return (
+        docs.select("doc_id", key.alias("content_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
     "dedup_keep_latest",
     oracle="""
     SELECT user_id, event_id, ts, event_type FROM (

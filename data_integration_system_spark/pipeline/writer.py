@@ -19,6 +19,8 @@ the batch is small), and only changed rows are rewritten.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,3 +89,118 @@ def write_pages(pages: DataFrame, path: str, partition_by: str = "domain") -> No
     (the 'index' IS the table; filesystem_store.py:201-211's JSON side
     index has no Spark analog because schema travels with parquet)."""
     pages.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# S11/S12 — JDBC sink (db/postgres_store.py:126-184) as stage-and-merge
+# ---------------------------------------------------------------------------
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _q(name: str) -> str:
+    """Validate and double-quote one SQL identifier.  Quoting matters
+    beyond injection-hardening: Spark's JDBC writer quotes column names
+    on CREATE, so unquoted references would case-fold away from the
+    staged table's identifiers (Derby/Postgres fold differently)."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return f'"{name}"'
+
+
+def jdbc_merge_sql(
+    target: str,
+    staging: str,
+    columns: list[str],
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    dialect: str = "ansi",
+    insert_only: bool = False,
+) -> str:
+    """The set-based merge statement applied after staging a batch.
+
+    `dialect="postgres"` reproduces the reference's upsert verbatim
+    (INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c,
+    postgres_store.py:144-165; `insert_only` gives S12's DO NOTHING,
+    insert_raw_document).  `dialect="ansi"` is the MERGE form Derby/
+    SQL-Server/Oracle accept — integration-tested against embedded Derby.
+
+    One statement per batch: the upsert happens set-at-a-time in the
+    database, not row-at-a-time from executors — the scalable JDBC
+    pattern (the DB dedupes against its own index; Spark ships data
+    once)."""
+    if update_cols is None:
+        update_cols = [c for c in columns if c not in key_cols]
+    cols_q = ", ".join(_q(c) for c in columns)
+    if dialect == "postgres":
+        action = (
+            "DO NOTHING"
+            if insert_only
+            else "DO UPDATE SET "
+            + ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in update_cols)
+        )
+        return (
+            f"INSERT INTO {_q(target)} ({cols_q}) "
+            f"SELECT {cols_q} FROM {_q(staging)} "
+            f"ON CONFLICT ({', '.join(_q(c) for c in key_cols)}) {action}"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{_q(c)} = s.{_q(c)}" for c in key_cols)
+        matched = (
+            ""
+            if insert_only
+            else "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in update_cols)
+            + " "
+        )
+        values = ", ".join(f"s.{_q(c)}" for c in columns)
+        return (
+            f"MERGE INTO {_q(target)} t USING {_q(staging)} s ON ({on}) "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({cols_q}) VALUES ({values})"
+        )
+    raise ValueError(f"unknown dialect: {dialect!r}")
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    jdbc_url: str,
+    target: str,
+    key_cols: list[str],
+    *,
+    staging: str | None = None,
+    dialect: str = "ansi",
+    insert_only: bool = False,
+    write_options: dict[str, str] | None = None,
+) -> str:
+    """Upsert a DataFrame into a JDBC table: stage the batch with Spark's
+    parallel JDBC writer (executors write partitions concurrently), then
+    run ONE merge statement on the driver's connection.  Returns the
+    executed merge SQL.
+
+    This is the Spark re-expression of upsert_raw_document
+    (postgres_store.py:126-184): the reference's per-row
+    read-compare-upsert becomes staged bulk load + set-based merge —
+    identical end state, O(1) round-trips instead of O(rows).  Pair with
+    `write_changed_only` upstream to ship only non-SKIPPED rows."""
+    staging = staging or f"{target}_staging"
+    _q(target), _q(staging)  # validate before interpolating anywhere
+    writer = (
+        df.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", jdbc_url)
+        .option("dbtable", _q(staging))
+    )
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+    sql = jdbc_merge_sql(
+        target, staging, df.columns, key_cols, dialect=dialect, insert_only=insert_only
+    )
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+    try:
+        conn.createStatement().execute(sql)
+    finally:
+        conn.close()
+    return sql

@@ -366,6 +366,76 @@ def test_incremental_recrawl_golden(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# S11/S12 JDBC sink — stage-and-merge (db/postgres_store.py:126-184)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_merge_sql_postgres_dialect():
+    from data_integration_system_spark.pipeline.writer import jdbc_merge_sql
+
+    sql = jdbc_merge_sql(
+        "raw_documents",
+        "raw_documents_staging",
+        ["source_type", "source_id", "raw_text", "content_hash"],
+        key_cols=["source_type", "source_id"],
+        dialect="postgres",
+    )
+    # the reference's conflict target and EXCLUDED-set shape
+    # (postgres_store.py:144-165)
+    assert 'ON CONFLICT ("source_type", "source_id") DO UPDATE SET' in sql
+    assert '"raw_text" = EXCLUDED."raw_text"' in sql
+    assert '"content_hash" = EXCLUDED."content_hash"' in sql
+    # S12 insert-ignore (insert_raw_document): DO NOTHING, no update list
+    ign = jdbc_merge_sql(
+        "raw_documents", "s", ["source_id", "raw_text"], ["source_id"],
+        dialect="postgres", insert_only=True,
+    )
+    assert ign.endswith('ON CONFLICT ("source_id") DO NOTHING')
+
+
+def test_jdbc_identifiers_validated():
+    from data_integration_system_spark.pipeline.writer import jdbc_merge_sql
+
+    with pytest.raises(ValueError):
+        jdbc_merge_sql('t"; DROP TABLE x;--', "s", ["a"], ["a"])
+    with pytest.raises(ValueError):
+        jdbc_merge_sql("t", "s", ["bad col"], ["bad col"])
+
+
+def test_jdbc_upsert_embedded_derby(spark):
+    """End-to-end against the Derby embedded DB Spark ships: stage via
+    the parallel JDBC writer, merge once, reference upsert end state
+    (changed row updated, unchanged kept, new row inserted)."""
+    from data_integration_system_spark.pipeline.writer import write_jdbc_upsert
+
+    jvm = spark._jvm
+    url = "jdbc:derby:memory:upserttest;create=true"
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        'CREATE TABLE "docs" ("source_id" BIGINT PRIMARY KEY, '
+        '"raw_text" VARCHAR(200), "content_hash" VARCHAR(64))'
+    )
+    st.execute("INSERT INTO \"docs\" VALUES (1, 'old', 'h1'), (2, 'keep', 'h2')")
+
+    batch = spark.createDataFrame(
+        [(1, "new", "h1b"), (3, "ins", "h3")],
+        "source_id long, raw_text string, content_hash string",
+    )
+    sql = write_jdbc_upsert(
+        batch, url, "docs", ["source_id"],
+        write_options={"createTableColumnTypes": "raw_text VARCHAR(200), content_hash VARCHAR(64)"},
+    )
+    assert sql.startswith('MERGE INTO "docs"')
+    rs = st.executeQuery('SELECT * FROM "docs" ORDER BY "source_id"')
+    rows = []
+    while rs.next():
+        rows.append((rs.getLong(1), rs.getString(2), rs.getString(3)))
+    conn.close()
+    assert rows == [(1, "new", "h1b"), (2, "keep", "h2"), (3, "ins", "h3")]
+
+
+# ---------------------------------------------------------------------------
 # durable frontier: checkpoint + resume (url_frontier, db/schema.sql:30-44)
 # ---------------------------------------------------------------------------
 
