@@ -676,3 +676,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep", "doc_id")
     )
+
+
+@query("dedup_corpus_keep_reps", oracle=None)
+def dedup_corpus_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup removal a training-data pipeline actually
+    ships: the documents table with every near-duplicate cluster reduced
+    to its representative (min doc_id).  Composition of
+    dedup_minhash_near -> dedup_clusters -> anti-join back to the corpus.
+
+    Scale: the drop set is |duplicates| rows (tiny vs corpus), so the
+    anti-join broadcasts; the corpus is scanned once.  Rows-only
+    (inherits the iterative clustering)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -344,3 +344,121 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
     )
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "pivot_lang_counts",
+    oracle="""
+    SELECT source,
+           count(*) FILTER (WHERE lang = 'de') AS de,
+           count(*) FILTER (WHERE lang = 'en') AS en,
+           count(*) FILTER (WHERE lang = 'es') AS es,
+           count(*) FILTER (WHERE lang = 'fr') AS fr,
+           count(*) FILTER (WHERE lang = 'zh') AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot: per-source doc counts, one column per language
+    (the report shape every corpus dashboard wants).
+
+    The value list is EXPLICIT: `pivot(col)` without values runs a
+    whole extra distinct-scan job just to learn the columns — at 100 TB
+    that is a second pass over the corpus for metadata you already know.
+    With the list given, this is a single hash aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    piv = docs.groupBy("source").pivot("lang", list(_LANGS)).count()
+    return piv.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in _LANGS],
+    )
+
+
+@query(
+    "agg_cube_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS band,
+             value
+      FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(band, 'ALL') AS band,
+           count(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM e GROUP BY CUBE(event_type, band)
+    """,
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 completion alongside Q8b's ROLLUP: full CUBE over
+    (event_type, value band) — all four grouping-set combinations in one
+    Expand + single aggregation shuffle (not four scans).  Decimal-sum
+    discipline from _common keeps the double SUM hash-stable."""
+    from data_integration_system_spark.operators._common import money_sum
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("band"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "band")
+        .agg(F.count("*").alias("n"), money_sum("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("band", F.lit("ALL")).alias("band"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cavg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(FLOOR(cavg * 100) AS BIGINT) AS cust_avg_cents
+    FROM a WHERE o_totalprice > 1.5 * cavg
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery classic (orders 1.5x above their
+    customer's average), decorrelated into ONE window pass — the shape
+    Catalyst rewrites `WHERE price > (SELECT avg .. correlated)` into
+    anyway, written directly so there's a single shuffle on o_custkey
+    and no join.  Exact decimal sum /count keeps the threshold
+    bit-identical across engines, so the > filter can't flip rows; the
+    reported average is floor-of-cents because ROUND on a double diverges
+    between engines at .xx5 boundaries (FLOOR of the identical double
+    cannot)."""
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.operators._common import dec
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cavg = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", cavg.alias("cavg")
+        )
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cavg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.floor(F.col("cavg") * 100).cast("long").alias("cust_avg_cents"),
+        )
+    )

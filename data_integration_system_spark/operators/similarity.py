@@ -156,3 +156,28 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "c_id", F.col("rn").cast("long").alias("rnk"), F.round("sim", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(FLOOR(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000) AS BIGINT)
+             AS l2_norm_e4
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene op: L2 norm per embedding (the pre-normalization
+    pass every cosine pipeline runs once at ingest).  Pure JVM
+    higher-order math inside the scan stage — zero shuffles; reported as
+    floor(norm * 1e4) because both engines sum the same array in the
+    same order but ROUND at .xxx5 diverges."""
+    from data_integration_system_spark.functions.vectors import norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.floor(norm("embedding") * 10000).cast("long").alias("l2_norm_e4"),
+    )

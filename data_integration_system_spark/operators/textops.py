@@ -322,3 +322,41 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bench_id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+@query("fingerprint_overlap_pairs", oracle=None)
+def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-based near-dup detection — the consumer the winnowing
+    fingerprints exist for: documents sharing >= 5 fingerprints, via an
+    inverted-index self-join on fp_hash.
+
+    Scale shape: join key is a single hash — near-uniform except for
+    boilerplate fingerprints shared by many docs.  Those are dropped
+    with a frequency cap before the self-join (the classic stop-hash
+    prune; same quadratic-bucket defense as dedup's LSH cap), so pair
+    production stays near-linear.  Rows-only (xxhash64 fingerprints
+    have no DuckDB twin)."""
+    fp = doc_fingerprint(spark, sf_dir)
+    # stop-hash prune: fingerprints in >20 docs are boilerplate
+    hot = (
+        fp.groupBy("fp_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 20)
+        .select("fp_hash")
+    )
+    fp = fp.join(F.broadcast(hot), "fp_hash", "left_anti")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 5)
+        .orderBy("doc_a", "doc_b")
+    )

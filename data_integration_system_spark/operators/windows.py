@@ -166,3 +166,57 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "top_sources_per_lang",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ), r AS (
+      SELECT lang, source, n_docs,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_docs DESC, source) AS rnk
+      FROM c
+    )
+    SELECT lang, source, n_docs, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def top_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (top 3 sources by doc count per language) — the
+    aggregate-then-rank composition.  The count shrinks the data to
+    |lang x source| BEFORE the rank window, so the window shuffle moves
+    the tiny aggregate, never the corpus; ties broken by source for
+    determinism."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_docs").desc(), "source")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "source", "n_docs", "rnk")
+    )
+
+
+@query(
+    "ntile_quartiles",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS quartile
+    FROM events
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing (value quartile per event type) — the
+    standard feature-binning window.  ntile's bucket-boundary semantics
+    are engine-identical ONLY under a total order, so event_id breaks
+    value ties; one shuffle on event_type."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
