@@ -58,6 +58,10 @@ class CrawlConfig:
     allowed_file_exts: tuple[str, ...] = (
         ".pdf", ".doc", ".docx", ".xls", ".xlsx", ".txt",
     )  # models.py:26-32
+    download_files: bool = True    # models.py:16 / crawler_core.py:96
+    documents_only: bool = False   # models.py:10 / crawler_core.py:217:
+    #   pages are still CRAWLED for link discovery, just not stored
+    max_file_bytes: int = 25_000_000  # models.py:34 / crawler_core.py:116
     per_domain: int = 2            # http_fetcher.py:23
     checkpoint_every: int = 4      # lineage cut cadence (ours)
     extra: dict = field(default_factory=dict)  # config jsonb escape hatch

@@ -19,10 +19,21 @@ import dataclasses
 from typing import Any
 from urllib.parse import urlparse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from data_integration_system_spark.pipeline.crawl import CrawlConfig, crawl
-from data_integration_system_spark.pipeline.fetch import FetchFn, default_http_fetch
+from data_integration_system_spark.functions.urls import ext_of
+from data_integration_system_spark.pipeline.crawl import (
+    CrawlConfig,
+    crawl,
+    file_links_of,
+)
+from data_integration_system_spark.pipeline.extract import extract_files
+from data_integration_system_spark.pipeline.fetch import (
+    FetchFn,
+    default_http_fetch,
+    fetch_frontier,
+)
 from data_integration_system_spark.pipeline.writer import write_pages
 
 _CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
@@ -62,6 +73,23 @@ def config_from_job(job: dict[str, Any]) -> CrawlConfig:
     return CrawlConfig(**cfg)
 
 
+def ingest_files(
+    pages: DataFrame, cfg: CrawlConfig, fetch_fn: FetchFn
+) -> DataFrame:
+    """The file-document stream (crawler_core.py:96-135 _handle_file_url,
+    batched): allowlisted file links discovered by the crawl → politeness
+    fetch → S4-S9 extraction with the size cap.  Errors stay data
+    (error column), exactly like download_extract_delete's contract."""
+    files = file_links_of(pages, cfg)
+    fetched = fetch_frontier(files, fetch_fn, per_domain=cfg.per_domain)
+    return extract_files(
+        fetched.filter(F.col("content").isNotNull()).withColumn(
+            "ext", ext_of(F.col("url"))
+        ),
+        max_bytes=cfg.max_file_bytes,
+    )
+
+
 def run_job(
     spark: SparkSession,
     job: dict[str, Any],
@@ -69,13 +97,36 @@ def run_job(
     fetch_fn: FetchFn = default_http_fetch,
 ) -> dict[str, Any]:
     """Execute one crawl job end-to-end: unpack config, run the BFS,
-    write the pages table, return the DONE/FAILED report (the worker's
-    status write, worker_daemon.py:54-58, as a value)."""
+    ingest discovered file documents (download_files), write the pages
+    table (unless documents_only — pages are still crawled for link
+    discovery, crawler_core.py:217), return the DONE/FAILED report (the
+    worker's status write, worker_daemon.py:54-58, as a value)."""
     try:
         cfg = config_from_job(job)
         pages = crawl(spark, list(job.get("start_urls", [])), cfg, fetch_fn)
         n = pages.count()
-        write_pages(pages.drop("links"), output_path)
-        return {"status": "DONE", "pages": n, "output": output_path, "error": ""}
+        n_files = 0
+        if cfg.download_files:
+            docs = ingest_files(pages, cfg, fetch_fn).localCheckpoint()
+            n_files = docs.count()
+            if n_files:
+                docs.write.mode("overwrite").parquet(
+                    output_path.rstrip("/") + "_files"
+                )
+        if not cfg.documents_only:
+            write_pages(pages.drop("links"), output_path)
+        return {
+            "status": "DONE",
+            "pages": n,
+            "files": n_files,
+            "output": output_path,
+            "error": "",
+        }
     except Exception as e:  # noqa: BLE001 — job errors are data (T-family)
-        return {"status": "FAILED", "pages": 0, "output": output_path, "error": str(e)}
+        return {
+            "status": "FAILED",
+            "pages": 0,
+            "files": 0,
+            "output": output_path,
+            "error": str(e),
+        }

@@ -525,6 +525,50 @@ def test_run_job_end_to_end(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_run_job_file_ingestion(spark, tmp_path):
+    """download_files: allowlisted file links are fetched and extracted to
+    a _files table (crawler_core.py:96-135); documents_only suppresses
+    the pages write but still crawls for discovery (crawler_core.py:217)."""
+    import os
+
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    def fetch_with_pdf(url: str):
+        if url == "https://ex.com/doc1.pdf":
+            return b"%PDF-1.4 fake", "application/pdf"
+        return fake_fetch(url)
+
+    out = str(tmp_path / "job_pages")
+    report = run_job(
+        spark, {"start_urls": ["https://ex.com/"]}, out, fetch_fn=fetch_with_pdf
+    )
+    assert report["status"] == "DONE" and report["files"] == 1
+    row = spark.read.parquet(out + "_files").collect()[0]
+    assert row.url == "https://ex.com/doc1.pdf"
+    assert row.error == "" and row.text.startswith("[STUB:extract_pdf]")
+
+    out2 = str(tmp_path / "job_docs_only")
+    report2 = run_job(
+        spark,
+        {"start_urls": ["https://ex.com/"], "documents_only": True},
+        out2,
+        fetch_fn=fetch_with_pdf,
+    )
+    assert report2["status"] == "DONE"
+    assert report2["files"] == 1 and report2["pages"] > 0
+    assert not os.path.exists(out2)  # pages not stored
+
+    out3 = str(tmp_path / "job_no_files")
+    report3 = run_job(
+        spark,
+        {"start_urls": ["https://ex.com/"], "download_files": False},
+        out3,
+        fetch_fn=fetch_with_pdf,
+    )
+    assert report3["status"] == "DONE" and report3["files"] == 0
+    assert not os.path.exists(out3 + "_files")
+
+
 def test_run_job_failure_is_data(spark, tmp_path):
     from data_integration_system_spark.pipeline.jobs import run_job
 
