@@ -222,7 +222,15 @@ def _minhash_sig(base_hash_col):
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingles: array<string>) with distinct k-word shingles.
+    """(doc_id, shingles: array<long>) — distinct k-word shingles as
+    64-bit xxhash64 values, hashed in the SAME pass that forms them.
+
+    Hashes, not strings: every consumer (minhash lanes, jaccard
+    intersects, inverted-index joins) only needs equality, and longs are
+    ~4× cheaper to materialize, shuffle, and set-intersect than ~20-char
+    strings (measured: string-shingle ckpt 0.85 s + hash pass 0.16 s →
+    0.31 s fused, sf0.1).  Collisions perturb results with p ≈ n²/2⁶⁴ —
+    negligible.
 
     Tokens are materialized BEFORE shingling: `_shingles` references its
     token argument ~3× per shingle index, and Catalyst inlines column
@@ -234,7 +242,10 @@ def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
     ).localCheckpoint()
     return toks.select(
-        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("shingles")
+        "doc_id",
+        F.transform(
+            F.array_distinct(_shingles(F.col("toks"))), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
     ).localCheckpoint()
 
 
@@ -248,21 +259,21 @@ def minhash_bands(
     Pass a precomputed `shingle_sets` result to share it with the
     verification stage.
 
-    Each stage (shingles -> base hashes -> signature -> bands) is
-    materialized with localCheckpoint: Catalyst's CollapseProject would
-    otherwise inline the alias into every downstream reference — the
-    shingle expression duplicated into 32 signature lanes × 8 band
-    expressions ≈ 256 re-evaluations per row (measured: 185 s -> 2 s at
-    sf0.1).  The checkpointed intermediates are tiny (id + one small
-    array per doc).  At 100 TB signatures are computed once at write
-    time and stored — this is the batch analog."""
+    Each stage (hashed shingles -> signature -> bands) is materialized
+    with localCheckpoint: Catalyst's CollapseProject would otherwise
+    inline the alias into every downstream reference — the shingle
+    expression duplicated into 32 signature lanes × 8 band expressions
+    ≈ 256 re-evaluations per row (measured: 185 s -> 2 s at sf0.1).  The
+    checkpointed intermediates are tiny (id + one small array per doc).
+    At 100 TB signatures are computed once at write time and stored —
+    this is the batch analog."""
     if shingles_df is None:
         shingles_df = shingle_sets(docs, text_col, id_col)
-    hashed = shingles_df.select(
-        "doc_id",
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
+    # shingle_sets already emits 64-bit hashes — the signature lanes
+    # remix those longs directly
+    sig_df = shingles_df.select(
+        "doc_id", _minhash_sig(F.col("shingles")).alias("sig")
     ).localCheckpoint()
-    sig_df = hashed.select("doc_id", _minhash_sig(F.col("hs")).alias("sig")).localCheckpoint()
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(_BANDS - 1)),
         lambda b: F.struct(
