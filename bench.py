@@ -49,6 +49,15 @@ HEADLINE = (
     "similarity_topk",         # brute-force cosine top-k
     "approx_distinct",         # HLL sketch agg
     "multimodal_decode_meta",  # Arrow-batched mapInPandas decode
+    # round-2 additions
+    "pivot_lang_counts",       # explicit-value-list pivot
+    "agg_cube_events",         # CUBE expand + single agg shuffle
+    "orders_above_customer_avg",  # decorrelated window filter
+    "top_sources_per_lang",    # aggregate-then-rank top-k
+    "ntile_quartiles",         # equal-frequency binning window
+    "embedding_norms",         # JVM HOF vector math in-scan
+    "dedup_exact_full",        # full-hash dedup window
+    "fingerprint_overlap_pairs",  # winnowing inverted-index self-join
 )
 
 
