@@ -58,6 +58,8 @@ HEADLINE = (
     "embedding_norms",         # JVM HOF vector math in-scan
     "dedup_exact_full",        # full-hash dedup window
     "fingerprint_overlap_pairs",  # winnowing inverted-index self-join
+    "customer_order_distribution",  # outer join + two-level agg (Q13 shape)
+    "priority_counts_with_lineitem",  # EXISTS as left-semi (Q4 shape)
 )
 
 

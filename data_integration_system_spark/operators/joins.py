@@ -307,3 +307,69 @@ def partsupp_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev.cast("decimal(18,4)")), 2).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH c AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM c GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders —
+    LEFT OUTER join (zero-order customers must survive) + two-level
+    aggregation.
+
+    Scale: first agg shuffles on c_custkey (co-keyed with the join, so
+    AQE coalesces), second agg input is |distinct order counts| — tiny.
+    The outer join is the point: a semi/inner join silently drops the
+    n_orders=0 bucket, the classic Q13 bug."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "priority_counts_with_lineitem",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 30)
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_counts_with_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders that HAVE a
+    qualifying lineitem — the EXISTS decorrelated to a LEFT SEMI join
+    (each order counted once no matter how many lineitems qualify).
+
+    Scale: the lineitem side is filtered BEFORE the semi join (predicate
+    reaches its scan), the date filter reaches the orders scan, and the
+    semi join never materializes lineitem columns — the exact plan a
+    correlated EXISTS should compile to."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
