@@ -471,6 +471,31 @@ def test_crawl_checkpoint_resume(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# maintenance: small-files compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_parquet(spark, tmp_path):
+    from data_integration_system_spark.pipeline.maintenance import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(50).write.parquet(src)  # 50 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/part-*")) == 50
+    n = compact_parquet(spark, src, target_file_bytes=256 << 20)
+    assert n == 1  # 10k longs << 256 MB
+    out = src + "_compacted"
+    assert len(glob.glob(out + "/part-*")) == 1
+    assert spark.read.parquet(out).count() == 10_000
+    assert (
+        spark.read.parquet(out).agg(F.sum("k")).head()[0]
+        == 10_000 * 9_999 // 2
+    )
+
+
+# ---------------------------------------------------------------------------
 # jobs.py — the reference's job-dict entrypoint
 # ---------------------------------------------------------------------------
 

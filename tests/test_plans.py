@@ -86,6 +86,17 @@ def test_ivf_assignment_shuffle_free(spark):
     assert shuffle_count(df) <= 6
 
 
+def test_q4_semi_join_filters_reach_both_scans(spark):
+    # the EXISTS decorrelation must not lose pushdown: date filter at the
+    # orders scan, quantity filter at the lineitem scan, lineitem never
+    # broadcast as a whole (only its join key side may be)
+    df = get_queries()["priority_counts_with_lineitem"](spark, SF)
+    assert any("o_orderdate" in f for f in pushed_filters(df, "orders"))
+    assert any("l_quantity" in f for f in pushed_filters(df, "lineitem"))
+    # semi join materializes no lineitem payload columns
+    assert scan_read_schemas(df)["lineitem"] == ["l_orderkey", "l_quantity"]
+
+
 def test_multimodal_decode_no_shuffle(spark):
     # binary payloads must flow scan -> mapInPandas with NO Exchange:
     # a repartition here caps decode parallelism and shuffles every blob
