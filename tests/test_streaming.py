@@ -130,3 +130,39 @@ def test_running_user_totals_stateful(spark, events_stream_dir):
         .collect()
     }
     assert last and all(want[u][0] == v[0] for u, v in last.items())
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Effectively-once across restarts: a query restarted with the SAME
+    checkpointLocation processes only files that arrived since the last
+    commit; combined with the idempotent upsert sink the target converges
+    with no duplicates.  (The streaming twin of the durable crawl
+    frontier: the checkpoint IS the committed generation.)"""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    schema = "key string, v int, payload string"
+    spark.createDataFrame([("k1", 1, "a")], schema).write.mode("append").parquet(src)
+    spark.createDataFrame([], schema).write.parquet(target)
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sdf.writeStream.foreachBatch(upsert_sink(target, "key", "v", spark))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
+    assert got == {"k1": (1, "a")}
+
+    # new data arrives while the job is down; the restart picks up ONLY it
+    spark.createDataFrame(
+        [("k1", 2, "a2"), ("k2", 1, "b")], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
+    assert got == {"k1": (2, "a2"), "k2": (1, "b")}
