@@ -62,6 +62,10 @@ class CrawlConfig:
     documents_only: bool = False   # models.py:10 / crawler_core.py:217:
     #   pages are still CRAWLED for link discovery, just not stored
     max_file_bytes: int = 25_000_000  # models.py:34 / crawler_core.py:116
+    #: failed fetches re-enqueue with retry+1 up to this cap, then count
+    #: as visited — url_frontier's retry_count/state machine
+    #: (db/schema.sql:38-39) in dataflow form
+    max_retries: int = 2
     per_domain: int = 2            # http_fetcher.py:23
     checkpoint_every: int = 4      # lineage cut cadence (ours)
     extra: dict = field(default_factory=dict)  # config jsonb escape hatch
@@ -138,7 +142,9 @@ def crawl(
     lineage — at 100 TB the result is a parquet union, never a
     1000-generation in-memory plan."""
     frontier = (
-        spark.createDataFrame([(u, 0) for u in seeds], "url string, depth long")
+        spark.createDataFrame(
+            [(u, 0, 0) for u in seeds], "url string, depth long, retry long"
+        )
         .dropDuplicates(["url"])  # D1 enqueue-dedup, crawler_core.py:263-267
     )
     visited = spark.createDataFrame([], "url string")
@@ -160,17 +166,37 @@ def crawl(
         gen = (
             scope_filter(frontier, cfg)
             .join(visited, "url", "left_anti")  # D2/F6 visited subtraction
-            .dropDuplicates(["url"])
+            # one row per url: shallowest depth wins; max(retry) so a
+            # link rediscovery can't reset a URL's retry budget
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"), F.max("retry").alias("retry"))
             .limit(budget)  # max_pages_total, enforced (ref never did)
             .localCheckpoint()  # cut lineage + freeze the generation
         )
         n = gen.count()
         if n == 0:
             break
-        budget -= n
-        visited = visited.unionByName(gen.select("url")).localCheckpoint()
+        budget -= n  # attempts consume budget: a crash-looping site
+        # cannot extend the crawl past max_pages_total
 
-        fetched = fetch_frontier(gen, fetch_fn, per_domain=cfg.per_domain)
+        # fetch ONCE, then split into outcomes (url_frontier's
+        # queued->done/failed state machine, db/schema.sql:37-39)
+        fetched = fetch_frontier(gen, fetch_fn, per_domain=cfg.per_domain).localCheckpoint()
+        failed = gen.join(
+            fetched.filter(F.col("content").isNull()).select("url"),
+            "url",
+            "left_semi",
+        )
+        retryable = failed.filter(F.col("retry") < cfg.max_retries).withColumn(
+            "retry", F.col("retry") + 1
+        )
+        # visited = everything attempted EXCEPT urls that will retry
+        visited = (
+            visited.unionByName(gen.select("url"))
+            .exceptAll(retryable.select("url"))
+            .localCheckpoint()
+        )
+
         html = fetched.filter(
             F.col("content").isNotNull()
             & F.col("content_type").contains("text/html")  # F10 dispatch
@@ -185,16 +211,20 @@ def crawl(
             "links",
             content_hash(F.col("text")).alias("content_hash"),
             F.length("text").cast("long").alias("text_len"),
-        ).localCheckpoint()  # materialize: fetch exactly once per URL
+        ).localCheckpoint()  # materialize: extraction runs exactly once
 
         # EXPAND (crawler_core.py:237-241): next generation = discovered
-        # links at depth+1; file links are split out by extension (A3).
+        # links at depth+1 (retry 0) + failed urls re-enqueued with
+        # retry+1; file links are split out by extension (A3).
         frontier = (
             gen_pages.select(
-                F.explode("links").alias("url"), (F.col("depth") + 1).alias("depth")
+                F.explode("links").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.lit(0).alias("retry"),
             )
             .filter(~ext_of(F.col("url")).isin(list(cfg.allowed_file_exts)))
             .dropDuplicates(["url"])
+            .unionByName(retryable)
         )
 
         if checkpoint_dir:

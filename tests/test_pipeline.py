@@ -470,6 +470,47 @@ def test_crawl_checkpoint_resume(spark, tmp_path):
     )
 
 
+def test_crawl_retries_failed_fetches(spark, tmp_path):
+    """url_frontier retry semantics (db/schema.sql:38-39): a fetch
+    returning no content re-enqueues with retry+1 up to max_retries,
+    then counts as visited.  /b fails twice and succeeds on the third
+    attempt; an always-failing URL is attempted exactly max_retries+1
+    times and the crawl still terminates."""
+    attempts = tmp_path / "attempts.log"
+
+    def flaky_fetch(url: str, _log=str(attempts)):
+        if url == "https://ex.com/b":
+            with open(_log, "a") as fh:
+                fh.write("b\n")
+            with open(_log) as fh:
+                n = sum(1 for line in fh if line.strip() == "b")
+            if n < 3:
+                return None, ""
+        return fake_fetch(url)
+
+    cfg = CrawlConfig(root_domain="ex.com", max_depth=5, max_pages_total=100,
+                      max_retries=2)
+    pages = crawl(spark, ["https://ex.com/"], cfg, flaky_fetch)
+    urls = {r.url for r in pages.select("url").collect()}
+    assert "https://ex.com/b" in urls  # recovered on 3rd attempt
+    assert len(attempts.read_text().splitlines()) == 3
+
+    # exhaustion: always-failing URL tried max_retries+1 times, then done
+    always = tmp_path / "always.log"
+
+    def dead_fetch(url: str, _log=str(always)):
+        if url == "https://ex.com/b":
+            with open(_log, "a") as fh:
+                fh.write("b\n")
+            return None, ""
+        return fake_fetch(url)
+
+    pages2 = crawl(spark, ["https://ex.com/"], cfg, dead_fetch)
+    urls2 = {r.url for r in pages2.select("url").collect()}
+    assert "https://ex.com/b" not in urls2
+    assert len(always.read_text().splitlines()) == 3  # 1 + 2 retries
+
+
 # ---------------------------------------------------------------------------
 # maintenance: small-files compaction
 # ---------------------------------------------------------------------------
