@@ -66,6 +66,7 @@ class CrawlConfig:
     #: as visited — url_frontier's retry_count/state machine
     #: (db/schema.sql:38-39) in dataflow form
     max_retries: int = 2
+    incremental: bool = True       # models.py:18 / crawler_core.py:258
     per_domain: int = 2            # http_fetcher.py:23
     checkpoint_every: int = 4      # lineage cut cadence (ours)
     extra: dict = field(default_factory=dict)  # config jsonb escape hatch

@@ -34,7 +34,17 @@ from data_integration_system_spark.pipeline.fetch import (
     default_http_fetch,
     fetch_frontier,
 )
-from data_integration_system_spark.pipeline.writer import write_pages
+from data_integration_system_spark.pipeline.writer import (
+    STATUS_COL,
+    classify_upsert,
+    write_pages,
+)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 _CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
 
@@ -113,12 +123,39 @@ def run_job(
                 docs.write.mode("overwrite").parquet(
                     output_path.rstrip("/") + "_files"
                 )
+        upserts = {"INSERTED": n, "SKIPPED": 0, "UPSERTED": 0}
         if not cfg.documents_only:
-            write_pages(pages.drop("links"), output_path)
+            new_pages = pages.drop("links")
+            if cfg.incremental and _exists(spark, output_path):
+                # re-crawl against an existing store: classify by content
+                # hash (the reference's load_indexes_if_any + hash-skip,
+                # crawler_core.py:258 / filesystem_store.py:112-114), keep
+                # the new version of changed pages, keep untouched pages
+                current = spark.read.parquet(output_path)
+                classified = classify_upsert(
+                    new_pages, current, key="page_id", hash_col="content_hash"
+                ).localCheckpoint()
+                upserts = {"INSERTED": 0, "SKIPPED": 0, "UPSERTED": 0} | {
+                    r[STATUS_COL]: r["n"]
+                    for r in classified.groupBy(STATUS_COL)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                merged = (
+                    current.join(new_pages.select("page_id"), "page_id", "left_anti")
+                    .unionByName(new_pages)
+                    .localCheckpoint()  # materialize BEFORE overwriting the
+                    # path it reads from (local-mode swap; a production
+                    # lake writes a new snapshot dir instead)
+                )
+                merged.write.mode("overwrite").partitionBy("domain").parquet(output_path)
+            else:
+                write_pages(new_pages, output_path)
         return {
             "status": "DONE",
             "pages": n,
             "files": n_files,
+            "upserts": upserts,
             "output": output_path,
             "error": "",
         }

@@ -635,6 +635,30 @@ def test_run_job_file_ingestion(spark, tmp_path):
     assert not os.path.exists(out3 + "_files")
 
 
+def test_run_job_incremental_recrawl(spark, tmp_path):
+    """incremental (models.py:18): a re-crawl against an existing store
+    classifies by content hash — identical run is all SKIPPED, a changed
+    page is UPSERTED and its new text lands, row count stable."""
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    out = str(tmp_path / "inc_out")
+    job = {"start_urls": ["https://ex.com/"], "download_files": False}
+    r1 = run_job(spark, job, out, fetch_fn=fake_fetch)
+    assert r1["upserts"]["INSERTED"] == 4
+
+    r2 = run_job(spark, job, out, fetch_fn=fake_fetch)
+    assert r2["upserts"] == {"INSERTED": 0, "SKIPPED": 4, "UPSERTED": 0}
+
+    site2 = dict(SITE)
+    site2["https://ex.com/c"] = '<a href="/">home</a>Leaf C CHANGED'
+    r3 = run_job(spark, job, out, fetch_fn=make_fake_fetch(site2))
+    assert r3["upserts"] == {"INSERTED": 0, "SKIPPED": 3, "UPSERTED": 1}
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    texts = {r.url: r.text for r in rows}
+    assert "CHANGED" in texts["https://ex.com/c"]
+
+
 def test_run_job_failure_is_data(spark, tmp_path):
     from data_integration_system_spark.pipeline.jobs import run_job
 
