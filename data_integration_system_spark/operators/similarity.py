@@ -59,15 +59,30 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dot product folds left-to-right in double on both engines
     (F.aggregate vs ordered list_aggregate), so values hash-match; the
     displayed similarity is rounded AFTER ranking."""
+    from data_integration_system_spark.functions.vectors import dot, norm
+
     emb = table(spark, sf_dir, "embeddings")
+    # norms are computed ONCE per vector in the scan projections; the
+    # per-pair work inside the cross join is then just the dot product.
+    # (cosine() inline would re-fold both norms for every (q, c) pair —
+    # |Q|x the corpus-norm work.)  Same left-to-right double folds, so
+    # values still hash-match the oracle.
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
     )
     c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
-    )
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
+    ).localCheckpoint()  # materialize cn: CollapseProject would inline
+    # the norm fold back into every pair row of the cross join
+    denom = F.col("qn") * F.col("cn")
     sims = F.broadcast(q).crossJoin(c).select(
-        "q_id", "c_id", cosine(F.col("qe"), F.col("ce")).alias("sim")
+        "q_id",
+        "c_id",
+        F.when(denom > 0, dot(F.col("qe"), F.col("ce")) / denom).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
     return (
@@ -82,43 +97,32 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk", oracle=None)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star IVF-style ANN: corpus vectors are assigned to the
-    nearest of k centroids (here: per-label mean vectors — a stand-in for
-    k-means, computed distributively via posexplode + per-position mean);
-    each query probes only the `nprobe` nearest centroids' partitions.
-
-    At 100 TB: centroid assignment happens at write time (a partition
-    column), so a query touches nprobe/k of the data — this is the
-    scale path over Q29's exact scan. Approximate -> rows-only."""
-    emb = table(spark, sf_dir, "embeddings")
-    nprobe = 3
-
-    # centroids: per-label elementwise mean via posexplode (distributed,
-    # no driver collect of vectors)
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
+def _elementwise_means(assigned: DataFrame, key: str = "cent_id") -> DataFrame:
+    """(key, embedding) -> (cent_id, centroid) per-position mean vectors,
+    computed distributively via posexplode (no driver collect)."""
+    return (
+        assigned.select(key, F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(key, "pos")
         .agg(F.avg("v").alias("m"))
-        .groupBy("label")
+        .groupBy(key)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
-            F.col("label").alias("cent_id"),
+            F.col(key).alias("cent_id"),
             F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
         )
     )
 
-    # assign each corpus vector to its nearest centroid — SHUFFLE-FREE:
-    # all k centroids ride along as one broadcast single-row relation and
-    # the argmax is an inline array expression (struct array_max compares
-    # (d, -cent_id) lexicographically = best sim, ties to lowest id).
-    # The naive shape (crossJoin ×k + row_number over vec_id) shuffles
-    # the whole corpus; this evaluates inside the scan stage.
+
+def _nearest_centroid(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """Attach cent_id = nearest centroid — SHUFFLE-FREE: all k centroids
+    ride along as one broadcast single-row relation and the argmax is an
+    inline array expression (struct array_max compares (d, -cent_id)
+    lexicographically = best sim, ties to lowest id).  The naive shape
+    (crossJoin ×k + row_number over vec_id) shuffles the whole corpus;
+    this evaluates inside the scan stage."""
     cents_one = cent.agg(
         F.collect_list(F.struct("cent_id", "centroid")).alias("cents")
     )
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
@@ -126,14 +130,46 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-c.getField("cent_id")).alias("neg_id"),
         ),
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents_one))
+    return (
+        df.crossJoin(F.broadcast(cents_one))
         .select(
-            "vec_id",
-            "embedding",
+            *df.columns,
             (-F.array_max(scored).getField("neg_id")).alias("cent_id"),
         )
     )
+
+
+_LLOYD_ITERS = 2
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star IVF-style ANN: corpus vectors are k-means-assigned to
+    centroids (label-mean init + Lloyd refinement rounds, all
+    distributed: shuffle-free inline-argmax assignment, posexplode mean
+    update); each query probes only the `nprobe` nearest centroids'
+    partitions.
+
+    At 100 TB: the k-means fit and centroid assignment happen at WRITE
+    time (cent_id becomes a partition column), so a query touches
+    nprobe/k of the data — this is the scale path over Q29's exact scan.
+    An emptied cluster simply drops out (standard Lloyd behavior).
+    Approximate -> rows-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    nprobe = 3
+
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    # init: per-label means; then Lloyd rounds re-assign + re-average.
+    # localCheckpoint per round: k×dim rows, and it cuts the iterative
+    # lineage exactly like the crawl/clustering loops.
+    cent = _elementwise_means(
+        emb.select(F.col("label").alias("cent_id"), "embedding")
+    ).localCheckpoint()
+    for _ in range(_LLOYD_ITERS):
+        asg = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+        cent = _elementwise_means(asg).localCheckpoint()
+
+    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
 
     # each query probes its nprobe nearest centroids
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(

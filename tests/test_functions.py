@@ -209,7 +209,9 @@ def test_ivf_recall_against_exact(spark):
     brute-force top-k. The synthetic embeddings are weakly clustered
     (max pairwise cosine ~0.44), so nprobe=3 of 10 centroids recovering
     half the true neighbors is the honest operating point — a drop below
-    0.45 means the centroid assignment or probe selection regressed."""
+    0.5 means the k-means fit, centroid assignment, or probe selection
+    regressed (label-mean init alone gave 0.475; Lloyd rounds buy the
+    rest)."""
     from data_integration_system_spark.registry import get_queries
 
     sf = "/root/testdata/sf0.001"
@@ -217,4 +219,4 @@ def test_ivf_recall_against_exact(spark):
     exact = {(r.q_id, r.c_id) for r in qs["similarity_topk"](spark, sf).collect()}
     ivf = {(r.q_id, r.c_id) for r in qs["similarity_ivf_topk"](spark, sf).collect()}
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.45, f"IVF recall@5 regressed: {recall:.2f}"
+    assert recall >= 0.5, f"IVF recall@5 regressed: {recall:.2f}"
