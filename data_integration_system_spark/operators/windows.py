@@ -220,3 +220,81 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "event_type", F.ntile(4).over(w).cast("long").alias("quartile")
     )
+
+
+@query(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) AS lag_us
+    FROM s JOIN p ON s.user_id = p.user_id
+    """,
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first signup -> first purchase AT OR
+    AFTER it, with the conversion lag.  The two-stage temporal funnel
+    every product-analytics pipeline runs.
+
+    Scale: both aggs and the joins share user_id as the key, so the
+    whole funnel is one shuffle's partitioning reused end-to-end; the
+    lag is integer microseconds (epoch_us both engines — no date_diff
+    boundary-crossing semantics, no double rounding)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")).alias("lag_us"),
+    )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences (lead under
+    a total order) — the session-flow matrix behind "what do users do
+    next" analyses.  One shuffle on user_id for the sequence window,
+    then a tiny |types|² aggregation."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
