@@ -102,8 +102,12 @@ def main() -> None:
         out["errors"] = errors
 
     # self-comparison vs the latest recorded round: queries >1.5x slower
-    # are flagged so a regression is visible in the round's JSON itself
+    # are flagged so a regression is visible in the round's JSON itself.
+    # Only comparable at the SAME scale factor — an sf0.01 run diffed
+    # against an sf0.1 recording would flag everything (or nothing).
     prev = _latest_round_bench()
+    if prev and prev.get("sf") != sf:
+        prev = None
     if prev:
         regressions = {
             name: {"prev": p, "now": timings[name]}

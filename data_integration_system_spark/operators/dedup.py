@@ -617,8 +617,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters", oracle=None)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_labels_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star dedup-cluster assignment: connected components over the
     near-duplicate pair graph (MinHash candidates verified at jaccard >=
     0.2), labels = min doc_id reachable.  The canonical "pick one
@@ -678,14 +677,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("label").alias("cluster_rep"),
-            F.col("doc_id"),
-            "cluster_size",
-        )
-        .orderBy("cluster_rep", "doc_id")
+    return labels.join(sizes, "label").select(
+        F.col("label").alias("cluster_rep"),
+        F.col("doc_id"),
+        "cluster_size",
+    )
+
+
+@query("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query surface for the cluster labels; the orderBy exists only to
+    canonicalize THIS query's output — internal consumers use the
+    unordered form and skip the range-partition sort."""
+    return dedup_cluster_labels_unordered(spark, sf_dir).orderBy(
+        "cluster_rep", "doc_id"
     )
 
 
@@ -699,7 +704,7 @@ def dedup_corpus_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the drop set is |duplicates| rows (tiny vs corpus), so the
     anti-join broadcasts; the corpus is scanned once.  Rows-only
     (inherits the iterative clustering)."""
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_cluster_labels_unordered(spark, sf_dir)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     docs = table(spark, sf_dir, "documents")
     return (

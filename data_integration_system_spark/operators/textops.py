@@ -184,14 +184,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_fingerprint", oracle=None)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star document fingerprinting (winnowing): hash every 5-token
-    shingle (rolling-hash analog via xxhash64), then keep the minimum
-    hash per window of 4 consecutive shingle hashes — the classic
-    winnowing fingerprint set, as distinct sorted hashes.
-
-    Rows-only: xxhash64 has no DuckDB twin. All JVM array expressions."""
+def doc_fingerprints_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp_hash) winnowing fingerprints WITHOUT the output sort —
+    the form downstream joins consume (a global orderBy is a full
+    range-partition shuffle that a consumer re-shuffling on fp_hash
+    would pay for nothing)."""
     docs = table(spark, sf_dir, "documents")
     k, w = 5, 4
     # tokens staged first: `element_at(tokens_of(text), …)` would re-split
@@ -220,10 +217,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exploded (doc_id, fp_hash) rows — the join shape fingerprint matching
     # actually uses (self-join on fp_hash to find overlapping docs), and
     # scalar columns only so any canonicalizer can sort/hash the output.
-    return (
-        d.select("doc_id", F.explode(fp).alias("fp_hash"))
-        .orderBy("doc_id", "fp_hash")
-    )
+    return d.select("doc_id", F.explode(fp).alias("fp_hash"))
+
+
+@query("doc_fingerprint", oracle=None)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star document fingerprinting (winnowing): hash every 5-token
+    shingle (rolling-hash analog via xxhash64), then keep the minimum
+    hash per window of 4 consecutive shingle hashes — the classic
+    winnowing fingerprint set, exploded to (doc_id, fp_hash) rows.
+
+    Rows-only: xxhash64 has no DuckDB twin. All JVM array expressions;
+    the orderBy exists only to canonicalize THIS query's output."""
+    return doc_fingerprints_unordered(spark, sf_dir).orderBy("doc_id", "fp_hash")
 
 
 @query(
@@ -336,7 +342,7 @@ def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune; same quadratic-bucket defense as dedup's LSH cap), so pair
     production stays near-linear.  Rows-only (xxhash64 fingerprints
     have no DuckDB twin)."""
-    fp = doc_fingerprint(spark, sf_dir)
+    fp = doc_fingerprints_unordered(spark, sf_dir)
     # stop-hash prune: fingerprints in >20 docs are boilerplate
     hot = (
         fp.groupBy("fp_hash")

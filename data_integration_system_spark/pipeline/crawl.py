@@ -95,21 +95,15 @@ PAGES_SCHEMA = (
 
 
 def _committed_generations(spark: SparkSession, checkpoint_dir: str) -> list[int]:
-    """Generations with a committed state marker, ascending.  Uses the
-    Hadoop FileSystem API via the JVM gateway so the same code lists
-    local paths, HDFS, or s3a:// — the driver-side listing is O(#gens),
-    never O(#urls)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/state")
-    fs = path.getFileSystem(conf)
-    if not fs.exists(path):
-        return []
+    """Generations with a committed state marker, ascending.  Hadoop FS
+    API (fsutil) so local/HDFS/s3a all work; the driver-side listing is
+    O(#gens), never O(#urls)."""
+    from data_integration_system_spark.pipeline import fsutil
+
     gens = []
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if name.startswith("gen=") and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+    for name in fsutil.child_names(spark, f"{checkpoint_dir}/state"):
+        if name.startswith("gen=") and fsutil.exists(
+            spark, f"{checkpoint_dir}/state/{name}/_SUCCESS"
         ):
             gens.append(int(name.removeprefix("gen=")))
     return sorted(gens)
@@ -162,6 +156,13 @@ def crawl(
             budget = spark.read.parquet(
                 f"{checkpoint_dir}/state/gen={generation}"
             ).head()["budget"]
+    elif checkpoint_dir:
+        # FRESH run into a reused checkpoint_dir: clear previous commits,
+        # or the final union would return the dead crawl's generations
+        # beyond the ones this run rewrites
+        from data_integration_system_spark.pipeline import fsutil
+
+        fsutil.delete_tree(spark, checkpoint_dir)
 
     while budget > 0:
         gen = (

@@ -34,17 +34,12 @@ from data_integration_system_spark.pipeline.fetch import (
     default_http_fetch,
     fetch_frontier,
 )
+from data_integration_system_spark.pipeline.fsutil import exists as _exists
 from data_integration_system_spark.pipeline.writer import (
     STATUS_COL,
     classify_upsert,
     write_pages,
 )
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 _CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
 
@@ -89,15 +84,31 @@ def ingest_files(
     """The file-document stream (crawler_core.py:96-135 _handle_file_url,
     batched): allowlisted file links discovered by the crawl → politeness
     fetch → S4-S9 extraction with the size cap.  Errors stay data
-    (error column), exactly like download_extract_delete's contract."""
+    (error column), exactly like download_extract_delete's contract.
+
+    The size cap is enforced as a COLUMN predicate before the Arrow
+    boundary (extract.py's F9 contract): oversize blobs never ship to
+    Python — their skipped_too_large marker rows are synthesized
+    Spark-side, preserving the reference's errors-as-data outcome
+    (crawler_core.py:116)."""
     files = file_links_of(pages, cfg)
-    fetched = fetch_frontier(files, fetch_fn, per_domain=cfg.per_domain)
-    return extract_files(
-        fetched.filter(F.col("content").isNotNull()).withColumn(
+    fetched = fetch_frontier(files, fetch_fn, per_domain=cfg.per_domain).filter(
+        F.col("content").isNotNull()
+    )
+    size = F.octet_length("content")
+    extracted = extract_files(
+        fetched.filter(size <= cfg.max_file_bytes).withColumn(
             "ext", ext_of(F.col("url"))
         ),
         max_bytes=cfg.max_file_bytes,
     )
+    too_large = fetched.filter(size > cfg.max_file_bytes).select(
+        "url",
+        F.lit("").alias("text"),
+        F.lit("skipped_too_large").alias("error"),
+        size.cast("long").alias("size_bytes"),
+    )
+    return extracted.unionByName(too_large)
 
 
 def run_job(
@@ -119,12 +130,15 @@ def run_job(
         if cfg.download_files:
             docs = ingest_files(pages, cfg, fetch_fn).localCheckpoint()
             n_files = docs.count()
-            if n_files:
-                docs.write.mode("overwrite").parquet(
-                    output_path.rstrip("/") + "_files"
-                )
-        upserts = {"INSERTED": n, "SKIPPED": 0, "UPSERTED": 0}
+            # written even when empty: the _files table is a snapshot of
+            # THIS crawl's discoveries — leaving a previous run's files
+            # behind would present stale documents as current
+            docs.write.mode("overwrite").parquet(
+                output_path.rstrip("/") + "_files"
+            )
+        upserts = {"INSERTED": 0, "SKIPPED": 0, "UPSERTED": 0}
         if not cfg.documents_only:
+            upserts["INSERTED"] = n
             new_pages = pages.drop("links")
             if cfg.incremental and _exists(spark, output_path):
                 # re-crawl against an existing store: classify by content
@@ -164,6 +178,7 @@ def run_job(
             "status": "FAILED",
             "pages": 0,
             "files": 0,
+            "upserts": {"INSERTED": 0, "SKIPPED": 0, "UPSERTED": 0},
             "output": output_path,
             "error": str(e),
         }

@@ -17,14 +17,7 @@ import math
 
 from pyspark.sql import SparkSession
 
-
-def _tree_bytes(spark: SparkSession, path: str) -> int:
-    """Total bytes under `path` via the Hadoop FileSystem API (works for
-    local, HDFS, s3a — same pattern as the crawl checkpoint listing)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.getContentSummary(p).getLength()
+from data_integration_system_spark.pipeline.fsutil import tree_bytes
 
 
 def compact_parquet(
@@ -43,6 +36,6 @@ def compact_parquet(
     pays file-count overhead proportional to data size, not to how many
     increments ever ran."""
     out_path = out_path or path.rstrip("/") + "_compacted"
-    n = max(1, math.ceil(_tree_bytes(spark, path) / target_file_bytes))
+    n = max(1, math.ceil(tree_bytes(spark, path) / target_file_bytes))
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
     return n

@@ -131,6 +131,11 @@ def jdbc_merge_sql(
     once)."""
     if update_cols is None:
         update_cols = [c for c in columns if c not in key_cols]
+    if not update_cols and not insert_only:
+        raise ValueError(
+            "every column is a key column — an upsert has nothing to "
+            "update; use insert_only=True (ON CONFLICT DO NOTHING)"
+        )
     cols_q = ", ".join(_q(c) for c in columns)
     if dialect == "postgres":
         action = (
@@ -198,7 +203,14 @@ def write_jdbc_upsert(
         target, staging, df.columns, key_cols, dialect=dialect, insert_only=insert_only
     )
     jvm = df.sparkSession._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+    # the merge connection must authenticate exactly like the staging
+    # write: forward user/password (and any other java.sql properties)
+    # from write_options instead of relying on URL-embedded credentials
+    props = jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if write_options and k in write_options:
+            props.setProperty(k, write_options[k])
+    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url, props)
     try:
         conn.createStatement().execute(sql)
     finally:

@@ -400,6 +400,14 @@ def test_jdbc_identifiers_validated():
         jdbc_merge_sql('t"; DROP TABLE x;--', "s", ["a"], ["a"])
     with pytest.raises(ValueError):
         jdbc_merge_sql("t", "s", ["bad col"], ["bad col"])
+    # every column a key -> nothing to update: must raise, not emit
+    # 'DO UPDATE SET ' with an empty assignment list
+    with pytest.raises(ValueError, match="insert_only"):
+        jdbc_merge_sql("t", "s", ["a", "b"], ["a", "b"], dialect="postgres")
+    # ...but insert_only is the valid spelling of that intent
+    assert jdbc_merge_sql(
+        "t", "s", ["a", "b"], ["a", "b"], dialect="postgres", insert_only=True
+    ).endswith("DO NOTHING")
 
 
 def test_jdbc_upsert_embedded_derby(spark):
@@ -468,6 +476,14 @@ def test_crawl_checkpoint_resume(spark, tmp_path):
     assert sorted(map(tuple, resumed.select(*cols).collect())) == sorted(
         map(tuple, full.select(*cols).collect())
     )
+
+    # a FRESH run (resume=False) into the same dir must clear the old
+    # commits — not union the dead crawl's generations into its result
+    single = CrawlConfig(root_domain="ex.com", max_depth=0, max_pages_total=100)
+    fresh = crawl(
+        spark, ["https://ex.com/"], single, fake_fetch, checkpoint_dir=ckpt
+    )
+    assert {r.url for r in fresh.select("url").collect()} == {"https://ex.com/"}
 
 
 def test_crawl_retries_failed_fetches(spark, tmp_path):
@@ -624,6 +640,9 @@ def test_run_job_file_ingestion(spark, tmp_path):
     assert report2["files"] == 1 and report2["pages"] > 0
     assert not os.path.exists(out2)  # pages not stored
 
+    # documents_only stores no pages, so it must not report insertions
+    assert report2["upserts"] == {"INSERTED": 0, "SKIPPED": 0, "UPSERTED": 0}
+
     out3 = str(tmp_path / "job_no_files")
     report3 = run_job(
         spark,
@@ -633,6 +652,66 @@ def test_run_job_file_ingestion(spark, tmp_path):
     )
     assert report3["status"] == "DONE" and report3["files"] == 0
     assert not os.path.exists(out3 + "_files")
+
+
+def test_ingest_files_size_cap_spark_side(spark, tmp_path):
+    """max_file_bytes is a column predicate: oversize blobs never cross
+    the Arrow boundary, but their skipped_too_large marker rows survive
+    (errors-as-data, crawler_core.py:116)."""
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    big = b"%PDF" + b"x" * 2000
+
+    def fetch_with_big_pdf(url: str):
+        if url == "https://ex.com/doc1.pdf":
+            return big, "application/pdf"
+        return fake_fetch(url)
+
+    out = str(tmp_path / "cap_out")
+    report = run_job(
+        spark,
+        {"start_urls": ["https://ex.com/"], "max_file_bytes": 100},
+        out,
+        fetch_fn=fetch_with_big_pdf,
+    )
+    assert report["status"] == "DONE" and report["files"] == 1
+    row = spark.read.parquet(out + "_files").collect()[0]
+    assert row.error == "skipped_too_large"
+    assert row.text == "" and row.size_bytes == len(big)
+
+
+def test_run_job_stale_files_cleared(spark, tmp_path):
+    """A re-run whose crawl discovers no file links must not leave the
+    previous run's _files table presenting stale documents as current."""
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    def fetch_with_pdf(url: str):
+        if url == "https://ex.com/doc1.pdf":
+            return b"%PDF fake", "application/pdf"
+        return fake_fetch(url)
+
+    out = str(tmp_path / "stale_out")
+    job = {"start_urls": ["https://ex.com/"], "incremental": False}
+    assert run_job(spark, job, out, fetch_fn=fetch_with_pdf)["files"] == 1
+
+    site2 = dict(SITE)
+    site2["https://ex.com/b"] = "no file links anymore"
+    report = run_job(spark, job, out, fetch_fn=make_fake_fetch(site2))
+    assert report["files"] == 0
+    assert spark.read.parquet(out + "_files").count() == 0
+
+
+def test_run_job_failed_report_shape(spark, tmp_path):
+    """DONE and FAILED reports carry the same keys (errors are data; a
+    consumer aggregating upserts must not KeyError on failures)."""
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    ok = run_job(spark, {"start_urls": ["https://ex.com/"]},
+                 str(tmp_path / "ok"), fetch_fn=fake_fetch)
+    bad = run_job(spark, {"start_urls": ["https://ex.com/"], "max_depth_root": "x"},
+                  str(tmp_path / "bad"), fetch_fn=fake_fetch)
+    assert bad["status"] == "FAILED" and bad["error"]
+    assert set(bad) == set(ok)
 
 
 def test_run_job_incremental_recrawl(spark, tmp_path):
