@@ -217,3 +217,83 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.floor(norm("embedding") * 10000).cast("long").alias("l2_norm_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized IVF index: the write-time scale path the ad-hoc query
+# (similarity_ivf_topk) simulates inline.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    lloyd_iters: int = _LLOYD_ITERS,
+) -> None:
+    """Fit k-means centroids and write the corpus PARTITIONED BY its
+    nearest-centroid assignment, plus a tiny centroids table.
+
+    This is the IVF contract at 100 TB: clustering cost is paid ONCE at
+    write time; every later query scans nprobe/k of the corpus through
+    parquet partition pruning, not a full scan + filter."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cent = _elementwise_means(
+        emb.select(F.col("label").alias("cent_id"), "embedding")
+    ).localCheckpoint()
+    for _ in range(lloyd_iters):
+        asg = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+        cent = _elementwise_means(asg).localCheckpoint()
+    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{index_path}/corpus"
+    )
+    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    top_k: int = _TOP_K,
+    nprobe: int = 3,
+) -> DataFrame:
+    """ANN top-k against a built index: probe selection runs on the tiny
+    centroids table, and the per-query probe ids become LITERAL partition
+    filters on the corpus scan (collecting q×nprobe ints to the driver is
+    the index-probe protocol — that is what makes partition PRUNING, not
+    post-scan filtering, possible).  `queries` is (q_id, qe)."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "cent_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("q_id", "qe", "cent_id", cosine("qe", "centroid").alias("d"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qe", "cent_id")
+        .localCheckpoint()  # tiny; freezes the probe list for the collect
+    )
+    probed_cents = sorted(
+        {r.cent_id for r in probes.select("cent_id").distinct().collect()}
+    )
+    corpus = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("cent_id").isin(probed_cents)  # literal -> PartitionFilters
+    )
+    top_w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    return (
+        probes.join(corpus, "cent_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            cosine("qe", "embedding").alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rn").cast("long").alias("rnk"),
+            F.round("sim", 4).alias("cos_sim"),
+        )
+    )

@@ -131,3 +131,40 @@ def test_salt_varies_within_colocated_hot_key(spark, tmp_path):
 
     n_salts = df.select(_row_salt(8).alias("s")).select("s").distinct().count()
     assert n_salts > 1
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index delivers its scale promise: the corpus
+    scan reads ONLY the probed cent_id partitions (parquet partition
+    pruning on the literal probe list), and results match the inline
+    IVF query's top-k for the same parameters."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivf_index,
+        query_ivf_index,
+        similarity_ivf_topk,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, SF, idx)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    df = query_ivf_index(spark, idx, queries)
+
+    # partition pruning visible in the plan: the corpus scan carries
+    # cent_id partition filters, so unprobed partitions are never read
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cent_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # identical parameters -> identical top-k as the inline query
+    inline = {
+        (r.q_id, r.c_id, r.rnk) for r in similarity_ivf_topk(spark, SF).collect()
+    }
+    indexed = {(r.q_id, r.c_id, r.rnk) for r in df.collect()}
+    assert indexed == inline
