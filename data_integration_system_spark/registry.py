@@ -59,11 +59,47 @@ def _load_all_modules() -> None:
     )
 
 
-def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The external correctness driver samples the FIRST 50 entries of queries()
+# in iteration order. _DRIVER_HEAD pins queries that most need a driver row
+# this round to the front of the window; anything not listed follows in module
+# registration order.
+#
+# Rotation policy (update each round): (1) queries that have never had a green
+# driver row — including queries NEW this round (add them here explicitly),
+# (2) queries green in an older round but unsampled last round, (3) everything
+# else in registration order; the most-often-verified queries fall out of the
+# 50-query window.
+_DRIVER_HEAD: list[str] = [
+    # (1) never driver-green as of round 2 (VERDICT r2 "Next round" #1):
+    "doc_fingerprint",
+    "fingerprint_overlap_pairs",
+    "signup_purchase_funnel",
+    "event_type_transitions",
+    "top_sources_per_lang",
+    "ntile_quartiles",
+    # (2) green in r1 but unsampled in r2:
+    "window_rank_frames",
+    "tumbling_window_counts",
+    "sliding_window_avg",
+    "session_windows",
+    "text_normalize",
+    "sample_stratified",
+    "contamination_check",
+]
+
+
+def _ordered_specs() -> list[QuerySpec]:
     _load_all_modules()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    head_rank = {name: i for i, name in enumerate(_DRIVER_HEAD)}
+    names = list(QUERIES)
+    reg_rank = {name: i for i, name in enumerate(names)}
+    names.sort(key=lambda n: (0, head_rank[n]) if n in head_rank else (1, reg_rank[n]))
+    return [QUERIES[n] for n in names]
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def get_oracle_sql() -> dict[str, str]:
-    _load_all_modules()
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {spec.name: spec.oracle for spec in _ordered_specs() if spec.oracle is not None}
