@@ -567,12 +567,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise within (lang, source) blocks — the deterministic, oracle-
     checkable sibling of Q28's MinHash approximation.
 
-    Blocking bounds the pair space: the self-join key is (lang, source),
-    so candidates = sum over blocks of |B|² instead of n².  At 100 TB the
-    block key becomes a real partitioner (e.g. language × content-length
-    band × LSH band) — same plan shape, one shuffle on the block key.
-    Token/shingle arrays are staged via localCheckpoint (CollapseProject
-    would otherwise re-split the text per array reference)."""
+    Blocking bounds the pair space: the self-join key is (lang, source,
+    length_band) — see _banded_block_candidates for the exactness proof of
+    the band conjunct.  At 100 TB the band splits a dominant (lang,
+    source) block into ~log-many sub-blocks so no single block is ~n²;
+    same plan shape, one shuffle on the block key.  Token/shingle arrays
+    are staged via localCheckpoint (CollapseProject would otherwise
+    re-split the text per array reference)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", _tokens(F.col("text")).alias("toks")
@@ -588,18 +589,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(_shingles(F.col("toks"))), lambda s: F.xxhash64(s)
         ).alias("sh"),
     ).localCheckpoint()
-    sized = sh.withColumn("n", F.size("sh"))
-    a = sized.alias("a")
-    b = sized.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    uni = F.col("a.n") + F.col("b.n") - inter
+    cand = _banded_block_candidates(sh.withColumn("n", F.size("sh")))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = F.col("n_a") + F.col("n_b") - inter
     jac = inter / uni
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= 0.5)
+        .drop("_j")
+    )
+
+
+def _banded_block_candidates(sized: DataFrame) -> DataFrame:
+    """Exact blocked self-join for J >= 0.5 candidates.
+
+    Input: (doc_id, lang, source, sh: array<long>, n: int).  Output: one
+    row per unordered candidate pair — (doc_a < doc_b, sh_a, sh_b, n_a,
+    n_b) — inside (lang, source, floor(log2 n) length-band) blocks.
+
+    Exactness: J >= 0.5 forces min(n_a, n_b) >= 0.5 * max(n_a, n_b)
+    (J <= |inter|/|union| <= min/max), i.e. log2 sizes differ by <= 1, so
+    floor(log2 n) bands differ by AT MOST 1.  Joining same-band plus
+    adjacent-band therefore loses nothing; the oracle's unbanded
+    all-pairs-in-(lang,source) form is intentionally left independent to
+    verify this.  One side duplicates each row into (band, band+1) keys
+    and the match condition keeps exactly one copy per unordered pair:
+    bands equal -> doc_id order breaks the tie; bands adjacent -> the
+    higher-band doc must sit on the non-exploded side.
+
+    At 100 TB this is the defense against one dominant (lang, source)
+    block going quadratic: pair space is bounded per LENGTH BAND, and the
+    shuffle key (lang, source, band_key) spreads a hot block across
+    partitions.  The size-ratio prune stays as an exact in-join conjunct.
+    """
+    banded = sized.withColumn(
+        "band", F.floor(F.log2(F.greatest(F.col("n"), F.lit(1)))).cast("int")
+    )
+    a = banded.withColumn("band_key", F.col("band")).alias("a")
+    b = banded.withColumn(
+        "band_key", F.explode(F.array(F.col("band"), F.col("band") + F.lit(1)))
+    ).alias("b")
+    pair_once = (F.col("b.band") < F.col("a.band")) | (
+        (F.col("b.band") == F.col("a.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & pair_once
             # size-ratio prune: J <= min(na,nb)/max(na,nb), so pairs whose
             # sizes differ by >2x can't reach 0.5 — drops them BEFORE the
             # intersect runs (plan: extra cheap conjunct in the join)
@@ -607,13 +651,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                >= 0.5 * F.greatest(F.col("a.n"), F.col("b.n"))),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-            jac.alias("_j"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
-        .filter(F.col("_j") >= 0.5)
-        .drop("_j")
     )
 
 

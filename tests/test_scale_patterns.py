@@ -168,3 +168,40 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     }
     indexed = {(r.q_id, r.c_id, r.rnk) for r in df.collect()}
     assert indexed == inline
+
+
+def test_ngram_band_blocking_bounds_dominant_block(spark):
+    """One dominant (lang, source) block must NOT go quadratic: the
+    length-band conjunct splits it so candidates are bounded by
+    per-band pair counts, while losing NO pair that survives the exact
+    size-ratio prune (band diff <= 1 is implied by ratio <= 2)."""
+    from data_integration_system_spark.operators.dedup import (
+        _banded_block_candidates,
+    )
+
+    n_docs, n_bands = 480, 12
+    sized = spark.range(0, n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.array(F.col("id")).alias("sh"),
+        F.pow(F.lit(2), (F.col("id") % n_bands)).cast("int").alias("n"),
+    )
+    cand = _banded_block_candidates(sized).cache()
+    got = cand.count()
+
+    # exact: every ratio-surviving pair is produced exactly once
+    sizes = [2 ** (i % n_bands) for i in range(n_docs)]
+    want = sum(
+        1
+        for i in range(n_docs)
+        for j in range(i + 1, n_docs)
+        if min(sizes[i], sizes[j]) >= 0.5 * max(sizes[i], sizes[j])
+    )
+    assert got == want
+    assert cand.select("doc_a", "doc_b").distinct().count() == got
+
+    # bounded: far below the all-pairs blow-up of the dominant block
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert got < 0.3 * all_pairs
+    cand.unpersist()
