@@ -3,11 +3,13 @@
 Images/audio/video are opaque `binary` columns with typed metadata; the
 decode / feature-extract step is a Pandas-UDF stage over `mapInPandas`
 (Arrow batches — the only sane way to move binary blobs through Python).
-The actual codec libraries aren't in this container, so decode is a
-clearly-marked deterministic STUB (`_fake_decode`), but everything
-Spark-side — schema, batch shape, partitioning, the mapInPandas contract
-— is real and oracle-checked: the stub's outputs are pure functions of
-the payload bytes, which DuckDB can recompute from the source text.
+The codec binding is import-gated (`_resolve_decode`): real PIL when the
+library is present in the worker, else a clearly-marked deterministic
+STUB (`_fake_decode`) — this container has no codec libs, so the stub
+runs here.  Everything Spark-side — schema, batch shape, partitioning,
+the mapInPandas contract — is real and oracle-checked: the stub's
+outputs are pure functions of the payload bytes, which DuckDB can
+recompute from the source text.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 `spark.sql.files.maxPartitionBytes` sized so a batch of blobs fits
@@ -47,19 +49,47 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """STUB for the image-decode step (no codec libs in this container).
 
     Deterministic pure function of the payload so the pipeline is
-    testable end-to-end; swap with PIL/libvips in production:
-        img = PIL.Image.open(io.BytesIO(payload)); return img.size, img.format
+    testable end-to-end; `_resolve_decode` swaps in the real PIL binding
+    automatically wherever the library exists.
     """
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1, "png" if n % 2 == 0 else "jpeg"
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, str]:
+    """Real codec binding: PIL header decode -> (width, height, format).
+    Only reachable when PIL imports (see _resolve_decode)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return int(img.width), int(img.height), (img.format or "unknown").lower()
+
+
+def _resolve_decode():
+    """Import-gated codec dispatch, mirroring extract.py's _gated pattern:
+    the real PIL binding when the library is importable in the Python
+    worker, else the deterministic stub.  Resolved once per Arrow batch
+    stream (import lookups are cached after the first call).  The DuckDB
+    oracles for the multimodal queries recompute the STUB's outputs, so
+    they hold exactly when the gate is off — which is verified true in
+    this container; with a real codec the oracle comparison is
+    meaningless anyway (payloads here are text bytes, not images)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return _fake_decode
+    return _pil_decode
 
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: binary payload column -> typed metadata rows.
     Errors would be captured as data columns, never raised (the
     reference's errors-as-data contract, file_ingestion.py:61-63)."""
+    decode = _resolve_decode()
     for pdf in batches:
-        meta = [_fake_decode(b) for b in pdf["payload"]]
+        meta = [decode(b) for b in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -124,10 +154,11 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker for the resize stage: decode (stub) -> fit-box
     geometry.  In production the same batch shape carries the re-encoded
     payload bytes out; here we emit geometry only (codec libs absent)."""
+    decode = _resolve_decode()
     for pdf in batches:
         rows = []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            w, h, _ = _fake_decode(bytes(b))
+            w, h, _ = decode(bytes(b))
             nw, nh = _fit_box(w, h)
             rows.append((int(doc_id), w, h, nw, nh))
         yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "new_width", "new_height"])

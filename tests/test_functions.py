@@ -220,3 +220,52 @@ def test_ivf_recall_against_exact(spark):
     ivf = {(r.q_id, r.c_id) for r in qs["similarity_ivf_topk"](spark, sf).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall@5 regressed: {recall:.2f}"
+
+
+def test_multimodal_decode_gate_stub_fallback():
+    """No PIL in this container -> the gate resolves to the deterministic
+    stub, and batch outputs are the stub's pure functions of the bytes."""
+    import pandas as pd
+
+    from data_integration_system_spark.operators import multimodal as mm
+
+    assert mm._resolve_decode() is mm._fake_decode
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"abcd"]})
+    out = next(mm.decode_batches(iter([pdf])))
+    assert (out.width[0], out.height[0], out.fmt[0]) == (5, 5, "png")
+
+
+def test_multimodal_decode_gate_real_binding(monkeypatch):
+    """With a (fake) PIL importable, the gate must pick the real binding
+    and decode_batches must emit ITS values — proving the same code path
+    goes live unchanged when the codec library exists."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from data_integration_system_spark.operators import multimodal as mm
+
+    class _Img:
+        width, height, format = 320, 200, "WEBP"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.ModuleType("PIL.Image")
+    pil.Image.open = lambda fp: _Img()
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+
+    assert mm._resolve_decode() is mm._pil_decode
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [b"\x89PNGfakebytes"]})
+    out = next(mm.decode_batches(iter([pdf])))
+    assert (out.width[0], out.height[0], out.fmt[0]) == (320, 200, "webp")
+    rs = next(mm.resize_batches(iter([pdf])))
+    assert (rs.width[0], rs.height[0], rs.new_width[0], rs.new_height[0]) == (
+        320, 200, 256, 160,
+    )
