@@ -93,6 +93,11 @@ PAGES_SCHEMA = (
     "text string, links array<string>, content_hash string, text_len long"
 )
 
+#: the only entries a crawl checkpoint dir may contain — the guard list
+#: for the fresh-run recursive delete (anything else means the path is
+#: not ours to wipe)
+_CHECKPOINT_LAYOUT = {"pages", "frontier", "visited", "state"}
+
 
 def _committed_generations(spark: SparkSession, checkpoint_dir: str) -> list[int]:
     """Generations with a committed state marker, ascending.  Hadoop FS
@@ -159,9 +164,20 @@ def crawl(
     elif checkpoint_dir:
         # FRESH run into a reused checkpoint_dir: clear previous commits,
         # or the final union would return the dead crawl's generations
-        # beyond the ones this run rewrites
+        # beyond the ones this run rewrites.  Recursive delete of a
+        # user-supplied path is the one destructive call in this module,
+        # so refuse anything that is not recognizably OUR layout — a
+        # mistyped data/output dir must fail loudly, not be wiped.
         from data_integration_system_spark.pipeline import fsutil
 
+        children = set(fsutil.child_names(spark, checkpoint_dir))
+        if children - _CHECKPOINT_LAYOUT:
+            raise ValueError(
+                f"refusing to clear {checkpoint_dir!r}: it does not look "
+                f"like a crawl checkpoint (unexpected entries "
+                f"{sorted(children - _CHECKPOINT_LAYOUT)}); pass an empty "
+                "or crawl-checkpoint directory"
+            )
         fsutil.delete_tree(spark, checkpoint_dir)
 
     while budget > 0:

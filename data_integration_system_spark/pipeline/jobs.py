@@ -34,11 +34,14 @@ from data_integration_system_spark.pipeline.fetch import (
     default_http_fetch,
     fetch_frontier,
 )
-from data_integration_system_spark.pipeline.fsutil import exists as _exists
+from data_integration_system_spark.pipeline.snapshots import (
+    read_current,
+    snapshot_exists,
+    write_snapshot,
+)
 from data_integration_system_spark.pipeline.writer import (
     STATUS_COL,
     classify_upsert,
-    write_pages,
 )
 
 _CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
@@ -140,12 +143,12 @@ def run_job(
         if not cfg.documents_only:
             upserts["INSERTED"] = n
             new_pages = pages.drop("links")
-            if cfg.incremental and _exists(spark, output_path):
+            if cfg.incremental and snapshot_exists(spark, output_path):
                 # re-crawl against an existing store: classify by content
                 # hash (the reference's load_indexes_if_any + hash-skip,
                 # crawler_core.py:258 / filesystem_store.py:112-114), keep
                 # the new version of changed pages, keep untouched pages
-                current = spark.read.parquet(output_path)
+                current = read_current(spark, output_path)
                 classified = classify_upsert(
                     new_pages, current, key="page_id", hash_col="content_hash"
                 ).localCheckpoint()
@@ -155,16 +158,16 @@ def run_job(
                     .agg(F.count("*").alias("n"))
                     .collect()
                 }
-                merged = (
-                    current.join(new_pages.select("page_id"), "page_id", "left_anti")
-                    .unionByName(new_pages)
-                    .localCheckpoint()  # materialize BEFORE overwriting the
-                    # path it reads from (local-mode swap; a production
-                    # lake writes a new snapshot dir instead)
-                )
-                merged.write.mode("overwrite").partitionBy("domain").parquet(output_path)
+                # copy-on-write merge: reads the CURRENT snapshot, writes
+                # the NEXT one — no localCheckpoint pinning, no window
+                # where the only copy is gone (snapshots.write_snapshot
+                # swaps the pointer only after the write commits)
+                merged = current.join(
+                    new_pages.select("page_id"), "page_id", "left_anti"
+                ).unionByName(new_pages)
+                write_snapshot(merged, output_path, partition_by="domain")
             else:
-                write_pages(new_pages, output_path)
+                write_snapshot(new_pages, output_path, partition_by="domain")
         return {
             "status": "DONE",
             "pages": n,

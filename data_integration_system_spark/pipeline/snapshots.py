@@ -1,0 +1,137 @@
+"""Versioned snapshot store for mutable tables on an immutable lake.
+
+The reference mutates its page store in place (Postgres upserts /
+filesystem overwrite, db/postgres_store.py:126-184,
+filesystem_store.py:201-211).  A data lake can't do that safely: a
+read-then-overwrite of the same path destroys the only copy if the write
+fails partway.  The lake-native shape — the same one Delta/Iceberg
+formalize — is copy-on-write snapshots:
+
+* each write lands in a fresh ``{root}/v{NNNNNN}`` directory (write-once,
+  ``errorifexists``);
+* a tiny ``{root}/_CURRENT`` manifest names the active version, swapped
+  via tmp-file + rename only AFTER the data write committed;
+* readers resolve the manifest, so a crash anywhere before the swap
+  leaves them on the previous, fully-intact snapshot.
+
+At 100 TB this is also the performance answer: the merged table is
+written exactly once with no executor-memory pinning (the old
+localCheckpoint-then-overwrite approach held the whole merge in block
+storage), and old snapshots double as time-travel until pruned.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_integration_system_spark.pipeline.fsutil import (
+    child_names,
+    delete_tree,
+    hadoop_path,
+)
+
+_CURRENT = "_CURRENT"
+_VERSION_RE = re.compile(r"^v(\d{6})$")
+
+
+def _versions(spark: SparkSession, root: str) -> list[int]:
+    out = []
+    for name in child_names(spark, root):
+        m = _VERSION_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _write_manifest(spark: SparkSession, root: str, name: str) -> None:
+    """Swap the pointer: write ``_CURRENT.tmp`` then rename over
+    ``_CURRENT``.  The rename is the commit; a crash before it leaves the
+    old manifest (and therefore the old snapshot) authoritative."""
+    tmp, fs = hadoop_path(spark, f"{root}/{_CURRENT}.tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(name.encode("utf-8"))
+    finally:
+        stream.close()
+    dst, _ = hadoop_path(spark, f"{root}/{_CURRENT}")
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def current_version(spark: SparkSession, root: str) -> str | None:
+    """Active snapshot name from the manifest, or None (no manifest —
+    either an empty root or a legacy plain-parquet layout)."""
+    p, fs = hadoop_path(spark, f"{root}/{_CURRENT}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        name = bytes(stream.readAllBytes()).decode("utf-8").strip()
+    finally:
+        stream.close()
+    return name or None
+
+
+def write_snapshot(
+    df: DataFrame, root: str, partition_by: str | None = None
+) -> str:
+    """Commit ``df`` as the next snapshot of ``root`` and return its
+    version name.  The version directory is write-once; the manifest swap
+    happens only after the parquet job committed."""
+    spark = df.sparkSession
+    vs = _versions(spark, root)
+    name = f"v{(vs[-1] + 1 if vs else 1):06d}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(f"{root}/{name}")
+    _write_manifest(spark, root, name)
+    return name
+
+
+def _legacy_data(spark: SparkSession, root: str) -> bool:
+    """A pre-snapshot store: parquet written directly at ``root`` (any
+    child that is neither a version dir nor the manifest)."""
+    return any(
+        not _VERSION_RE.match(c) and not c.startswith(_CURRENT)
+        for c in child_names(spark, root)
+    )
+
+
+def snapshot_exists(spark: SparkSession, root: str) -> bool:
+    """True if ``root`` has a committed snapshot or legacy parquet data.
+    A crashed first write (version dir present, manifest never swapped)
+    counts as NOT existing — nothing was ever committed."""
+    return current_version(spark, root) is not None or _legacy_data(spark, root)
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame:
+    """Resolve the manifest and read the active snapshot.  A root with
+    data but no manifest is a legacy plain-parquet table — read it
+    directly, so pre-snapshot stores keep working unchanged."""
+    name = current_version(spark, root)
+    if name is not None:
+        return spark.read.parquet(f"{root}/{name}")
+    if _legacy_data(spark, root):
+        return spark.read.parquet(root)
+    raise FileNotFoundError(f"no committed snapshot or data at {root}")
+
+
+def prune_snapshots(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` snapshots (never the active one);
+    returns the names removed.  Old versions are time-travel until this
+    runs — the storage-cost knob, not a correctness one."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    active = current_version(spark, root)
+    removed = []
+    for v in _versions(spark, root)[:-keep]:
+        name = f"v{v:06d}"
+        if name == active:
+            continue
+        delete_tree(spark, f"{root}/{name}")
+        removed.append(name)
+    return removed

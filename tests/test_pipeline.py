@@ -604,7 +604,9 @@ def test_run_job_end_to_end(spark, tmp_path):
         fetch_fn=fake_fetch,
     )
     assert report["status"] == "DONE" and report["pages"] == 4
-    assert spark.read.parquet(out).count() == 4
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    assert read_current(spark, out).count() == 4
 
 
 def test_run_job_file_ingestion(spark, tmp_path):
@@ -732,7 +734,9 @@ def test_run_job_incremental_recrawl(spark, tmp_path):
     site2["https://ex.com/c"] = '<a href="/">home</a>Leaf C CHANGED'
     r3 = run_job(spark, job, out, fetch_fn=make_fake_fetch(site2))
     assert r3["upserts"] == {"INSERTED": 0, "SKIPPED": 3, "UPSERTED": 1}
-    rows = spark.read.parquet(out).collect()
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    rows = read_current(spark, out).collect()
     assert len(rows) == 4
     texts = {r.url: r.text for r in rows}
     assert "CHANGED" in texts["https://ex.com/c"]
@@ -781,3 +785,86 @@ def test_archive_extensions_blocked():
 
     for ext in (".rar", ".7z", ".tar", ".gz", ".zip"):
         assert ext in BLOCKED_EXTS
+
+
+def test_snapshot_store_roundtrip_and_prune(spark, tmp_path):
+    """Copy-on-write snapshot store: each write is a new version, readers
+    follow the pointer, pruning keeps the active version."""
+    from data_integration_system_spark.pipeline import snapshots as snap
+
+    root = str(tmp_path / "store")
+    assert not snap.snapshot_exists(spark, root)
+    assert snap.write_snapshot(spark.range(3), root) == "v000001"
+    assert snap.write_snapshot(spark.range(5), root) == "v000002"
+    assert snap.current_version(spark, root) == "v000002"
+    assert snap.read_current(spark, root).count() == 5
+
+    assert snap.write_snapshot(spark.range(7), root) == "v000003"
+    removed = snap.prune_snapshots(spark, root, keep=1)
+    assert removed == ["v000001", "v000002"]
+    assert snap.read_current(spark, root).count() == 7
+
+
+def test_snapshot_store_legacy_layout(spark, tmp_path):
+    """A pre-snapshot store (plain parquet at the root) keeps working:
+    read falls back to the root, and the first snapshot write upgrades
+    the layout without touching the legacy data."""
+    from data_integration_system_spark.pipeline import snapshots as snap
+
+    root = str(tmp_path / "legacy")
+    spark.range(4).write.parquet(root)
+    assert snap.snapshot_exists(spark, root)
+    assert snap.current_version(spark, root) is None
+    assert snap.read_current(spark, root).count() == 4
+
+
+def test_run_job_crash_before_pointer_swap_keeps_old_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """The reason the snapshot store exists: a merge that dies after
+    writing its data but BEFORE the pointer swap must leave the previous
+    store fully readable (the old in-place overwrite destroyed it)."""
+    from data_integration_system_spark.pipeline import snapshots as snap
+    from data_integration_system_spark.pipeline.jobs import run_job
+
+    out = str(tmp_path / "crash_out")
+    job = {"start_urls": ["https://ex.com/"], "download_files": False}
+    assert run_job(spark, job, out, fetch_fn=fake_fetch)["status"] == "DONE"
+
+    def boom(spark_, root, name):
+        raise RuntimeError("simulated crash before manifest swap")
+
+    monkeypatch.setattr(snap, "_write_manifest", boom)
+    site2 = dict(SITE)
+    site2["https://ex.com/c"] = '<a href="/">home</a>Leaf C CHANGED'
+    r2 = run_job(spark, job, out, fetch_fn=make_fake_fetch(site2))
+    assert r2["status"] == "FAILED" and "simulated crash" in r2["error"]
+    monkeypatch.undo()
+
+    # previous snapshot still the active, intact store
+    assert snap.current_version(spark, out) == "v000001"
+    rows = {r.url: r.text for r in snap.read_current(spark, out).collect()}
+    assert len(rows) == 4 and "CHANGED" not in rows["https://ex.com/c"]
+
+    # and the next merge commits right past the orphaned version dir
+    r3 = run_job(spark, job, out, fetch_fn=make_fake_fetch(site2))
+    assert r3["status"] == "DONE"
+    rows = {r.url: r.text for r in snap.read_current(spark, out).collect()}
+    assert "CHANGED" in rows["https://ex.com/c"]
+
+
+def test_crawl_refuses_to_wipe_foreign_checkpoint_dir(spark, tmp_path):
+    """A mistyped checkpoint_dir (pointing at real data) must fail loudly
+    on a fresh run, never be recursively deleted."""
+    import pytest as _pytest
+
+    from data_integration_system_spark.pipeline.crawl import CrawlConfig, crawl
+
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "data.parquet").write_text("not a checkpoint")
+    cfg = CrawlConfig(root_domain="ex.com")
+    with _pytest.raises(ValueError, match="refusing to clear"):
+        crawl(spark, ["https://ex.com/"], cfg, fake_fetch,
+              checkpoint_dir=str(precious))
+    assert (precious / "data.parquet").exists()
