@@ -469,6 +469,25 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     from data_integration_system_spark.functions.vectors import cosine
 
     emb = table(spark, sf_dir, "embeddings")
+    # Fail FAST on a dim misconfiguration: zip_with pads the shorter
+    # array with nulls, so a wrong `dim` would silently yield zero
+    # candidates.  The guard lives INSIDE the embedding projection (a
+    # dropped side-column would be pruned away by Catalyst) and raises
+    # from the executors on the first mismatching row — no driver-side
+    # probe at plan-build time.
+    emb = emb.select(
+        "vec_id",
+        F.when(F.size("embedding") == dim, F.col("embedding"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding dim mismatch: configured {dim}, found "),
+                    F.size("embedding").cast("string"),
+                )
+            )
+        )
+        .alias("embedding"),
+    )
 
     # Deterministic ±1 hyperplanes, built driver-side as ONE literal
     # matrix: a per-bit expression tree (36 nested HOF aggregates) takes

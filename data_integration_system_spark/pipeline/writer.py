@@ -20,6 +20,7 @@ the batch is small), and only changed rows are rewritten.
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -96,6 +97,16 @@ def write_pages(pages: DataFrame, path: str, partition_by: str = "domain") -> No
 # ---------------------------------------------------------------------------
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+#: options consumed by Spark's JDBC writer itself — everything else in
+#: write_options is a java.sql connection property and must reach the
+#: driver-side merge connection too
+_SPARK_WRITER_ONLY_OPTIONS = {
+    "url", "dbtable", "query", "driver", "numpartitions", "batchsize",
+    "isolationlevel", "truncate", "cascadetruncate", "createtableoptions",
+    "createtablecolumntypes", "customschema", "keytab", "principal",
+    "refreshkrb5config", "partitioncolumn", "lowerbound", "upperbound",
+}
 
 
 def _q(name: str) -> str:
@@ -187,8 +198,13 @@ def write_jdbc_upsert(
     (postgres_store.py:126-184): the reference's per-row
     read-compare-upsert becomes staged bulk load + set-based merge —
     identical end state, O(1) round-trips instead of O(rows).  Pair with
-    `write_changed_only` upstream to ship only non-SKIPPED rows."""
-    staging = staging or f"{target}_staging"
+    `write_changed_only` upstream to ship only non-SKIPPED rows.
+
+    The staging table is per-invocation unique by default (two concurrent
+    batches upserting the same target must not clobber each other's
+    staged rows between stage and merge) and is dropped after the merge,
+    success or failure."""
+    staging = staging or f"{target}_stg_{uuid.uuid4().hex[:12]}"
     _q(target), _q(staging)  # validate before interpolating anywhere
     writer = (
         df.write.mode("overwrite")
@@ -203,16 +219,24 @@ def write_jdbc_upsert(
         target, staging, df.columns, key_cols, dialect=dialect, insert_only=insert_only
     )
     jvm = df.sparkSession._jvm
-    # the merge connection must authenticate exactly like the staging
-    # write: forward user/password (and any other java.sql properties)
-    # from write_options instead of relying on URL-embedded credentials
+    # the merge connection must connect exactly like the staging write:
+    # forward every connection-relevant option (credentials, ssl*,
+    # timeouts, ...) — dropping them could fail the connection or
+    # silently downgrade TLS.  Spark-writer-only keys are excluded; the
+    # "driver" class is honored by loading it before DriverManager asks.
+    if write_options and "driver" in write_options:
+        jvm.java.lang.Class.forName(write_options["driver"])
     props = jvm.java.util.Properties()
-    for k in ("user", "password"):
-        if write_options and k in write_options:
-            props.setProperty(k, write_options[k])
+    for k, v in (write_options or {}).items():
+        if k.lower() not in _SPARK_WRITER_ONLY_OPTIONS:
+            props.setProperty(k, v)
     conn = jvm.java.sql.DriverManager.getConnection(jdbc_url, props)
     try:
         conn.createStatement().execute(sql)
     finally:
+        try:
+            conn.createStatement().execute(f"DROP TABLE {_q(staging)}")
+        except Exception:  # noqa: BLE001 — best-effort cleanup; the merge
+            pass           # outcome (or its exception) is what matters
         conn.close()
     return sql

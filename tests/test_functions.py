@@ -269,3 +269,22 @@ def test_multimodal_decode_gate_real_binding(monkeypatch):
     assert (rs.width[0], rs.height[0], rs.new_width[0], rs.new_height[0]) == (
         320, 200, 256, 160,
     )
+
+
+def test_embedding_dim_mismatch_fails_fast(spark, tmp_path):
+    """A wrong configured dim must raise at execution, not silently
+    produce zero candidates (zip_with null-padding)."""
+    import pytest as _pytest
+
+    from data_integration_system_spark.operators.dedup import dedup_embedding_near
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    with _pytest.raises(Exception, match="dim mismatch"):
+        dedup_embedding_near(spark, sf).count()
+    # the same data under the CORRECT dim executes fine
+    dedup_embedding_near(spark, sf, dim=3).count()

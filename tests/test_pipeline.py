@@ -868,3 +868,31 @@ def test_crawl_refuses_to_wipe_foreign_checkpoint_dir(spark, tmp_path):
         crawl(spark, ["https://ex.com/"], cfg, fake_fetch,
               checkpoint_dir=str(precious))
     assert (precious / "data.parquet").exists()
+
+
+def test_jdbc_staging_unique_and_dropped(spark):
+    """Concurrent-batch safety: each invocation stages into its own
+    uniquely-named table, and the staging table is gone after the merge."""
+    import re as _re
+
+    from data_integration_system_spark.pipeline.writer import write_jdbc_upsert
+
+    jvm = spark._jvm
+    url = "jdbc:derby:memory:stagetest;create=true"
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute('CREATE TABLE "t" ("k" BIGINT PRIMARY KEY, "v" VARCHAR(20))')
+
+    batch = spark.createDataFrame([(1, "a")], "k long, v string")
+    opts = {"createTableColumnTypes": "v VARCHAR(20)"}
+    s1 = _re.search(r'USING "([^"]+)"', write_jdbc_upsert(batch, url, "t", ["k"], write_options=opts)).group(1)
+    s2 = _re.search(r'USING "([^"]+)"', write_jdbc_upsert(batch, url, "t", ["k"], write_options=opts)).group(1)
+    assert s1 != s2 and s1.startswith("t_stg_")
+
+    for s in (s1, s2):
+        try:
+            st.executeQuery(f'SELECT * FROM "{s}"')
+            raise AssertionError(f"staging table {s} survived the merge")
+        except Exception as e:
+            assert "does not exist" in str(e) or "42X05" in str(e)
+    conn.close()
