@@ -332,6 +332,113 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int | None = _MAX_BUCKET) 
     )
 
 
+# ---------------------------------------------------------------------------
+# Materialized MinHash/LSH index: signatures computed ONCE at write time
+# (the 100 TB contract the docstrings above describe), probed with
+# partition pruning — the near-dup sibling of similarity.build_ivf_index.
+# ---------------------------------------------------------------------------
+
+#: bands-table partition count: band_hash pmod'ed into this many
+#: directories.  A query doc touches <= _BANDS distinct buckets, so a
+#: lookup scans <= _BANDS/_INDEX_BUCKETS of the index.
+_INDEX_BUCKETS = 256
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_buckets: int = _INDEX_BUCKETS,
+    max_bucket: int | None = _MAX_BUCKET,
+) -> None:
+    """Materialize the LSH bands relation as a partitioned table:
+    ``{index}/bands`` partitioned by ``bucket = pmod(band_hash,
+    n_buckets)``, rows ``(band_id, band_hash, doc_id, shingles)``.
+
+    Shingle sets ride along DENORMALIZED (one copy per band row): a
+    lookup then needs exactly one pruned scan — candidates arrive with
+    the corpus shingles attached, no second join against a full shingle
+    table.  Hot (boilerplate) buckets are dropped at WRITE time, same cap
+    as lsh_candidate_pairs, so the stored index can never hand back a
+    quadratic bucket.  ``{index}/meta`` records n_buckets so build and
+    query can't silently disagree on the partitioning."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs)
+    bands = minhash_bands(docs, shingles_df=sh)
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    (
+        bands.join(sh, "doc_id")
+        .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/bands")
+    )
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    query_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Near-dup lookup against a built index: (q_id, c_id, jaccard) for
+    every indexed document sharing an LSH bucket with a query document,
+    verified by exact Jaccard.
+
+    The probe protocol mirrors query_ivf_index: the query docs' band
+    buckets are collected (q×8 ints) and become LITERAL partition
+    filters on the bands scan — a lookup reads <= 8/n_buckets of the
+    index, which is what makes this an index rather than a filtered full
+    scan.  Querying the corpus against itself reproduces
+    dedup_minhash_near exactly (pinned in tests)."""
+    n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
+    qsh = shingle_sets(query_docs, text_col, id_col)
+    qbands = (
+        minhash_bands(query_docs, text_col, id_col, shingles_df=qsh)
+        .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
+        .localCheckpoint()  # tiny; freezes the probe list for the collect
+    )
+    probe = sorted(r["bucket"] for r in qbands.select("bucket").distinct().collect())
+    idx = spark.read.parquet(f"{index_path}/bands").filter(
+        F.col("bucket").isin(probe)  # literal -> PartitionFilters
+    )
+    cand = (
+        qbands.select(
+            F.col("doc_id").alias("q_id"), "bucket", "band_id", "band_hash"
+        )
+        .join(
+            idx.select(
+                "bucket", "band_id", "band_hash",
+                F.col("doc_id").alias("c_id"), F.col("shingles").alias("c_sh"),
+            ),
+            ["bucket", "band_id", "band_hash"],
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        # a pair colliding in several bands must verify once, not 8×
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    qs = qsh.select(F.col("doc_id").alias("q_id"), F.col("shingles").alias("q_sh"))
+    inter = F.size(F.array_intersect("q_sh", "c_sh")).cast("double")
+    uni = F.size(F.array_union("q_sh", "c_sh")).cast("double")
+    return (
+        cand.join(qs, "q_id")
+        .select("q_id", "c_id", F.round(inter / uni, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 @query("dedup_minhash_near", oracle=None)
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q28 — MinHash+LSH near-dup candidate pairs with exact-Jaccard

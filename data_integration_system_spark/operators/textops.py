@@ -189,13 +189,22 @@ def doc_fingerprints_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the form downstream joins consume (a global orderBy is a full
     range-partition shuffle that a consumer re-shuffling on fp_hash
     would pay for nothing)."""
-    docs = table(spark, sf_dir, "documents")
+    return winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing fingerprint relation of ANY document DataFrame:
+    (doc_id, fp_hash), k=5-token shingle hashes, min per w=4 window."""
     k, w = 5, 4
     # tokens staged first: `element_at(tokens_of(text), …)` would re-split
     # the document per shingle position after CollapseProject inlining —
     # O(n²) per doc (same trap as dedup.shingle_sets; localCheckpoint is
     # the evaluation barrier).
-    td = docs.select("doc_id", tokens_of("text").alias("toks")).localCheckpoint()
+    td = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_of(text_col).alias("toks")
+    ).localCheckpoint()
     toks = F.col("toks")
     nsh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     sh_hashes = F.transform(
@@ -327,6 +336,90 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized fingerprint index: the inverted index written once,
+# probed with partition pruning (sibling of dedup.build_minhash_index).
+# ---------------------------------------------------------------------------
+
+_FP_INDEX_BUCKETS = 256
+#: stop-hash prune threshold: fingerprints present in more docs than
+#: this are boilerplate and excluded from the index at write time
+_FP_STOP_DOCS = 20
+
+
+def build_fingerprint_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_buckets: int = _FP_INDEX_BUCKETS,
+    stop_docs: int | None = _FP_STOP_DOCS,
+) -> None:
+    """Materialize the winnowing inverted index: ``{index}/fps``
+    partitioned by ``bucket = pmod(fp_hash, n_buckets)``, rows
+    ``(fp_hash, doc_id)``.  Stop-hashes (boilerplate fingerprints in >
+    stop_docs documents) are dropped at WRITE time — the stored index can
+    never hand back a quadratic posting list.  ``{index}/meta`` records
+    n_buckets so build and query can't silently disagree."""
+    fp = doc_fingerprints_unordered(spark, sf_dir)
+    if stop_docs is not None:
+        hot = (
+            fp.groupBy("fp_hash")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > stop_docs)
+            .select("fp_hash")
+        )
+        fp = fp.join(F.broadcast(hot), "fp_hash", "left_anti")
+    (
+        fp.withColumn(
+            "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/fps")
+    )
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def query_fingerprint_index(
+    spark: SparkSession,
+    index_path: str,
+    query_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 5,
+) -> DataFrame:
+    """Overlap lookup against a built fingerprint index: (q_id, c_id,
+    shared_fps) for every indexed document sharing >= min_shared
+    fingerprints with a query document.
+
+    Probe protocol: the query docs' fingerprint buckets are collected as
+    literals -> PartitionFilters on the index scan; a lookup reads only
+    the probed posting-list partitions.  Querying the corpus against
+    itself reproduces fingerprint_overlap_pairs exactly (pinned in
+    tests)."""
+    n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
+    qfp = (
+        winnow_fingerprints(query_docs, text_col, id_col)
+        .withColumn("bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int"))
+        .localCheckpoint()  # freezes the probe list for the collect
+    )
+    probe = sorted(r["bucket"] for r in qfp.select("bucket").distinct().collect())
+    idx = spark.read.parquet(f"{index_path}/fps").filter(
+        F.col("bucket").isin(probe)  # literal -> PartitionFilters
+    )
+    return (
+        qfp.select(F.col("doc_id").alias("q_id"), "bucket", "fp_hash")
+        .join(idx.select("bucket", "fp_hash", F.col("doc_id").alias("c_id")),
+              ["bucket", "fp_hash"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

@@ -205,3 +205,70 @@ def test_ngram_band_blocking_bounds_dominant_block(spark):
     all_pairs = n_docs * (n_docs - 1) // 2
     assert got < 0.3 * all_pairs
     cand.unpersist()
+
+
+def test_minhash_index_partition_pruning(spark, tmp_path):
+    """The materialized LSH index delivers its scale promise: the bands
+    scan reads ONLY the probed bucket partitions, and self-querying the
+    corpus reproduces the inline dedup_minhash_near pairs exactly."""
+    from data_integration_system_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_minhash_near,
+        query_minhash_index,
+    )
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(spark, SF, idx)
+    docs = table(spark, SF, "documents")
+
+    # pruning visible in the plan for a small query batch
+    few = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    df = query_minhash_index(spark, idx, few)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # self-query == inline query, pair for pair, jaccard for jaccard
+    inline = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_near(spark, SF).collect()
+    }
+    indexed = {
+        (r.q_id, r.c_id, r.jaccard)
+        for r in query_minhash_index(spark, idx, docs)
+        .filter(F.col("q_id") < F.col("c_id"))
+        .collect()
+    }
+    assert indexed == inline and len(inline) > 0
+
+
+def test_fingerprint_index_partition_pruning(spark, tmp_path):
+    """Same contract for the winnowing inverted index: pruned posting
+    lists, and self-query == fingerprint_overlap_pairs."""
+    from data_integration_system_spark.operators.textops import (
+        build_fingerprint_index,
+        fingerprint_overlap_pairs,
+        query_fingerprint_index,
+    )
+
+    idx = str(tmp_path / "fp_index")
+    build_fingerprint_index(spark, SF, idx)
+    docs = table(spark, SF, "documents")
+
+    few = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    df = query_fingerprint_index(spark, idx, few)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    inline = {
+        (r.doc_a, r.doc_b, r.shared_fps)
+        for r in fingerprint_overlap_pairs(spark, SF).collect()
+    }
+    indexed = {
+        (r.q_id, r.c_id, r.shared_fps)
+        for r in query_fingerprint_index(spark, idx, docs)
+        .filter(F.col("q_id") < F.col("c_id"))
+        .collect()
+    }
+    assert indexed == inline and len(inline) > 0
