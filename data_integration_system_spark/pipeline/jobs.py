@@ -16,6 +16,9 @@ too.
 from __future__ import annotations
 
 import dataclasses
+import datetime as _dt
+import json
+import uuid
 from typing import Any
 from urllib.parse import urlparse
 
@@ -112,6 +115,148 @@ def ingest_files(
         size.cast("long").alias("size_bytes"),
     )
     return extracted.unionByName(too_large)
+
+
+# ---------------------------------------------------------------------------
+# Job front door + queue (api/main.py:44-78, db/schema.sql:56-61,
+# worker_daemon.py:20-58) — the jobs table as an append-only status log.
+# ---------------------------------------------------------------------------
+
+#: the CreateJobRequest option surface (api/main.py:52-67) — everything
+#: else in a request is dropped, mirroring the API model's strictness
+_SUBMIT_OPTION_KEYS = (
+    "single_page", "path_mode", "exclusive_depth", "max_depth_root",
+    "max_pages_total", "concurrency", "download_files", "documents_only",
+    "download_only_same_domain", "incremental", "allowed_file_extensions",
+    "max_file_bytes", "agent_id", "project_id",
+)
+
+_JOBS_SCHEMA = (
+    "job_id string, start_url string, root_domain string, config string, "
+    "status string, error string, created_at timestamp"
+)
+
+
+def _append_job_row(
+    spark: SparkSession,
+    jobs_path: str,
+    job_id: str,
+    start_url: str | None,
+    root_domain: str | None,
+    config: str | None,
+    status: str,
+    error: str = "",
+) -> None:
+    spark.createDataFrame(
+        [(job_id, start_url, root_domain, config, status, error,
+          _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None))],
+        _JOBS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(jobs_path)
+
+
+def submit_job(spark: SparkSession, jobs_path: str, request: dict[str, Any]) -> str:
+    """S15/the POST /jobs front door (api/main.py:44-78): validate the
+    request, derive root_domain, pack the non-None options as the config
+    JSON, append a PENDING row; returns the job_id.
+
+    Postgres INSERT becomes an append to the jobs parquet log — status
+    transitions are additional rows, not UPDATEs (the lake-native shape;
+    `current_jobs` folds the log to present state).  root_domain uses P1
+    semantics — lowercased netloc, leading www. stripped — unifying
+    api/main.py:40-41's non-lowercased variant (SURVEY §2A P10)."""
+    url = str(request.get("url", "") or "").strip()
+    parts = urlparse(url)
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        raise ValueError(f"invalid start url: {url!r}")
+    for k in ("exclusive_depth", "max_depth_root", "max_pages_total", "max_file_bytes"):
+        v = request.get(k)
+        if v is not None and (not isinstance(v, int) or v < 0):
+            raise ValueError(f"{k} must be a non-negative integer, got {v!r}")
+    job_id = str(uuid.uuid4())
+    config = {
+        k: request[k] for k in _SUBMIT_OPTION_KEYS if request.get(k) is not None
+    }
+    _append_job_row(
+        spark, jobs_path, job_id, url,
+        parts.netloc.lower().removeprefix("www."),
+        json.dumps(config, sort_keys=True), "PENDING",
+    )
+    return job_id
+
+
+def job_status_update(
+    spark: SparkSession, jobs_path: str, job_id: str, status: str, error: str = ""
+) -> None:
+    """The worker's status write (worker_daemon.py:54-58) as an appended
+    transition row."""
+    _append_job_row(spark, jobs_path, job_id, None, None, None, status, error)
+
+
+#: lifecycle rank: status transitions are monotonic, so the present
+#: state is the highest-ranked row (created_at breaks rank ties)
+_STATUS_RANK = (
+    F.when(F.col("status") == "PENDING", 0)
+    .when(F.col("status") == "RUNNING", 1)
+    .otherwise(2)
+)
+
+
+def current_jobs(spark: SparkSession, jobs_path: str) -> DataFrame:
+    """Present state of every job: submission fields from the earliest
+    row, status from the lifecycle-latest row.  One aggregation over the
+    log — at scale this is a single shuffle on job_id, and the log
+    compacts via the same keep-latest pattern as the page store."""
+    order = F.struct(_STATUS_RANK.alias("r"), F.col("created_at").alias("t"))
+    log = spark.read.parquet(jobs_path)
+    return log.groupBy("job_id").agg(
+        F.min_by("start_url", "created_at").alias("start_url"),
+        F.min_by("root_domain", "created_at").alias("root_domain"),
+        F.min_by("config", "created_at").alias("config"),
+        F.max_by("status", order).alias("status"),
+        F.max_by("error", order).alias("error"),
+        F.min("created_at").alias("created_at"),
+    )
+
+
+def job_request_of(row) -> dict[str, Any]:
+    """A jobs-table row -> the run_job request dict (the worker's
+    config unpack, worker_daemon.py:35-40)."""
+    req: dict[str, Any] = json.loads(row["config"]) if row["config"] else {}
+    req["start_urls"] = [row["start_url"]]
+    req.setdefault("root_domain", row["root_domain"])
+    return req
+
+
+def run_pending_jobs(
+    spark: SparkSession,
+    jobs_path: str,
+    output_root: str,
+    fetch_fn: FetchFn = default_http_fetch,
+    limit: int = 10,
+) -> list[dict[str, Any]]:
+    """The worker-daemon poll loop body (worker_daemon.py:20-58), batch
+    form: claim up to `limit` oldest PENDING jobs, run each
+    (PENDING→RUNNING→DONE/FAILED transitions appended to the log), write
+    outputs under ``{output_root}/{job_id}``; returns the reports."""
+    pending = (
+        current_jobs(spark, jobs_path)
+        .filter(F.col("status") == "PENDING")
+        .orderBy("created_at", "job_id")
+        .limit(limit)
+        .collect()
+    )
+    reports = []
+    for row in pending:
+        job_status_update(spark, jobs_path, row["job_id"], "RUNNING")
+        report = run_job(
+            spark, job_request_of(row),
+            f"{output_root.rstrip('/')}/{row['job_id']}", fetch_fn,
+        )
+        job_status_update(
+            spark, jobs_path, row["job_id"], report["status"], report["error"]
+        )
+        reports.append({"job_id": row["job_id"]} | report)
+    return reports
 
 
 def run_job(

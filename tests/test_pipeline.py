@@ -896,3 +896,82 @@ def test_jdbc_staging_unique_and_dropped(spark):
         except Exception as e:
             assert "does not exist" in str(e) or "42X05" in str(e)
     conn.close()
+
+
+def test_submit_job_front_door_round_trip(spark, tmp_path):
+    """S15 parity: submit -> PENDING row -> claim -> run -> DONE, with
+    the config JSON surviving the pack/unpack round trip."""
+    from data_integration_system_spark.pipeline.jobs import (
+        current_jobs,
+        run_pending_jobs,
+        submit_job,
+    )
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    jobs_path = str(tmp_path / "jobs_log")
+    job_id = submit_job(
+        spark, jobs_path,
+        {"url": "https://ex.com/", "max_depth_root": 5,
+         "download_files": False, "unknown_option": "ignored"},
+    )
+    row = current_jobs(spark, jobs_path).collect()[0]
+    assert row.job_id == job_id and row.status == "PENDING"
+    assert row.root_domain == "ex.com"
+    import json as _json
+
+    cfg = _json.loads(row.config)
+    assert cfg == {"max_depth_root": 5, "download_files": False}
+
+    reports = run_pending_jobs(spark, jobs_path, str(tmp_path / "out"),
+                               fetch_fn=fake_fetch)
+    assert len(reports) == 1
+    assert reports[0]["job_id"] == job_id and reports[0]["status"] == "DONE"
+    assert reports[0]["pages"] == 4
+    assert read_current(spark, f"{tmp_path}/out/{job_id}").count() == 4
+
+    after = {r.job_id: r.status for r in current_jobs(spark, jobs_path).collect()}
+    assert after == {job_id: "DONE"}
+    # an already-processed queue claims nothing
+    assert run_pending_jobs(spark, jobs_path, str(tmp_path / "out2"),
+                            fetch_fn=fake_fetch) == []
+
+
+def test_submit_job_validation(spark, tmp_path):
+    from data_integration_system_spark.pipeline.jobs import submit_job
+
+    jobs_path = str(tmp_path / "jobs_log")
+    for bad in ({}, {"url": "notaurl"}, {"url": "ftp://x.com/"},
+                {"url": "https://x.com/", "max_pages_total": -1}):
+        with pytest.raises(ValueError):
+            submit_job(spark, jobs_path, bad)
+
+    # P1 root_domain derivation: lowercased netloc, leading www. stripped
+    from data_integration_system_spark.pipeline.jobs import current_jobs
+
+    jid = submit_job(spark, jobs_path, {"url": "https://WWW.Ex.com/a"})
+    rows = {r.job_id: r.root_domain for r in current_jobs(spark, jobs_path).collect()}
+    assert rows[jid] == "ex.com"
+
+
+def test_submitted_job_visible_to_streaming_picker(spark, tmp_path):
+    """The PENDING row submit_job appends is consumable by the S14
+    streaming job picker."""
+    from data_integration_system_spark.pipeline.jobs import submit_job
+    from data_integration_system_spark.streaming.jobs import pending_job_picker
+
+    jobs_path = str(tmp_path / "jobs_log")
+    submit_job(spark, jobs_path, {"url": "https://ex.com/"})
+    stream = (
+        spark.readStream.schema(spark.read.parquet(jobs_path).schema)
+        .parquet(jobs_path)
+    )
+    q = (
+        pending_job_picker(stream)
+        .writeStream.format("memory").queryName("picked_jobs")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT status FROM picked_jobs").collect()[0].status == "PENDING"
+    finally:
+        q.stop()
