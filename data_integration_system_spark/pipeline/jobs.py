@@ -25,6 +25,7 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_system_spark.functions.skew import salted_agg
 from data_integration_system_spark.functions.urls import ext_of
 from data_integration_system_spark.pipeline.crawl import (
     CrawlConfig,
@@ -274,6 +275,21 @@ def run_job(
         cfg = config_from_job(job)
         pages = crawl(spark, list(job.get("start_urls", [])), cfg, fetch_fn)
         n = pages.count()
+        # per-domain page counts for the report, via the salted two-phase
+        # aggregation: a crawl's domain distribution is maximally skewed
+        # by construction (one site dominates), so the hot domain is
+        # spread over n_salt reducers before the final combine — the
+        # skew-safe default for ANY re-aggregable per-domain metric this
+        # report grows (count benefits from map-side partials already;
+        # sum/min/max of per-page metrics ride the same call).
+        domains = {
+            r["domain"]: r["count"]
+            for r in salted_agg(pages.select("domain"), "domain",
+                                {"domain": "count"}, n_salt=8)
+            .orderBy(F.col("count").desc(), "domain")
+            .limit(5)
+            .collect()
+        }
         n_files = 0
         if cfg.download_files:
             docs = ingest_files(pages, cfg, fetch_fn).localCheckpoint()
@@ -317,6 +333,7 @@ def run_job(
             "status": "DONE",
             "pages": n,
             "files": n_files,
+            "domains": domains,
             "upserts": upserts,
             "output": output_path,
             "error": "",
@@ -326,6 +343,7 @@ def run_job(
             "status": "FAILED",
             "pages": 0,
             "files": 0,
+            "domains": {},
             "upserts": {"INSERTED": 0, "SKIPPED": 0, "UPSERTED": 0},
             "output": output_path,
             "error": str(e),

@@ -604,6 +604,7 @@ def test_run_job_end_to_end(spark, tmp_path):
         fetch_fn=fake_fetch,
     )
     assert report["status"] == "DONE" and report["pages"] == 4
+    assert report["domains"] == {"ex.com": 4}  # salted per-domain counts
     from data_integration_system_spark.pipeline.snapshots import read_current
 
     assert read_current(spark, out).count() == 4

@@ -272,3 +272,23 @@ def test_fingerprint_index_partition_pruning(spark, tmp_path):
         .collect()
     }
     assert indexed == inline and len(inline) > 0
+
+
+def test_salted_agg_bounds_reducer_load(spark, skewed):
+    """The wiring claim behind run_job's per-domain report: after
+    salting, the hot key's rows are spread over n_salt reducer groups,
+    so the max per-group load drops by ~n_salt."""
+    from data_integration_system_spark.functions.skew import _row_salt
+
+    plain_max = (
+        skewed.groupBy("k").count().agg(F.max("count")).head()[0]
+    )
+    salted_loads = (
+        skewed.withColumn("_salt", _row_salt(8))
+        .groupBy("k", "_salt")
+        .count()
+    )
+    salted_max = salted_loads.agg(F.max("count")).head()[0]
+    hot_groups = salted_loads.filter(F.col("k") == "HOT").count()
+    assert hot_groups == 8           # hot key spread over all 8 salts
+    assert salted_max <= plain_max / 4   # max reducer load bounded
