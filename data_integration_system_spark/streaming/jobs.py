@@ -151,3 +151,122 @@ def running_user_totals(events: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _ts_us(col):
+    """pandas timestamp column -> int64 epoch microseconds."""
+    return col.values.astype("datetime64[us]").astype("int64")
+
+
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming sibling of signup_purchase_funnel (operators/windows.py):
+    per user, first signup -> first purchase at-or-after it, maintained
+    incrementally via applyInPandasWithState; emits the updated funnel
+    row whenever a user's (signup, first purchase) pair changes.
+
+    Exactness under out-of-order arrival: state keeps the min signup so
+    far plus the candidate purchase set — every purchase EARLIER than the
+    current signup (a later, earlier signup could make it qualify) and
+    the best qualifying one.  That candidate list is pruned each fold and
+    in practice stays tiny (purchases preceding a signup are rare); it is
+    hard-capped at 1024 entries.  State eviction belongs to a timeout
+    conf in production (NoTimeout here — tests drive a bounded replay);
+    the batch form remains the Kappa backfill."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd  # local import: runs on workers
+
+        s_us, purch = state.get if state.exists else (None, [])
+        purch = list(purch)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = _ts_us(pdf["ts"])
+            for t_us, etype in zip(us, pdf["event_type"]):
+                if etype == "signup":
+                    s_us = t_us if s_us is None else min(s_us, int(t_us))
+                elif etype == "purchase":
+                    purch.append(int(t_us))
+        # prune: keep purchases that could still be the first-qualifying
+        # one for the current (or any lower, future) signup — everything
+        # below the signup, plus the smallest at-or-after it
+        purch = sorted(set(purch))
+        if s_us is not None:
+            ge = [p for p in purch if p >= s_us]
+            purch = [p for p in purch if p < s_us] + ge[:1]
+        purch = purch[:1024]
+        state.update((int(s_us) if s_us is not None else None, purch))
+        best = min((p for p in purch if s_us is not None and p >= s_us), default=None)
+        if s_us is not None and best is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "signup_ts": [pd.Timestamp(s_us, unit="us")],
+                    "first_purchase_ts": [pd.Timestamp(best, unit="us")],
+                    "lag_us": [best - s_us],
+                }
+            )
+
+    return (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "user_id bigint, signup_ts timestamp, "
+                "first_purchase_ts timestamp, lag_us bigint"
+            ),
+            stateStructType="s_us bigint, purch array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def event_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming sibling of event_type_transitions (operators/windows.py):
+    the lead-equivalent — each user's previous event type is one tuple of
+    state, and every arriving event emits its (event_type -> next_type)
+    transition edge.  Downstream counts are the consumer's aggregation
+    (chaining a second stateful agg onto update-mode output is
+    restricted; the test folds the emitted edges and matches the batch
+    matrix).
+
+    Within a micro-batch rows are processed in (ts, event_id) order —
+    identical to the batch window's total order; across batches the
+    per-user state carries the boundary, so a time-ordered replay
+    reproduces the batch result exactly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd  # local import: runs on workers
+
+        (last_type,) = state.get if state.exists else (None,)
+        out_prev, out_next, out_ts = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t, etype in zip(pdf["ts"], pdf["event_type"]):
+                if last_type is not None:
+                    out_prev.append(last_type)
+                    out_next.append(etype)
+                    out_ts.append(t)
+                last_type = etype
+        state.update((last_type,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_prev),
+                "event_type": out_prev,
+                "next_type": out_next,
+                "ts": out_ts,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id bigint, event_type string, next_type string, ts timestamp"
+        ),
+        stateStructType="last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

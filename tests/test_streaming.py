@@ -166,3 +166,48 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     run_once()
     got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
     assert got == {"k1": (2, "a2"), "k2": (1, "b")}
+
+
+def test_funnel_stream_matches_batch(spark, events_stream_dir):
+    """Streaming funnel == batch signup_purchase_funnel on a bounded
+    replay (last update-mode snapshot per user)."""
+    from data_integration_system_spark.operators.windows import (
+        signup_purchase_funnel,
+    )
+    from data_integration_system_spark.streaming.jobs import funnel_state_stream
+
+    stream = _read_stream(spark, events_stream_dir)
+    got_df = _run_to_memory(spark, funnel_state_stream(stream), "funnel_s", mode="update")
+    last = {
+        r.user_id: (r.signup_ts, r.first_purchase_ts, r.lag_us)
+        for r in got_df.orderBy("user_id").collect()
+    }
+    want = {
+        r.user_id: (r.signup_ts, r.first_purchase_ts, r.lag_us)
+        for r in signup_purchase_funnel(spark, SF).collect()
+    }
+    assert last == want and len(want) > 0
+
+
+def test_transitions_stream_matches_batch(spark, events_stream_dir):
+    """Folded streaming transition edges == the batch Markov matrix."""
+    from data_integration_system_spark.operators.windows import (
+        event_type_transitions,
+    )
+    from data_integration_system_spark.streaming.jobs import (
+        event_transitions_stream,
+    )
+
+    stream = _read_stream(spark, events_stream_dir)
+    got_df = _run_to_memory(spark, event_transitions_stream(stream), "trans_s", mode="update")
+    got = {
+        (r.event_type, r.next_type): r.n
+        for r in got_df.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = {
+        (r.event_type, r.next_type): r.n
+        for r in event_type_transitions(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
