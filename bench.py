@@ -60,6 +60,11 @@ HEADLINE = (
     "fingerprint_overlap_pairs",  # winnowing inverted-index self-join
     "customer_order_distribution",  # outer join + two-level agg (Q13 shape)
     "priority_counts_with_lineitem",  # EXISTS as left-semi (Q4 shape)
+    # round-3 additions (training-data curation tier)
+    "quality_filter_gopher",   # rule-based quality filter, in-scan
+    "repetition_top_bigram",   # per-doc bigram repetition rollup
+    "token_top_vocab",         # corpus vocab head (explode + topk)
+    "decontaminate_filter",    # benchmark-leakage scrub (anti-join)
 )
 
 

@@ -10,7 +10,7 @@ extension tier the BASELINE.json calls for.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
@@ -458,4 +458,249 @@ def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 5)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation tier (r3): rule-based quality filtering,
+# repetition scoring, vocabulary building, source mixing, and the
+# decontamination ACT that contamination_check's report feeds.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@query(
+    "quality_filter_gopher",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(toks, w -> strlen(w)), 'sum')
+                  AS BIGINT) AS n_word_chars,
+             list_has_any(toks, ['the','a','and','of','to','in']) AS has_stopword
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           n_word_chars * 100 // n_words AS mean_wl_e2,
+           has_stopword,
+           (n_words BETWEEN 20 AND 1000)
+             AND (n_word_chars * 100 // n_words BETWEEN 300 AND 1000)
+             AND has_stopword AS passes
+    FROM m
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (word-count bounds, mean
+    word length bounds, stopword presence — the Rae et al. 2021 repetition
+    /quality heuristics' deterministic core), emitting the metrics AND
+    the verdict so downstream can either filter or audit.
+
+    All JVM array expressions inside one scan projection — at 100 TB this
+    is a zero-shuffle map over the corpus, the cheapest possible quality
+    pass.  Mean word length is integer-scaled (×100, floor) for
+    engine-stable comparison."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+    d = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
+    n_words = F.size("toks").cast("long")
+    n_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.floor(n_chars * 100 / n_words).cast("long")
+    has_stop = F.arrays_overlap("toks", F.array(*[F.lit(s) for s in _STOPWORDS]))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_wl_e2"),
+        has_stop.alias("has_stopword"),
+        (
+            n_words.between(20, 1000)
+            & mean_wl.between(300, 1000)
+            & has_stop
+        ).alias("passes"),
+    )
+
+
+@query(
+    "repetition_top_bigram",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_n,
+           max(n) * 10000 // sum(n) AS rep_e4
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality score: the fraction of a document's word
+    bigrams taken by its single most frequent bigram (the Gopher
+    duplicate-n-gram family's 2-gram member).  High rep_e4 = boilerplate
+    / keyword-stuffed text.
+
+    Shape at 100 TB: explode to (doc_id, bigram), ONE shuffle keyed by
+    (doc_id, bigram), then a map-side-combinable per-doc rollup —
+    repetition never forms cross-document state.  Integer-scaled ratio
+    (×10⁴, floor) for engine parity."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens_of("text").alias("toks")).localCheckpoint()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", (i + 1).cast("int")),
+            F.element_at("toks", (i + 2).cast("int")),
+        ),
+    )
+    per = (
+        d.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.max("n").cast("long").alias("top_bigram_n"),
+        F.floor(F.max("n") * 10000 / F.sum("n")).cast("long").alias("rep_e4"),
+    )
+
+
+@query(
+    "token_top_vocab",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+    FROM c ORDER BY rank LIMIT 100
+    """,
+)
+def token_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 whitespace tokens by frequency —
+    the first step of any tokenizer/vocab build over a training corpus.
+
+    Scale shape: explode -> ONE count shuffle on the token (map-side
+    partials absorb the Zipfian head: each scan partition emits one
+    partial per distinct token, so the hot token is n_partitions rows,
+    not n_occurrences), then TakeOrderedAndProject for the top-k — no
+    global sort materializes."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_of("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counts.orderBy(F.col("n").desc(), "token")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+@query(
+    "domain_mix_weights",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_groups FROM g
+    )
+    SELECT lang, source, n_docs,
+           total * 1000000 // (n_groups * n_docs) AS weight_e6
+    FROM g, t
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing weights: per (lang, source) group, the
+    resampling weight that moves the corpus toward a uniform target mix
+    (weight = target_share / actual_share, integer-scaled ×10⁶) — the
+    data-mixing step that precedes weighted sampling in a pretraining
+    pipeline.
+
+    One aggregation plus a broadcast of the 1-row totals; the weights
+    table is tiny and becomes the broadcast side of the downstream
+    weighted sampler at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n_docs"))
+    t = g.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "lang", "source", "n_docs",
+        F.floor(F.col("total") * 1000000 / (F.col("n_groups") * F.col("n_docs")))
+        .cast("long")
+        .alias("weight_e6"),
+    )
+
+
+@query(
+    "decontaminate_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [array_to_string(toks, ' ')] END) AS shingle
+      FROM t
+    ), bench AS (
+      SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0
+    ), corpus AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+    ), contaminated AS (
+      SELECT c.doc_id
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id, b.bench_id
+      HAVING COUNT(DISTINCT c.shingle) >= 3
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACT that contamination_check's report feeds:
+    drop every corpus document sharing >= 3 word-3-gram shingles with any
+    held-out benchmark document (stand-in: doc_id % 50 == 0), keep the
+    rest — the standard eval-leakage scrub before pretraining.
+
+    Scale: the contaminated id set is a broadcast anti-join against the
+    corpus scan (it is small by construction — contamination is the
+    exception), so the scrub costs one corpus pass beyond the
+    contamination join itself."""
+    docs = table(spark, sf_dir, "documents")
+    contaminated = (
+        contamination_check(spark, sf_dir)
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
     )
