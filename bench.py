@@ -65,6 +65,8 @@ HEADLINE = (
     "repetition_top_bigram",   # per-doc bigram repetition rollup
     "token_top_vocab",         # corpus vocab head (explode + topk)
     "decontaminate_filter",    # benchmark-leakage scrub (anti-join)
+    "returned_item_report",    # TPC-H Q10 shape (filtered fact join)
+    "segment_top_orders",      # TPC-H Q3 shape (dim-filtered star)
 )
 
 

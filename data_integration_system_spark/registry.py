@@ -72,12 +72,15 @@ def _load_all_modules() -> None:
 _DRIVER_HEAD: list[str] = [
     # (1) never driver-green as of round 2 (VERDICT r2 "Next round" #1):
     "doc_fingerprint",
-    # new in round 3 (training-data curation tier):
+    # new in round 3 (training-data curation tier + TPC-H shapes):
     "quality_filter_gopher",
     "repetition_top_bigram",
     "token_top_vocab",
     "domain_mix_weights",
     "decontaminate_filter",
+    "returned_item_report",
+    "top_revenue_supplier",
+    "segment_top_orders",
     "fingerprint_overlap_pairs",
     "signup_purchase_funnel",
     "event_type_transitions",
