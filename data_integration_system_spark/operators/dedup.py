@@ -431,7 +431,7 @@ def query_minhash_index(
     )
     qs = qsh.select(F.col("doc_id").alias("q_id"), F.col("shingles").alias("q_sh"))
     inter = F.size(F.array_intersect("q_sh", "c_sh")).cast("double")
-    uni = F.size(F.array_union("q_sh", "c_sh")).cast("double")
+    uni = (F.size("q_sh") + F.size("c_sh")).cast("double") - inter
     return (
         cand.join(qs, "q_id")
         .select("q_id", "c_id", F.round(inter / uni, 4).alias("jaccard"))
@@ -460,8 +460,10 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(bands)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # |union| = na + nb - |inter| (the sets are distinct): one intersect
+    # pass per pair instead of intersect + union-array materialization
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    uni = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
