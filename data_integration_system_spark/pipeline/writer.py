@@ -22,7 +22,7 @@ from __future__ import annotations
 import re
 import uuid
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STATUS_COL = "_upsert_status"
@@ -58,16 +58,21 @@ def merge_keep_latest(
     """Union current + incoming, keep the newest version per key
     (version desc, ties → incoming wins).  The batch analog of
     filesystem_store.py's overwrite-on-changed-hash, and the exact
-    pattern `foreachBatch` uses in streaming (T5)."""
+    pattern `foreachBatch` uses in streaming (T5).
+
+    Implemented as a max_by AGGREGATION, not a row_number window: the
+    aggregate gets map-side partial combine (each scan partition emits
+    one candidate per key before the shuffle) and never sorts a key
+    group — so a hot key degrades gracefully instead of serializing one
+    reducer, and the shuffle carries one row per (partition, key) rather
+    than every version.  The skew answer for keep-latest at 100 TB."""
     cur = current.withColumn("_src", F.lit(0))
     inc = incoming.withColumn("_src", F.lit(1))
-    w = Window.partitionBy(key).orderBy(F.col(version_col).desc(), F.col("_src").desc())
-    return (
-        cur.unionByName(inc)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    )
+    both = cur.unionByName(inc)
+    payload_cols = [c for c in both.columns if c not in (key, "_src")]
+    order = F.struct(F.col(version_col), F.col("_src"))
+    winner = F.max_by(F.struct(*payload_cols), order).alias("_row")
+    return both.groupBy(key).agg(winner).select(key, "_row.*")
 
 
 def write_changed_only(
