@@ -98,3 +98,36 @@ def test_spark_hash_matches_python_on_generated_batch(spark):
     got = [r.h for r in df.select(content_hash(F.col("t")).alias("h")).collect()]
     want = [_hash(t) for t in corpus]
     assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=4000), min_size=2, max_size=24),
+)
+@settings(max_examples=25, deadline=None)
+def test_band_blocking_exactness_property(spark, sizes):
+    """The banded self-join's exactness claim, over RANDOM shingle-set
+    size distributions: candidates == exactly the pairs surviving the
+    size-ratio prune (min >= 0.5*max), each produced once — the band
+    conjunct never drops a ratio-surviving pair, including exact 2×
+    boundaries straddling a band edge."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.dedup import (
+        _banded_block_candidates,
+    )
+
+    sized = spark.createDataFrame(
+        [(i, "en", "w", [i], n) for i, n in enumerate(sizes)],
+        "doc_id long, lang string, source string, sh array<long>, n int",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _banded_block_candidates(sized).select("doc_a", "doc_b").collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(sizes))
+        for j in range(i + 1, len(sizes))
+        if min(sizes[i], sizes[j]) >= 0.5 * max(sizes[i], sizes[j])
+    }
+    assert got == want
