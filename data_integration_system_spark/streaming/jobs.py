@@ -90,22 +90,29 @@ def upsert_sink(
     keep-latest MERGE per micro-batch (db/postgres_store.py:126-184's
     contract). Returns a foreachBatch callable.
 
-    Each batch: read current table → merge_keep_latest → atomic overwrite.
-    Re-running a batch (at-least-once) converges to the same table. At
-    scale the overwrite becomes a Delta/Iceberg MERGE; the classify/merge
-    logic is identical (pipeline/writer.py)."""
+    Each batch: read the current snapshot → merge_keep_latest → commit a
+    NEW snapshot (pipeline/snapshots.py — the same copy-on-write store
+    the page table uses: a crash mid-write leaves the previous snapshot
+    authoritative, nothing is ever overwritten in place).  Re-running a
+    batch (at-least-once) converges to the same table.  Old snapshots
+    are pruned to the newest 2 per batch to bound storage; at scale the
+    same commit becomes a Delta/Iceberg MERGE."""
+    from data_integration_system_spark.pipeline.snapshots import (
+        prune_snapshots,
+        read_current,
+        snapshot_exists,
+        write_snapshot,
+    )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        try:
-            current = spark.read.parquet(target_path)
-        except Exception:
-            current = None
-        if current is not None and current.columns:
-            merged = merge_keep_latest(current, batch, key, version_col)
+        if snapshot_exists(spark, target_path):
+            merged = merge_keep_latest(
+                read_current(spark, target_path), batch, key, version_col
+            )
         else:
             merged = batch
-        # localCheckpoint breaks the read->overwrite self-dependency
-        merged.localCheckpoint().write.mode("overwrite").parquet(target_path)
+        write_snapshot(merged, target_path)
+        prune_snapshots(spark, target_path, keep=2)
 
     return apply
 

@@ -99,17 +99,19 @@ def test_pending_job_picker(spark, tmp_path):
 
 def test_upsert_sink_effectively_once(spark, tmp_path):
     """T5: applying the same micro-batch twice converges (idempotent)."""
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
     target = str(tmp_path / "upsert_target")
     spark.createDataFrame(
         [("k1", 1, "a"), ("k2", 1, "b")], "key string, v int, payload string"
-    ).write.parquet(target)
+    ).write.parquet(target)  # legacy plain layout: the sink must upgrade it
     batch = spark.createDataFrame(
         [("k2", 2, "b2"), ("k3", 1, "c")], "key string, v int, payload string"
     )
     sink = upsert_sink(target, "key", "v", spark)
     sink(batch, 0)
     sink(batch, 0)  # redelivery
-    got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
+    got = {r.key: (r.v, r.payload) for r in read_current(spark, target).collect()}
     assert got == {"k1": (1, "a"), "k2": (2, "b2"), "k3": (1, "c")}
 
 
@@ -130,6 +132,12 @@ def test_running_user_totals_stateful(spark, events_stream_dir):
         .collect()
     }
     assert last and all(want[u][0] == v[0] for u, v in last.items())
+
+
+def _read_target(spark, target):
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    return read_current(spark, target)
 
 
 def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
@@ -156,7 +164,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         q.awaitTermination(120)
 
     run_once()
-    got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
+    got = {r.key: (r.v, r.payload) for r in _read_target(spark, target).collect()}
     assert got == {"k1": (1, "a")}
 
     # new data arrives while the job is down; the restart picks up ONLY it
@@ -164,7 +172,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         [("k1", 2, "a2"), ("k2", 1, "b")], schema
     ).write.mode("append").parquet(src)
     run_once()
-    got = {r.key: (r.v, r.payload) for r in spark.read.parquet(target).collect()}
+    got = {r.key: (r.v, r.payload) for r in _read_target(spark, target).collect()}
     assert got == {"k1": (2, "a2"), "k2": (1, "b")}
 
 
