@@ -165,6 +165,42 @@ def _ts_us(col):
     return col.values.astype("datetime64[us]").astype("int64")
 
 
+def _funnel_fold(key, pdfs, state):
+    """The funnel's state transition (module-level so unit tests can
+    drive it batch by batch with a fake GroupState)."""
+    import pandas as pd  # local import: runs on workers
+
+    s_us, purch = state.get if state.exists else (None, [])
+    purch = list(purch)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = _ts_us(pdf["ts"])
+        for t_us, etype in zip(us, pdf["event_type"]):
+            if etype == "signup":
+                s_us = t_us if s_us is None else min(s_us, int(t_us))
+            elif etype == "purchase":
+                purch.append(int(t_us))
+    # prune: keep purchases that could still be the first-qualifying
+    # one for the current (or any lower, future) signup — everything
+    # below the signup, plus the smallest at-or-after it
+    purch = sorted(set(purch))
+    if s_us is not None:
+        ge = [p for p in purch if p >= s_us]
+        purch = [p for p in purch if p < s_us] + ge[:1]
+    purch = purch[:1024]
+    state.update((int(s_us) if s_us is not None else None, purch))
+    best = min((p for p in purch if s_us is not None and p >= s_us), default=None)
+    if s_us is not None and best is not None:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "signup_ts": [pd.Timestamp(s_us, unit="us")],
+                "first_purchase_ts": [pd.Timestamp(best, unit="us")],
+                "lag_us": [best - s_us],
+            }
+        )
+
+
 def funnel_state_stream(events: DataFrame) -> DataFrame:
     """Streaming sibling of signup_purchase_funnel (operators/windows.py):
     per user, first signup -> first purchase at-or-after it, maintained
@@ -179,41 +215,9 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
     hard-capped at 1024 entries.  State eviction belongs to a timeout
     conf in production (NoTimeout here — tests drive a bounded replay);
     the batch form remains the Kappa backfill."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def fold(key, pdfs, state: GroupState):
-        import pandas as pd  # local import: runs on workers
-
-        s_us, purch = state.get if state.exists else (None, [])
-        purch = list(purch)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            us = _ts_us(pdf["ts"])
-            for t_us, etype in zip(us, pdf["event_type"]):
-                if etype == "signup":
-                    s_us = t_us if s_us is None else min(s_us, int(t_us))
-                elif etype == "purchase":
-                    purch.append(int(t_us))
-        # prune: keep purchases that could still be the first-qualifying
-        # one for the current (or any lower, future) signup — everything
-        # below the signup, plus the smallest at-or-after it
-        purch = sorted(set(purch))
-        if s_us is not None:
-            ge = [p for p in purch if p >= s_us]
-            purch = [p for p in purch if p < s_us] + ge[:1]
-        purch = purch[:1024]
-        state.update((int(s_us) if s_us is not None else None, purch))
-        best = min((p for p in purch if s_us is not None and p >= s_us), default=None)
-        if s_us is not None and best is not None:
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "signup_ts": [pd.Timestamp(s_us, unit="us")],
-                    "first_purchase_ts": [pd.Timestamp(best, unit="us")],
-                    "lag_us": [best - s_us],
-                }
-            )
-
+    fold = _funnel_fold
     return (
         events.filter(F.col("event_type").isin("signup", "purchase"))
         .groupBy("user_id")

@@ -219,3 +219,55 @@ def test_transitions_stream_matches_batch(spark, events_stream_dir):
         for r in event_type_transitions(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving folds batch-by-batch."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_funnel_fold_late_earlier_signup(spark):
+    """The out-of-order case the candidate list exists for: a signup
+    arriving LATE and EARLIER than an already-seen purchase must
+    resurrect that purchase as the first-qualifying one."""
+    import pandas as pd
+
+    from data_integration_system_spark.streaming.jobs import _funnel_fold
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "event_id": list(range(len(rows))),
+                "ts": [pd.Timestamp(us, unit="us") for us, _ in rows],
+                "event_type": [t for _, t in rows],
+            }
+        )
+
+    state = _FakeState()
+
+    def run(rows):
+        return list(_funnel_fold((7,), iter([batch(rows)]), state))
+
+    assert run([(100, "purchase")]) == []          # no signup yet
+    assert run([(200, "signup")]) == []            # purchase precedes signup
+    out = run([(300, "purchase")])                 # first qualifying pair
+    assert len(out) == 1 and out[0].lag_us[0] == 100
+    out = run([(50, "signup")])                    # LATE, EARLIER signup
+    assert len(out) == 1
+    assert out[0].signup_ts[0] == pd.Timestamp(50, unit="us")
+    assert out[0].first_purchase_ts[0] == pd.Timestamp(100, unit="us")
+    assert out[0].lag_us[0] == 50
