@@ -126,6 +126,47 @@ def pending_job_picker(jobs_stream: DataFrame) -> DataFrame:
     return jobs_stream.filter(F.col("status") == "PENDING")
 
 
+def job_worker_stream(
+    spark: SparkSession,
+    jobs_path: str,
+    output_root: str,
+    fetch_fn=None,
+    trigger: dict | None = None,
+):
+    """The worker daemon itself (worker_daemon.py:20-58) as a streaming
+    query: watch the jobs log, and on every micro-batch containing new
+    PENDING rows, claim-and-run them via `run_pending_jobs` (which
+    appends the RUNNING/DONE/FAILED transitions back onto the same log).
+
+    The reference's 2 s `asyncio.sleep` poll becomes the trigger
+    (default `processingTime='2 seconds'`; pass
+    ``{"availableNow": True}`` for a drain-and-stop worker).  Claim
+    races disappear: the stream owns its input exactly once, and
+    `run_pending_jobs` re-reads current state so a row already
+    transitioned by an earlier batch is never re-claimed.  Returns the
+    StreamingQuery; caller stops it."""
+    from data_integration_system_spark.pipeline.fetch import default_http_fetch
+    from data_integration_system_spark.pipeline.jobs import run_pending_jobs
+
+    fetch = fetch_fn or default_http_fetch
+    schema = spark.read.parquet(jobs_path).schema
+    stream = pending_job_picker(
+        spark.readStream.schema(schema).parquet(jobs_path)
+    )
+
+    def work(batch: DataFrame, batch_id: int) -> None:
+        # the batch is the wake-up signal; claiming happens against the
+        # folded CURRENT state (a PENDING row in this batch that a prior
+        # batch already ran folds to DONE and is skipped)
+        if batch.isEmpty():
+            return
+        run_pending_jobs(spark, jobs_path, output_root, fetch)
+
+    q = stream.writeStream.foreachBatch(work)
+    q = q.trigger(**(trigger or {"processingTime": "2 seconds"}))
+    return q.start()
+
+
 def running_user_totals(events: DataFrame):
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total maintained ACROSS micro-batches —

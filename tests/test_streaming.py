@@ -271,3 +271,31 @@ def test_funnel_fold_late_earlier_signup(spark):
     assert out[0].signup_ts[0] == pd.Timestamp(50, unit="us")
     assert out[0].first_purchase_ts[0] == pd.Timestamp(100, unit="us")
     assert out[0].lag_us[0] == 50
+
+
+def test_job_worker_stream_drains_queue(spark, tmp_path):
+    """The streaming worker daemon: submitted jobs are picked up, run,
+    and transitioned to DONE on the same log — the reference's poll loop
+    as a streaming query (drain-and-stop trigger)."""
+    from test_pipeline import fake_fetch
+
+    from data_integration_system_spark.pipeline.jobs import current_jobs, submit_job
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.streaming.jobs import job_worker_stream
+
+    jobs_path = str(tmp_path / "jobs_log")
+    j1 = submit_job(spark, jobs_path, {"url": "https://ex.com/", "download_files": False})
+    j2 = submit_job(spark, jobs_path, {"url": "https://ex.com/a", "download_files": False})
+
+    q = job_worker_stream(
+        spark, jobs_path, str(tmp_path / "out"),
+        fetch_fn=fake_fetch, trigger={"availableNow": True},
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    state = {r.job_id: r.status for r in current_jobs(spark, jobs_path).collect()}
+    assert state == {j1: "DONE", j2: "DONE"}
+    assert read_current(spark, f"{tmp_path}/out/{j1}").count() == 4
