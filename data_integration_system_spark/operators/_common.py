@@ -41,3 +41,22 @@ def mean2(col: Column | str) -> Column:
     Mirror SQL: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
     / COUNT(*), 2)."""
     return F.round(F.sum(dec(col)).cast("double") / F.count("*"), 2)
+
+
+def drop_hot_keys(df, key_cols: list[str], cap: int):
+    """Drop every row whose key-group exceeds ``cap`` rows — the shared
+    quadratic-bucket defense (LSH hot buckets, fingerprint stop-hashes).
+
+    One co-keyed aggregation finds the oversized keys; that set is tiny
+    by construction, so it broadcasts into a map-side anti-join and the
+    input relation is never reshuffled.  Build- and query-side callers
+    MUST share this one implementation: the materialized indexes'
+    "self-query == inline query" guarantee depends on the prune
+    semantics staying identical."""
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
 from data_integration_system_spark.functions.hashing import normalize_ws
+from data_integration_system_spark.operators._common import drop_hot_keys
 from data_integration_system_spark.registry import query
 
 
@@ -311,13 +312,7 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int | None = _MAX_BUCKET) 
     construction, so it broadcasts into a map-side anti-join — the bands
     relation is never reshuffled."""
     if max_bucket is not None:
-        hot = (
-            bands.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("band_id", "band_hash")
-        )
-        bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+        bands = drop_hot_keys(bands, ["band_id", "band_hash"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -366,13 +361,7 @@ def build_minhash_index(
     sh = shingle_sets(docs)
     bands = minhash_bands(docs, shingles_df=sh)
     if max_bucket is not None:
-        hot = (
-            bands.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("band_id", "band_hash")
-        )
-        bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+        bands = drop_hot_keys(bands, ["band_id", "band_hash"], max_bucket)
     (
         bands.join(sh, "doc_id")
         .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
@@ -779,12 +768,22 @@ def _banded_block_candidates(sized: DataFrame) -> DataFrame:
                >= 0.5 * F.greatest(F.col("a.n"), F.col("b.n"))),
         )
         .select(
+            # sh_a/n_a must FOLLOW doc_a (the lesser id), not side "a" of
+            # the join — for adjacent-band pairs the id order can flip
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.sh"))
+            .otherwise(F.col("b.sh"))
+            .alias("sh_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.sh"))
+            .otherwise(F.col("a.sh"))
+            .alias("sh_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.n"))
+            .otherwise(F.col("b.n"))
+            .alias("n_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.n"))
+            .otherwise(F.col("a.n"))
+            .alias("n_b"),
         )
     )
 

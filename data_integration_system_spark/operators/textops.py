@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
+from data_integration_system_spark.operators._common import drop_hot_keys
 from data_integration_system_spark.registry import query
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "it")
@@ -365,13 +366,7 @@ def build_fingerprint_index(
     n_buckets so build and query can't silently disagree."""
     fp = doc_fingerprints_unordered(spark, sf_dir)
     if stop_docs is not None:
-        hot = (
-            fp.groupBy("fp_hash")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > stop_docs)
-            .select("fp_hash")
-        )
-        fp = fp.join(F.broadcast(hot), "fp_hash", "left_anti")
+        fp = drop_hot_keys(fp, ["fp_hash"], stop_docs)
     (
         fp.withColumn(
             "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
@@ -437,13 +432,7 @@ def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no DuckDB twin)."""
     fp = doc_fingerprints_unordered(spark, sf_dir)
     # stop-hash prune: fingerprints in >20 docs are boilerplate
-    hot = (
-        fp.groupBy("fp_hash")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 20)
-        .select("fp_hash")
-    )
-    fp = fp.join(F.broadcast(hot), "fp_hash", "left_anti")
+    fp = drop_hot_keys(fp, ["fp_hash"], _FP_STOP_DOCS)
     a = fp.alias("a")
     b = fp.alias("b")
     return (

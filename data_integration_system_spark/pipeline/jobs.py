@@ -171,7 +171,11 @@ def submit_job(spark: SparkSession, jobs_path: str, request: dict[str, Any]) -> 
         raise ValueError(f"invalid start url: {url!r}")
     for k in ("exclusive_depth", "max_depth_root", "max_pages_total", "max_file_bytes"):
         v = request.get(k)
-        if v is not None and (not isinstance(v, int) or v < 0):
+        # bool is an int subclass — reject it explicitly, or True would
+        # validate and silently crawl with a budget/depth of 1
+        if v is not None and (
+            isinstance(v, bool) or not isinstance(v, int) or v < 0
+        ):
             raise ValueError(f"{k} must be a non-negative integer, got {v!r}")
     job_id = str(uuid.uuid4())
     config = {

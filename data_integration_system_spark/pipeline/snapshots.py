@@ -61,18 +61,53 @@ def _write_manifest(spark: SparkSession, root: str, name: str) -> None:
     fs.rename(tmp, dst)
 
 
-def current_version(spark: SparkSession, root: str) -> str | None:
-    """Active snapshot name from the manifest, or None (no manifest —
-    either an empty root or a legacy plain-parquet layout)."""
-    p, fs = hadoop_path(spark, f"{root}/{_CURRENT}")
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
+def _read_small(fs, path) -> str:
+    stream = fs.open(path)
     try:
-        name = bytes(stream.readAllBytes()).decode("utf-8").strip()
+        return bytes(stream.readAllBytes()).decode("utf-8", "replace").strip()
     finally:
         stream.close()
-    return name or None
+
+
+def _latest_committed(spark: SparkSession, root: str) -> str | None:
+    """Highest version dir whose parquet job committed (has _SUCCESS)."""
+    from data_integration_system_spark.pipeline.fsutil import exists
+
+    for v in reversed(_versions(spark, root)):
+        name = f"v{v:06d}"
+        if exists(spark, f"{root}/{name}/_SUCCESS"):
+            return name
+    return None
+
+
+def current_version(spark: SparkSession, root: str) -> str | None:
+    """Active snapshot name, crash-safe.  Resolution order:
+
+    1. the ``_CURRENT`` manifest;
+    2. if a swap was in flight (``_CURRENT.tmp`` present): the tmp's
+       version when valid — covers a crash between the old manifest's
+       delete and the rename (the tmp is only ever written AFTER its
+       data committed, so trusting it is safe) — else the highest
+       version dir with a ``_SUCCESS`` marker (corrupt/partial tmp);
+    3. None (empty root, legacy layout, or a first write that crashed
+       before any swap attempt — nothing was ever committed).
+
+    Without 2, a crash inside the pointer swap would make the store look
+    empty and the next merge would silently drop all prior data."""
+    p, fs = hadoop_path(spark, f"{root}/{_CURRENT}")
+    if fs.exists(p):
+        name = _read_small(fs, p)
+        if name:
+            return name
+    tmp, _ = hadoop_path(spark, f"{root}/{_CURRENT}.tmp")
+    if fs.exists(tmp):
+        name = _read_small(fs, tmp)
+        if _VERSION_RE.match(name):
+            dirp, _ = hadoop_path(spark, f"{root}/{name}")
+            if fs.exists(dirp):
+                return name
+        return _latest_committed(spark, root)
+    return None
 
 
 def write_snapshot(

@@ -234,7 +234,9 @@ def write_jdbc_upsert(
     props = jvm.java.util.Properties()
     for k, v in (write_options or {}).items():
         if k.lower() not in _SPARK_WRITER_ONLY_OPTIONS:
-            props.setProperty(k, v)
+            # setProperty is (String, String); Spark's writer coerces
+            # ints/bools itself, so mirror that here
+            props.setProperty(k, str(v))
     conn = jvm.java.sql.DriverManager.getConnection(jdbc_url, props)
     try:
         conn.createStatement().execute(sql)

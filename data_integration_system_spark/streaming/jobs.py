@@ -146,21 +146,29 @@ def job_worker_stream(
     transitioned by an earlier batch is never re-claimed.  Returns the
     StreamingQuery; caller stops it."""
     from data_integration_system_spark.pipeline.fetch import default_http_fetch
-    from data_integration_system_spark.pipeline.jobs import run_pending_jobs
+    from data_integration_system_spark.pipeline.jobs import (
+        _JOBS_SCHEMA,
+        run_pending_jobs,
+    )
 
     fetch = fetch_fn or default_http_fetch
-    schema = spark.read.parquet(jobs_path).schema
+    # schema is the known constant, NOT inferred from the log: the worker
+    # must be deployable BEFORE the first submission (the reference
+    # daemon's startup order), when the path does not exist yet
     stream = pending_job_picker(
-        spark.readStream.schema(schema).parquet(jobs_path)
+        spark.readStream.schema(_JOBS_SCHEMA).parquet(jobs_path)
     )
 
     def work(batch: DataFrame, batch_id: int) -> None:
         # the batch is the wake-up signal; claiming happens against the
         # folded CURRENT state (a PENDING row in this batch that a prior
-        # batch already ran folds to DONE and is skipped)
+        # batch already ran folds to DONE and is skipped).  Loop until
+        # the queue is drained — a batch may carry more PENDING rows
+        # than one run_pending_jobs claim limit.
         if batch.isEmpty():
             return
-        run_pending_jobs(spark, jobs_path, output_root, fetch)
+        while run_pending_jobs(spark, jobs_path, output_root, fetch):
+            pass
 
     q = stream.writeStream.foreachBatch(work)
     q = q.trigger(**(trigger or {"processingTime": "2 seconds"}))
@@ -227,8 +235,11 @@ def _funnel_fold(key, pdfs, state):
     purch = sorted(set(purch))
     if s_us is not None:
         ge = [p for p in purch if p >= s_us]
-        purch = [p for p in purch if p < s_us] + ge[:1]
-    purch = purch[:1024]
+        # cap the SPECULATIVE pre-signup candidates only — the qualifying
+        # purchase (tail of the sorted list) must always survive the cap
+        purch = [p for p in purch if p < s_us][:1023] + ge[:1]
+    else:
+        purch = purch[:1024]
     state.update((int(s_us) if s_us is not None else None, purch))
     best = min((p for p in purch if s_us is not None and p >= s_us), default=None)
     if s_us is not None and best is not None:

@@ -942,7 +942,8 @@ def test_submit_job_validation(spark, tmp_path):
 
     jobs_path = str(tmp_path / "jobs_log")
     for bad in ({}, {"url": "notaurl"}, {"url": "ftp://x.com/"},
-                {"url": "https://x.com/", "max_pages_total": -1}):
+                {"url": "https://x.com/", "max_pages_total": -1},
+                {"url": "https://x.com/", "max_pages_total": True}):
         with pytest.raises(ValueError):
             submit_job(spark, jobs_path, bad)
 
@@ -976,3 +977,59 @@ def test_submitted_job_visible_to_streaming_picker(spark, tmp_path):
         assert spark.sql("SELECT status FROM picked_jobs").collect()[0].status == "PENDING"
     finally:
         q.stop()
+
+
+def test_snapshot_crash_mid_pointer_swap_recovers(spark, tmp_path):
+    """Crash BETWEEN delete(_CURRENT) and rename(tmp): the store must
+    resolve via the tmp manifest (its data already committed), never
+    look empty — an empty-looking store would make the next merge drop
+    all prior data."""
+    import os
+
+    from data_integration_system_spark.pipeline import snapshots as snap
+
+    root = str(tmp_path / "store")
+    snap.write_snapshot(spark.range(3), root)
+    snap.write_snapshot(spark.range(5), root)
+    # simulate the torn swap: _CURRENT deleted, tmp (pointing at v2) left
+    with open(f"{root}/_CURRENT.tmp", "w") as f:
+        f.write("v000002")
+    os.remove(f"{root}/_CURRENT")
+    assert snap.current_version(spark, root) == "v000002"
+    assert snap.snapshot_exists(spark, root)
+    assert snap.read_current(spark, root).count() == 5
+
+    # corrupt tmp -> fall back to the highest committed version
+    with open(f"{root}/_CURRENT.tmp", "w") as f:
+        f.write("garbage")
+    assert snap.current_version(spark, root) == "v000002"
+
+    # no manifest, no tmp, only version dirs: a first write that crashed
+    # before any swap attempt was never committed
+    fresh = str(tmp_path / "fresh")
+    spark.range(2).write.parquet(f"{fresh}/v000001")
+    assert snap.current_version(spark, fresh) is None
+    assert not snap.snapshot_exists(spark, fresh)
+
+
+def test_run_pending_jobs_drains_past_claim_limit(spark, tmp_path):
+    """The worker loop must drain a queue larger than one claim limit."""
+    from data_integration_system_spark.pipeline.jobs import (
+        current_jobs,
+        run_pending_jobs,
+        submit_job,
+    )
+
+    jobs_path = str(tmp_path / "jobs_log")
+    ids = [
+        submit_job(spark, jobs_path,
+                   {"url": "https://ex.com/", "download_files": False})
+        for _ in range(3)
+    ]
+    rounds = 0
+    while run_pending_jobs(spark, jobs_path, str(tmp_path / "out"),
+                           fetch_fn=fake_fetch, limit=1):
+        rounds += 1
+    assert rounds == 3
+    state = {r.job_id: r.status for r in current_jobs(spark, jobs_path).collect()}
+    assert state == {i: "DONE" for i in ids}

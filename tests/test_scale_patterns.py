@@ -292,3 +292,22 @@ def test_salted_agg_bounds_reducer_load(spark, skewed):
     hot_groups = salted_loads.filter(F.col("k") == "HOT").count()
     assert hot_groups == 8           # hot key spread over all 8 salts
     assert salted_max <= plain_max / 4   # max reducer load bounded
+
+
+def test_banded_candidates_label_payloads_by_doc_id(spark):
+    """sh_a/n_a must belong to doc_a even when the adjacent-band match
+    puts the lesser doc_id on the exploded side."""
+    from data_integration_system_spark.operators.dedup import (
+        _banded_block_candidates,
+    )
+
+    sized = spark.createDataFrame(
+        [(5, "en", "w", [50], 4), (1, "en", "w", [10], 2)],
+        "doc_id long, lang string, source string, sh array<long>, n int",
+    )
+    rows = _banded_block_candidates(sized).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 5)
+    assert (r.n_a, r.n_b) == (2, 4)
+    assert (r.sh_a, r.sh_b) == ([10], [50])

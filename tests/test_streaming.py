@@ -299,3 +299,28 @@ def test_job_worker_stream_drains_queue(spark, tmp_path):
     state = {r.job_id: r.status for r in current_jobs(spark, jobs_path).collect()}
     assert state == {j1: "DONE", j2: "DONE"}
     assert read_current(spark, f"{tmp_path}/out/{j1}").count() == 4
+
+
+def test_funnel_fold_cap_keeps_qualifying_purchase(spark):
+    """The candidate cap must evict SPECULATIVE pre-signup purchases,
+    never the qualifying at-or-after-signup one."""
+    import pandas as pd
+
+    from data_integration_system_spark.streaming.jobs import _funnel_fold
+
+    state = _FakeState()
+    rows = [(us, "purchase") for us in range(100, 1300)]  # 1200 pre-signup
+    rows += [(5000, "signup"), (6000, "purchase")]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * len(rows),
+            "event_id": list(range(len(rows))),
+            "ts": [pd.Timestamp(us, unit="us") for us, _ in rows],
+            "event_type": [t for _, t in rows],
+        }
+    )
+    out = list(_funnel_fold((1,), iter([pdf]), state))
+    assert len(out) == 1
+    assert out[0].first_purchase_ts[0] == pd.Timestamp(6000, unit="us")
+    s_us, purch = state.get
+    assert 6000 in purch and len(purch) <= 1024
