@@ -500,3 +500,54 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "snapshot_reconcile",
+    oracle="""
+    WITH cur AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ), nxt AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT COALESCE(c.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'DELETED'
+                WHEN c.doc_id IS NULL THEN 'ADDED'
+                WHEN c.h = n.h        THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS change
+    FROM cur c FULL OUTER JOIN nxt n ON c.doc_id = n.doc_id
+    """,
+)
+def snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot reconciliation: FULL OUTER join of a current vs next
+    table version on the key, classifying every id as DELETED / ADDED /
+    CHANGED / UNCHANGED by hash — the audit diff between two versions of
+    the copy-on-write page store (pipeline/snapshots.py), and the one
+    join type (full outer) the inventory lacked a named query for.
+
+    Uses Q14's deterministic current/incoming derivation so the oracle
+    is exact.  Scale: one co-keyed shuffle; both sides prune to
+    (key, hash) columns at the scan."""
+    docs = table(spark, sf_dir, "documents")
+    cur = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("c_id"), F.sha2("text", 256).alias("c_h")
+    )
+    nxt = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.sha2(
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("n_h"),
+    )
+    change = (
+        F.when(F.col("n_id").isNull(), "DELETED")
+        .when(F.col("c_id").isNull(), "ADDED")
+        .when(F.col("c_h") == F.col("n_h"), "UNCHANGED")
+        .otherwise("CHANGED")
+    )
+    return cur.join(nxt, cur.c_id == nxt.n_id, "full_outer").select(
+        F.coalesce("c_id", "n_id").alias("doc_id"), change.alias("change")
+    )

@@ -81,6 +81,7 @@ _DRIVER_HEAD: list[str] = [
     "returned_item_report",
     "top_revenue_supplier",
     "segment_top_orders",
+    "snapshot_reconcile",
     "fingerprint_overlap_pairs",
     "signup_purchase_funnel",
     "event_type_transitions",
