@@ -374,6 +374,42 @@ def build_minhash_index(
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
+def append_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = _INDEX_BUCKETS,
+) -> None:
+    """Incrementally index new documents: compute their band rows with
+    the SAME pipeline as build_minhash_index and append them into the
+    bucket partitions.  Creates the index (meta included) when none
+    exists, so a stream can start cold.
+
+    The hot-bucket cap is deliberately NOT applied here: an append sees
+    only its own batch, so a globally-hot bucket is a REBUILD concern —
+    run build_minhash_index periodically (the compaction analog) to
+    re-apply the cap over the full corpus."""
+    from data_integration_system_spark.pipeline.fsutil import exists
+
+    if exists(spark, f"{index_path}/meta"):
+        n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
+    else:
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    sh = shingle_sets(new_docs, text_col, id_col)
+    bands = minhash_bands(new_docs, text_col, id_col, shingles_df=sh)
+    (
+        bands.join(sh, "doc_id")
+        .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/bands")
+    )
+
+
 def query_minhash_index(
     spark: SparkSession,
     index_path: str,

@@ -333,3 +333,50 @@ def event_transitions_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def near_dup_sink(
+    spark: SparkSession,
+    index_path: str,
+    pairs_path: str,
+    min_jaccard: float = 0.2,
+):
+    """Incremental near-duplicate detection over the materialized
+    MinHash index (operators/dedup.build_minhash_index): each
+    micro-batch of documents is APPENDED to the index, then queried
+    against it — so every batch surfaces its duplicates against the
+    whole corpus seen so far AND within itself, paying only the pruned
+    index probe, never a corpus rescan.  Canonicalized (doc_a < doc_b)
+    pairs append to ``pairs_path``.  Returns a foreachBatch callable.
+
+    At-least-once caveat: a redelivered batch re-appends its band rows
+    (harmless for pair correctness — candidates are pair-distinct — but
+    it duplicates index storage) and re-emits its pairs; the periodic
+    build_minhash_index rebuild compacts the former, and pair consumers
+    dedup on (doc_a, doc_b) exactly like every other idempotent sink
+    here.  Expects batches of (doc_id, text)."""
+    from data_integration_system_spark.operators.dedup import (
+        append_minhash_index,
+        query_minhash_index,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint()  # one stable view for index + probe
+        append_minhash_index(spark, index_path, batch)
+        pairs = query_minhash_index(
+            spark, index_path, batch, min_jaccard=min_jaccard
+        )
+        (
+            pairs.select(
+                F.least("q_id", "c_id").alias("doc_a"),
+                F.greatest("q_id", "c_id").alias("doc_b"),
+                "jaccard",
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .write.mode("append")
+            .parquet(pairs_path)
+        )
+
+    return apply

@@ -324,3 +324,47 @@ def test_funnel_fold_cap_keeps_qualifying_purchase(spark):
     assert out[0].first_purchase_ts[0] == pd.Timestamp(6000, unit="us")
     s_us, purch = state.get
     assert 6000 in purch and len(purch) <= 1024
+
+
+def test_near_dup_sink_matches_batch(spark, tmp_path):
+    """Streaming incremental near-dup over the materialized index: two
+    micro-batches of the corpus must surface exactly the pairs the batch
+    dedup_minhash_near finds on the full corpus (within-batch AND
+    cross-batch pairs; no hot buckets at this SF, so the append path's
+    missing global cap cannot diverge)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.dedup import dedup_minhash_near
+    from data_integration_system_spark.streaming.jobs import near_dup_sink
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    d = str(tmp_path / "doc_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")  # force >= 2 micro-batches
+        .parquet(d)
+    )
+    pairs_path = str(tmp_path / "pairs")
+    sink = near_dup_sink(spark, str(tmp_path / "mh_idx"), pairs_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_near(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
