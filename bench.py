@@ -67,6 +67,11 @@ HEADLINE = (
     "decontaminate_filter",    # benchmark-leakage scrub (anti-join)
     "returned_item_report",    # TPC-H Q10 shape (filtered fact join)
     "segment_top_orders",      # TPC-H Q3 shape (dim-filtered star)
+    "exact_substring_dup_spans",  # corpus-wide duplicated 8-gram marking
+    "pack_sequences",          # per-lang token-budget packing window
+    "pii_redact",              # in-scan regexp count/redact pass
+    "large_volume_orders",     # TPC-H Q18 shape (agg-then-join topk)
+    "brand_supplier_counts",   # TPC-H Q16 shape (two-phase distinct)
 )
 
 

@@ -551,3 +551,80 @@ def snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.join(nxt, cur.c_id == nxt.n_id, "full_outer").select(
         F.coalesce("c_id", "n_id").alias("doc_id"), change.alias("change")
     )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT o.o_orderkey, c.c_name, o.o_orderdate, o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the 20 biggest orders
+    by total line quantity above a volume threshold, with their
+    customer.
+
+    Scale shape: the HAVING collapses lineitem to ~1% of orders BEFORE
+    any join — one map-side-combined agg shuffle on l_orderkey, then the
+    surviving order keys are small enough that AQE turns both joins into
+    broadcasts at any SF where the threshold is selective.  The sort is
+    TakeOrderedAndProject (top-20), never a global sort.  l_quantity is
+    integral-valued, so its double SUM is order-independent — no decimal
+    staging needed (unlike price sums)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_size BETWEEN 10 AND 40 AND p.p_brand <> 'Brand#3'
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each surviving (brand, type) part family — the
+    catalog-breadth query, minus the NOT IN complaint-supplier arm the
+    schema has no data for.
+
+    Scale shape: the part dim filters push into its scan and the
+    shrunken dim broadcasts into the lineitem scan; COUNT(DISTINCT)
+    expands to a two-phase aggregate — partial distinct on (brand, type,
+    suppkey) absorbs the fact-side repetition map-side, so the real
+    shuffle carries at most |brands × types × suppliers| rows regardless
+    of fact size."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 40) & (F.col("p_brand") != "Brand#3")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

@@ -693,3 +693,197 @@ def decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           start_off // 512 AS seq_id,
+           start_off % 512 AS seq_off
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-then-split): documents are laid
+    end-to-end in a deterministic per-lang order and cut into fixed
+    512-token sequences; each doc is assigned the sequence containing
+    its START offset plus its offset within it — the packing manifest a
+    pretraining dataloader consumes.
+
+    Scale shape: ONE shuffle keyed by lang (the window partition), and
+    the running sum is a single ordered pass per partition.  At 100 TB
+    you pack per (lang, shard) — the partition key IS the packing
+    domain, so no global order is ever required; lang here stands in for
+    that shard key."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = docs.select(
+        "doc_id", "lang", F.size(tokens_of("text")).cast("long").alias("n_tokens")
+    )
+    d = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("start_off") / 512).cast("long").alias("seq_id"),
+        (F.col("start_off") % 512).cast("long").alias("seq_off"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+
+@query(
+    "pii_redact",
+    oracle=rf"""
+    WITH salted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' 555-'
+                       || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(strlen(regexp_replace(regexp_replace(regexp_replace(raw,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IP}', '<IP>', 'g'),
+                '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM salted
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails / IPv4 addresses /
+    phone extensions per document.  The synthetic corpus contains no
+    PII, so a deterministic doc_id-derived contact line is injected
+    first (mirrored exactly in the oracle) — the parity check then
+    genuinely exercises regexp semantics on both engines rather than
+    comparing all-zero counts.
+
+    Scale shape: pure per-row JVM regexp expressions inside the scan
+    projection — zero shuffle, the cheapest possible corpus pass, and
+    the patterns stay in whole-stage codegen (no Python)."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" 555-"), (1000 + did % 9000).cast("string")),
+        ).otherwise(""),
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count("raw", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@query(
+    "exact_substring_dup_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 8 + 2),
+                    i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS span
+      FROM t WHERE len(toks) >= 8
+    ), c AS (
+      SELECT doc_id, span, count(*) AS n_pos FROM sp GROUP BY doc_id, span
+    ), w AS (
+      SELECT doc_id, n_pos, SUM(n_pos) OVER (PARTITION BY span) AS total FROM c
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN total > 1 THEN n_pos ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           SUM(CASE WHEN total > 1 THEN n_pos ELSE 0 END) * 10000 // SUM(n_pos)
+             AS dup_frac_e4
+    FROM w GROUP BY doc_id
+    """,
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring marking at 8-token granularity (the
+    deduplicate-training-data operator of Lee et al. 2022, approximated
+    on n-gram span boundaries): for every document, the fraction of its
+    8-token spans that occur anywhere else in the corpus (or again in
+    the same document).  High dup_frac_e4 = boilerplate to cut or drop.
+
+    Scale shape: two shuffles — (doc_id, span) with map-side combine
+    (absorbs within-doc repeats), then span (the corpus count).  The
+    Zipf head is bounded: each scan partition emits one partial per
+    distinct span.  At 100 TB the span string is replaced by a 128-bit
+    hash before the shuffle; the string form here keeps the oracle
+    byte-identical."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens_of("text").alias("toks")).localCheckpoint()
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 8),
+        lambda i: F.array_join(F.slice("toks", i + 1, 8), " "),
+    )
+    per = (
+        d.filter(F.size("toks") >= 8)
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("doc_id", "span")
+        .agg(F.count("*").alias("n_pos"))
+    )
+    total = F.sum("n_pos").over(Window.partitionBy("span"))
+    dup = F.when(F.col("total") > 1, F.col("n_pos")).otherwise(F.lit(0))
+    return (
+        per.withColumn("total", total)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+            F.floor(F.sum(dup) * 10000 / F.sum("n_pos")).cast("long")
+            .alias("dup_frac_e4"),
+        )
+    )

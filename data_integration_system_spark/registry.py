@@ -78,6 +78,11 @@ _DRIVER_HEAD: list[str] = [
     "token_top_vocab",
     "domain_mix_weights",
     "decontaminate_filter",
+    "pack_sequences",
+    "pii_redact",
+    "exact_substring_dup_spans",
+    "large_volume_orders",
+    "brand_supplier_counts",
     "returned_item_report",
     "top_revenue_supplier",
     "segment_top_orders",
