@@ -462,3 +462,60 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cavg") * 100).cast("long").alias("cust_avg_cents"),
         )
     )
+
+
+@query(
+    "event_zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - m.s / m.n)
+               / sqrt((m.sq - (m.s / m.n) * m.s) / (m.n - 1)) AS zval
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_id, event_type, value,
+           CAST(FLOOR(zval * 1000) AS BIGINT) AS z_e3
+    FROM z WHERE abs(zval) > 3
+    """,
+)
+def event_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging: events whose value is more than 3 sample
+    standard deviations from their event_type's mean.  Moments come from
+    exact DECIMAL sums (order-independent, engine-identical) and the
+    mean/variance/sqrt are then evaluated in doubles with an identical
+    expression tree on both engines, so even the derived z-scores hash
+    exactly — no stddev_samp, whose merge order is engine-specific.
+
+    Scale shape: one map-side-combined agg shuffle to get per-type
+    moments (|event_types| rows), broadcast back over a second scan —
+    the corpus is read twice but never shuffled, which beats a window
+    over event_type (one full shuffle + spill) at any real scale."""
+    ev = table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        (F.col("sq") - mean * F.col("s")) / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .withColumn("zval", z)
+        .filter(F.abs(F.col("zval")) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.floor(F.col("zval") * 1000).cast("long").alias("z_e3"),
+        )
+    )

@@ -887,3 +887,64 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac_e4"),
         )
     )
+
+
+@query(
+    "weighted_resample",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_groups FROM g
+    ), w AS (
+      SELECT lang, source,
+             total * 1000000 // (n_groups * n_docs) AS weight_e6
+      FROM g, t
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           w.weight_e6 // 1000000
+             + CASE WHEN (d.doc_id * 1103515245 + 12345) % 1000000
+                         < w.weight_e6 % 1000000 THEN 1 ELSE 0 END
+             AS n_copies
+    FROM documents d JOIN w USING (lang, source)
+    """,
+)
+def weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling ACT that domain_mix_weights feeds: per document, how
+    many copies enter the rebalanced corpus (floor(weight) guaranteed
+    copies + one more with probability frac(weight), decided by a
+    deterministic doc_id-keyed LCG — reproducible across engines, runs,
+    and partitionings, unlike df.sample).  n_copies = 0 drops the doc;
+    >= 2 upsamples an under-represented (lang, source) group.
+
+    Scale shape: the weights table is |langs × sources| rows — a
+    broadcast join onto the corpus scan, zero shuffle of the corpus
+    itself.  Downstream materialization is explode(sequence(1,
+    n_copies)), which stays scan-side too."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n_docs"))
+    t = g.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    w = g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        F.floor(F.col("total") * 1000000 / (F.col("n_groups") * F.col("n_docs")))
+        .cast("long")
+        .alias("weight_e6"),
+    )
+    u = (F.col("doc_id") * 1103515245 + 12345) % 1000000
+    return docs.join(F.broadcast(w), ["lang", "source"]).select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.floor(F.col("weight_e6") / 1000000)
+            + F.when(u < F.col("weight_e6") % 1000000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_copies"),
+    )

@@ -83,6 +83,8 @@ _DRIVER_HEAD: list[str] = [
     "exact_substring_dup_spans",
     "large_volume_orders",
     "brand_supplier_counts",
+    "event_zscore_outliers",
+    "weighted_resample",
     "returned_item_report",
     "top_revenue_supplier",
     "segment_top_orders",

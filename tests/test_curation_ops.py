@@ -1,0 +1,92 @@
+"""Invariant tests for the round-3 curation-tier queries — semantic
+properties the oracle-parity hash check cannot see (parity proves both
+engines agree, not that the shared definition is right)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.operators.joins import large_volume_orders
+from data_integration_system_spark.operators.relational import event_zscore_outliers
+from data_integration_system_spark.operators.textops import (
+    exact_substring_dup_spans,
+    pack_sequences,
+    pii_redact,
+    tokens_of,
+    weighted_resample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_is_contiguous_and_in_bounds(spark):
+    """The packing manifest must describe an exact concat-then-split:
+    per lang, doc start offsets are the running sum of prior token
+    counts, and every in-sequence offset is < the 512 budget."""
+    pdf = pack_sequences(spark, SF).toPandas()
+    assert (pdf.seq_off >= 0).all() and (pdf.seq_off < 512).all()
+    for _, g in pdf.sort_values("doc_id").groupby("lang"):
+        starts = (g.seq_id * 512 + g.seq_off).to_numpy()
+        expect = g.n_tokens.cumsum().shift(1, fill_value=0).to_numpy()
+        assert (starts == expect).all()
+
+
+def test_pii_redact_counts_track_injection(spark):
+    """Counts must reflect exactly the deterministic injected PII: every
+    doc_id % 3 == 0 doc gains one email, % 5 == 0 one phone, and docs
+    with no injection at all redact nothing (the base corpus is clean)."""
+    pdf = pii_redact(spark, SF).toPandas().set_index("doc_id")
+    for did, row in pdf.iterrows():
+        assert row.n_emails == (1 if did % 3 == 0 else 0)
+        assert row.n_phones == (1 if did % 5 == 0 else 0)
+        assert row.n_ips == (1 if did % 4 == 0 else 0)
+
+
+def test_dup_spans_bounded_by_positions(spark):
+    """A doc with T tokens has exactly T-7 span positions, and duplicated
+    positions can never exceed them."""
+    spans = exact_substring_dup_spans(spark, SF)
+    toks = table(spark, SF, "documents").select(
+        "doc_id", F.size(tokens_of("text")).alias("n_toks")
+    )
+    bad = (
+        spans.join(toks, "doc_id")
+        .filter(
+            (F.col("n_spans") != F.col("n_toks") - 7)
+            | (F.col("n_dup_spans") > F.col("n_spans"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_weighted_resample_rebalances_toward_uniform(spark):
+    """The realized copy counts must move each (lang, source) group
+    toward the uniform target share: every group's total copies lands
+    within 50% of total/n_groups (deterministic LCG — no flake; at this
+    SF groups are tiny, so the fractional-copy rounding is +/-1 on a
+    target of ~5, hence the loose band)."""
+    pdf = weighted_resample(spark, SF).toPandas()
+    target = len(pdf) / pdf.groupby(["lang", "source"]).ngroups
+    sums = pdf.groupby(["lang", "source"]).n_copies.sum()
+    assert ((sums >= 0.5 * target) & (sums <= 1.5 * target)).all(), sums
+
+
+def test_zscore_outliers_are_actually_extreme(spark):
+    """Every flagged event is >= 3 sigma by the integer-scaled score, and
+    flagging is rare (< 5% of events)."""
+    out = event_zscore_outliers(spark, SF)
+    assert out.filter((F.col("z_e3") < 3000) & (F.col("z_e3") > -3001)).count() == 0
+    n_events = table(spark, SF, "events").count()
+    assert out.count() < 0.05 * n_events
+
+
+def test_large_volume_orders_threshold_and_order(spark):
+    """Every reported order exceeds the volume threshold and rows arrive
+    in (total_qty DESC, o_orderkey) order, at most 20 of them."""
+    rows = large_volume_orders(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.total_qty > 250 for r in rows)
+    keys = [(-r.total_qty, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
