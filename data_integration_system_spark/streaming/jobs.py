@@ -380,3 +380,36 @@ def near_dup_sink(
         )
 
     return apply
+
+
+def ann_probe_sink(
+    spark: SparkSession,
+    index_path: str,
+    results_path: str,
+    top_k: int = 5,
+    nprobe: int = 3,
+):
+    """Online ANN serving: each micro-batch of (q_id, qe) query vectors
+    probes the materialized IVF index (operators/similarity.
+    build_ivf_index) and appends its top-k neighbors to
+    ``results_path``.  The per-batch probe protocol is identical to the
+    batch path — centroid ranking on the broadcast centroids table,
+    then literal cent_id PartitionFilters on the corpus scan — so each
+    trigger reads nprobe/k of the index, never the whole corpus.
+
+    The index is static between rebuilds (IVF centroids must be refit
+    as the corpus drifts; that is the batch build's job), which is what
+    makes this sink idempotent under at-least-once foreachBatch: a
+    redelivered batch recomputes identical rows, and consumers dedup on
+    (q_id, rnk) like every idempotent sink here."""
+    from data_integration_system_spark.operators.similarity import query_ivf_index
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        res = query_ivf_index(
+            spark, index_path, batch.localCheckpoint(), top_k=top_k, nprobe=nprobe
+        )
+        res.write.mode("append").parquet(results_path)
+
+    return apply

@@ -368,3 +368,53 @@ def test_near_dup_sink_matches_batch(spark, tmp_path):
         for r in dedup_minhash_near(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ann_probe_sink_matches_batch(spark, tmp_path):
+    """Streaming ANN probes over the static IVF index must produce
+    exactly the batch query_ivf_index rows for the same query set, with
+    queries split across micro-batches (probing is per-query, so batch
+    boundaries cannot change any neighbor list)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from data_integration_system_spark.streaming.jobs import ann_probe_sink
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, SF, idx)
+    queries = (
+        table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    )
+    d = str(tmp_path / "q_stream")
+    queries.filter(F.col("q_id") % 2 == 0).coalesce(1).write.parquet(d)
+    queries.filter(F.col("q_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    out = str(tmp_path / "ann_out")
+    q = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(ann_probe_sink(spark, idx, out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivf_index(spark, idx, queries).collect()
+    }
+    assert got == want and len(want) > 0
