@@ -72,6 +72,7 @@ HEADLINE = (
     "pii_redact",              # in-scan regexp count/redact pass
     "large_volume_orders",     # TPC-H Q18 shape (agg-then-join topk)
     "brand_supplier_counts",   # TPC-H Q16 shape (two-phase distinct)
+    "regional_nation_volume",  # TPC-H Q5 shape (correlated join constraint)
 )
 
 

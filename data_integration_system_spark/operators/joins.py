@@ -628,3 +628,113 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+@query(
+    "regional_nation_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+)
+def regional_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where
+    the CUSTOMER and the line's SUPPLIER sit in the same nation, for two
+    regions.  The defining feature is the correlated equi-constraint
+    s_nationkey = c_nationkey riding on the supplier join — it is a join
+    condition, not a post-filter, so it prunes rows inside the hash join.
+
+    Scale shape: the region→nation chain collapses into a tiny broadcast
+    before touching any fact; orders⋈lineitem is the one real shuffle
+    pair (co-keyed on orderkey); customer and supplier broadcast.
+    Revenue uses the decimal-sum discipline."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(rev.cast("decimal(18,4)")), 2).cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-opportunity filter): customers whose
+    balance beats the positive-balance average but who placed no RECENT
+    order — scalar aggregate subquery + NOT EXISTS, decorrelated into a
+    broadcast scalar and a LEFT ANTI join (every customer has SOME order
+    in this data, so the recency cut is what keeps the result nonempty).
+
+    Scale shape: the average is one map-side-combined agg to a single
+    broadcast row; the anti join shuffles only o_custkey (one column of
+    orders) against the thin filtered customer side.  The threshold is
+    an exact decimal sum divided in doubles — identical on both engines,
+    so no rounding sits on the filter boundary."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+             / F.count("*")).alias("a")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2000-07-01").select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("decimal(18,4)"), 2).cast("double")
+            .alias("acctbal"),
+        )
+    )

@@ -85,6 +85,8 @@ _DRIVER_HEAD: list[str] = [
     "brand_supplier_counts",
     "event_zscore_outliers",
     "weighted_resample",
+    "regional_nation_volume",
+    "idle_rich_customers",
     "returned_item_report",
     "top_revenue_supplier",
     "segment_top_orders",
