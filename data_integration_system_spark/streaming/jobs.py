@@ -413,3 +413,37 @@ def ann_probe_sink(
         res.write.mode("append").parquet(results_path)
 
     return apply
+
+
+def trending_tokens(
+    docs: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token frequencies over a timestamped document
+    stream — the live view of token_top_vocab (what is the corpus
+    ingesting RIGHT NOW).  Tokens explode inside the stream; the
+    windowed count carries map-side partials exactly like the batch
+    vocab build, so a Zipf-head token costs one partial per trigger
+    partition, not one state row per occurrence.
+
+    Emits finalized (window, token, n) rows in append mode once the
+    watermark passes; rank/top-k is the consumer's cheap batch step
+    over the tiny finalized slice (ranking inside the stream would need
+    complete-mode state over the whole vocabulary)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(toks).alias("token"))
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "token",
+            "n",
+        )
+    )

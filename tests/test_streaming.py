@@ -418,3 +418,74 @@ def test_ann_probe_sink_matches_batch(spark, tmp_path):
         for r in query_ivf_index(spark, idx, queries).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_trending_tokens_matches_batch_counts(spark, tmp_path):
+    """Sliding-window streaming token counts must equal the batch
+    explode + window groupBy over the same timestamped docs once every
+    window is finalized.  Append mode only emits windows the watermark
+    has passed, so a far-future sentinel doc (streamed as its own later
+    micro-batch) pushes the watermark beyond every real window; the
+    comparison covers exactly the real (pre-sentinel) windows."""
+    from data_integration_system_spark.streaming.jobs import trending_tokens
+
+    docs = (
+        table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(mins=(F.col("doc_id") % 37).cast("int")),
+        )
+    )
+    d = str(tmp_path / "docs_ts")
+    docs.coalesce(2).write.parquet(d)
+    sentinel = docs.limit(1).select(
+        "doc_id",
+        F.lit("sentinel").alias("text"),
+        F.to_timestamp(F.lit("2026-01-02 00:00:00")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .transform(trending_tokens)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    cutoff = "2026-01-01 12:00:00"
+    want = {
+        (r.win_start, r.win_end, r.token, r.n)
+        for r in spark.read.parquet(d)
+        .select("ts", F.explode(toks).alias("token"))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "token",
+            "n",
+        )
+        .filter(F.col("win_end") < cutoff)
+        .collect()
+    }
+    got = {
+        (r.win_start, r.win_end, r.token, r.n)
+        for r in spark.read.parquet(out)
+        .filter(F.col("win_end") < cutoff)
+        .collect()
+    }
+    assert got == want and len(want) > 0
