@@ -531,7 +531,7 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(sum(n) AS BIGINT) AS n_bigrams,
            CAST(max(n) AS BIGINT) AS top_bigram_n,
-           max(n) * 10000 // sum(n) AS rep_e4
+           CAST(max(n) * 10000 // sum(n) AS BIGINT) AS rep_e4
     FROM c GROUP BY doc_id
     """,
 )
@@ -709,8 +709,8 @@ def decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           start_off // 512 AS seq_id,
-           start_off % 512 AS seq_off
+           CAST(start_off // 512 AS BIGINT) AS seq_id,
+           CAST(start_off % 512 AS BIGINT) AS seq_off
     FROM c
     """,
 )
@@ -845,8 +845,8 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_pos) AS BIGINT) AS n_spans,
            CAST(SUM(CASE WHEN total > 1 THEN n_pos ELSE 0 END) AS BIGINT)
              AS n_dup_spans,
-           SUM(CASE WHEN total > 1 THEN n_pos ELSE 0 END) * 10000 // SUM(n_pos)
-             AS dup_frac_e4
+           CAST(SUM(CASE WHEN total > 1 THEN n_pos ELSE 0 END) * 10000
+                // SUM(n_pos) AS BIGINT) AS dup_frac_e4
     FROM w GROUP BY doc_id
     """,
 )

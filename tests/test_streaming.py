@@ -427,6 +427,7 @@ def test_trending_tokens_matches_batch_counts(spark, tmp_path):
     has passed, so a far-future sentinel doc (streamed as its own later
     micro-batch) pushes the watermark beyond every real window; the
     comparison covers exactly the real (pre-sentinel) windows."""
+    from data_integration_system_spark.catalog import table
     from data_integration_system_spark.streaming.jobs import trending_tokens
 
     docs = (
