@@ -70,40 +70,46 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # (1) never driver-green as of round 2 (VERDICT r2 "Next round" #1):
-    "doc_fingerprint",
-    # new in round 3 (training-data curation tier + TPC-H shapes):
-    "quality_filter_gopher",
+    # (1) round-3 hash-fails, fixed this round (oracle HUGEINT -> BIGINT
+    # casts) — must be re-checked so CORRECTNESS_r4 shows them green:
     "repetition_top_bigram",
-    "token_top_vocab",
-    "domain_mix_weights",
-    "decontaminate_filter",
     "pack_sequences",
-    "pii_redact",
     "exact_substring_dup_spans",
-    "large_volume_orders",
-    "brand_supplier_counts",
-    "event_zscore_outliers",
-    "weighted_resample",
-    "regional_nation_volume",
-    "idle_rich_customers",
-    "returned_item_report",
-    "top_revenue_supplier",
-    "segment_top_orders",
-    "snapshot_reconcile",
-    "fingerprint_overlap_pairs",
-    "signup_purchase_funnel",
-    "event_type_transitions",
-    "top_sources_per_lang",
-    "ntile_quartiles",
-    # (2) green in r1 but unsampled in r2:
-    "window_rank_frames",
-    "tumbling_window_counts",
-    "sliding_window_avg",
-    "session_windows",
-    "text_normalize",
-    "sample_stratified",
-    "contamination_check",
+    # (2) queries whose latest driver row is round 2 (stalest first per
+    # VERDICT r3 "Next round" #4) — §2B tier:
+    "scan_project",
+    "filter_blocklist",
+    "filter_scope",
+    "filter_size_cap",
+    "project_domain",
+    "project_content_hash",
+    "agg_counts_by_group",
+    "agg_rollup",
+    "agg_distinct",
+    "topk_oldest_pending",
+    "stale_timeout_filter",
+    "union_pages_files",
+    "set_ops",
+    "json_config_extract",
+    "string_metrics",
+    "text_stats",
+    "similarity_topk",
+    "approx_distinct",
+    # — §2C tier, also last checked in round 2:
+    "text_quality_score",
+    "token_count_bpe",
+    "text_lang_id",
+    "similarity_ivf_topk",
+    "multimodal_decode_meta",
+    "multimodal_resize_meta",
+    "multimodal_frame_sample",
+    "pivot_lang_counts",
+    "agg_cube_events",
+    "orders_above_customer_avg",
+    "embedding_norms",
+    "customer_order_distribution",
+    "priority_counts_with_lineitem",
+    # (3) new this round — appended below as they are added.
 ]
 
 
