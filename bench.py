@@ -76,6 +76,66 @@ HEADLINE = (
 )
 
 
+def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None:
+    """Time the materialized-index probe paths (the 100 TB read pattern:
+    partition-pruned lookups against a write-time index).  Build cost is
+    recorded separately under ``index_build`` — it's the one-time write
+    path, not a per-query number — while probe latency lands in
+    ``queries`` so round-over-round regressions are diffed like any
+    other query."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.dedup import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from data_integration_system_spark.operators.textops import (
+        build_fingerprint_index,
+        query_fingerprint_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        docs = table(spark, sf_dir, "documents")
+        probe_docs = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+        emb = table(spark, sf_dir, "embeddings")
+        probe_vecs = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+
+        t0 = time.perf_counter()
+        build_minhash_index(spark, sf_dir, f"{root}/mh")
+        builds["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        query_minhash_index(spark, f"{root}/mh", probe_docs).count()
+        timings["minhash_index_probe"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        build_ivf_index(spark, sf_dir, f"{root}/ivf")
+        builds["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        query_ivf_index(spark, f"{root}/ivf", probe_vecs).count()
+        timings["ivf_index_probe"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        build_fingerprint_index(spark, sf_dir, f"{root}/fp")
+        builds["fingerprint_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        query_fingerprint_index(spark, f"{root}/fp", probe_docs).count()
+        timings["fingerprint_index_probe"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -102,7 +162,15 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # one broken query must not kill the round's JSON
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+    # suite wall covers the headline loop only, so the number stays
+    # comparable across rounds; index build+probe is timed separately.
     total = round(time.perf_counter() - t_suite, 3)
+
+    builds: dict[str, float] = {}
+    try:
+        _bench_index_probes(spark, sf_dir, timings, builds)
+    except Exception as ex:
+        errors["index_probes"] = f"{type(ex).__name__}: {ex}"[:200]
 
     out = {
         "metric": "suite_wall_sec",
@@ -111,6 +179,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if builds:
+        out["index_build"] = builds
     if errors:
         out["errors"] = errors
 
