@@ -1,0 +1,188 @@
+"""The network front door + launcher: HTTP job submission served over
+the parquet jobs log, and supervised API+worker lifecycle.
+
+Reference parity targets: api/main.py:44-78 (POST /jobs contract) and
+launcher.py:16-44 (ordered startup, monitor-until-death, clean
+teardown)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+SITE = {
+    "https://svc.com/": '<a href="/a">a</a><a href="/b">b</a>',
+    "https://svc.com/a": "Text A",
+    "https://svc.com/b": "Text B",
+}
+
+
+def _make_fake_fetch(site):
+    """Closure, so cloudpickle ships it by VALUE — a module-level test
+    function would pickle by reference and executors would need this
+    test module importable (same pattern as test_pipeline)."""
+
+    def fetch(url: str):
+        body = site.get(url)
+        if body is None:
+            return None, ""
+        return (
+            f"<html><body>{body}</body></html>".encode(),
+            "text/html; charset=utf-8",
+        )
+
+    return fetch
+
+
+fake_fetch = _make_fake_fetch(SITE)
+
+
+def _req(method: str, url: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_front_door_round_trip(spark, tmp_path):
+    """POST /jobs returns {job_id, status: PENDING} and the job is
+    visible through GET /jobs and GET /jobs/{id}; error responses use
+    the reference's {detail} shape with FastAPI-like status codes."""
+    from data_integration_system_spark.pipeline.api import JobApiServer
+
+    srv = JobApiServer(spark, str(tmp_path / "jobs_log"))
+    srv.start()
+    try:
+        base = srv.address
+        assert _req("GET", f"{base}/health") == (200, {"status": "ok"})
+        # empty queue before any submit (no log dir yet)
+        assert _req("GET", f"{base}/jobs") == (200, [])
+        status, body = _req("GET", f"{base}/jobs/nope")
+        assert status == 404
+
+        status, created = _req(
+            "POST", f"{base}/jobs",
+            {"url": "https://WWW.Svc.com/", "max_depth_root": 3,
+             "download_files": False, "unknown_option": 1},
+        )
+        assert status == 200 and created["status"] == "PENDING"
+        jid = created["job_id"]
+
+        # validation errors -> 400 {detail}, never a server error
+        for bad in ({"url": "notaurl"},
+                    {"url": "https://x.com/", "max_pages_total": -1}):
+            status, body = _req("POST", f"{base}/jobs", bad)
+            assert status == 400 and "detail" in body
+        status, body = _req("POST", f"{base}/jobs", ["not", "a", "dict"])
+        assert status == 400
+
+        status, listing = _req("GET", f"{base}/jobs")
+        assert status == 200 and [j["job_id"] for j in listing] == [jid]
+        status, job = _req("GET", f"{base}/jobs/{jid}")
+        assert status == 200
+        assert job["status"] == "PENDING"
+        assert job["root_domain"] == "svc.com"  # P1: lowercased, www-stripped
+        assert job["config"] == {"max_depth_root": 3, "download_files": False}
+
+        assert _req("GET", f"{base}/jobs/{jid}x")[0] == 404
+        assert _req("GET", f"{base}/other")[0] == 404
+        assert _req("PUT", f"{base}/jobs", {})[0] == 405
+    finally:
+        srv.stop()
+    assert not srv.is_alive()
+
+
+def test_http_concurrent_submits_all_land(spark, tmp_path):
+    """Concurrent POSTs are serialized onto the log without losing rows
+    (the submit lock guards the parquet append)."""
+    from data_integration_system_spark.pipeline.api import JobApiServer
+    from data_integration_system_spark.pipeline.jobs import current_jobs
+
+    srv = JobApiServer(spark, str(tmp_path / "jobs_log"))
+    srv.start()
+    ids: list[str] = []
+    try:
+        def submit(i: int):
+            status, body = _req(
+                "POST", f"{srv.address}/jobs", {"url": f"https://c{i}.com/"}
+            )
+            assert status == 200
+            ids.append(body["job_id"])
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        srv.stop()
+    rows = current_jobs(spark, str(tmp_path / "jobs_log")).collect()
+    assert sorted(r.job_id for r in rows) == sorted(ids) and len(ids) == 3
+    assert {r.status for r in rows} == {"PENDING"}
+
+
+def test_supervisor_runs_submitted_job_to_done(spark, tmp_path):
+    """launcher.py parity: ordered startup (API ready before worker),
+    a job POSTed over HTTP is claimed by the worker loop and driven
+    PENDING->DONE, output lands under {output_root}/{job_id}."""
+    from data_integration_system_spark.pipeline.launcher import Supervisor
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    sup = Supervisor(
+        spark, str(tmp_path / "jobs_log"), str(tmp_path / "out"),
+        fetch_fn=fake_fetch, poll_interval=0.2,
+    )
+    base = sup.start()
+    try:
+        assert sup.healthy()
+        status, created = _req(
+            "POST", f"{base}/jobs",
+            {"url": "https://svc.com/", "download_files": False},
+        )
+        assert status == 200
+        jid = created["job_id"]
+
+        deadline = time.monotonic() + 120
+        job = None
+        while time.monotonic() < deadline:
+            status, job = _req("GET", f"{base}/jobs/{jid}")
+            if status == 200 and job["status"] in ("DONE", "FAILED"):
+                break
+            time.sleep(0.3)
+        assert job is not None and job["status"] == "DONE", job
+        assert read_current(spark, f"{tmp_path}/out/{jid}").count() == 3
+        assert [r["status"] for r in sup.reports] == ["DONE"]
+    finally:
+        sup.stop()
+    assert not sup.healthy()
+    sup.stop()  # idempotent
+
+
+def test_supervisor_monitor_tears_down_on_worker_crash(spark, tmp_path, monkeypatch):
+    """A crashed component takes the system down (reference monitor loop:
+    an unexpected exit tears down every process): monitor() returns after
+    stopping the API and re-raises the worker's error."""
+    import data_integration_system_spark.pipeline.launcher as launcher_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("worker exploded")
+
+    monkeypatch.setattr(launcher_mod, "run_pending_jobs", boom)
+    sup = launcher_mod.Supervisor(
+        spark, str(tmp_path / "jobs_log"), str(tmp_path / "out"),
+        fetch_fn=fake_fetch, poll_interval=0.1,
+    )
+    sup.start()
+    with pytest.raises(RuntimeError, match="worker exploded"):
+        sup.monitor(check_interval=0.1)
+    assert not sup.api.is_alive()
