@@ -824,59 +824,92 @@ def _banded_block_candidates(sized: DataFrame) -> DataFrame:
     )
 
 
+def connected_components_min_label(
+    pairs: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Distributed connected components: unique undirected ``(doc_a,
+    doc_b)`` pairs (``doc_a < doc_b``) -> ``(doc_id, label)`` where
+    ``label`` is the smallest doc_id in the node's component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) instead of plain
+    min-label propagation: propagation needs rounds ~ graph DIAMETER
+    (adversarial near-dup chains — shingled documents drifting one edit
+    at a time — make that linear), while star contraction converges in
+    O(log^2 n) rounds on ANY graph, each round two shuffles of the
+    current edge set.  Edges stay oriented (a > b) throughout:
+
+    * large-star: center every node c, hang each strictly-larger
+      neighbor off m = min(neighbors ∪ {c});
+    * small-star: group oriented edges by their larger endpoint a,
+      re-point a and every smaller neighbor at m = min of the group.
+
+    Both steps are a groupBy-min plus one join — no neighbor-list
+    collection, so a hot node (a boilerplate dup cluster's hub) never
+    materializes its adjacency in one task.  localCheckpoint per round
+    cuts lineage exactly like the crawl loop.  Raises instead of
+    returning wrong labels if the fixpoint is somehow not reached."""
+    edges = (
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        # large-star
+        d = edges.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
+            edges.select(F.col("b").alias("c"), F.col("a").alias("n"))
+        )
+        mins = (
+            d.groupBy("c")
+            .agg(F.min("n").alias("mn"))
+            .select("c", F.least("mn", "c").alias("m"))
+        )
+        edges_ls = (
+            d.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star
+        mins2 = edges_ls.groupBy("a").agg(F.min("b").alias("m"))
+        joined = edges_ls.join(mins2, "a")
+        new_edges = (
+            joined.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionAll(mins2.select("a", F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = new_edges.count()
+        converged = n_new == n_edges and new_edges.subtract(edges).isEmpty()
+        edges, n_edges = new_edges, n_new
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    children = edges.groupBy("a").agg(F.min("b").alias("label")).select(
+        F.col("a").alias("doc_id"), "label"
+    )
+    roots = (
+        edges.select(F.col("b").alias("doc_id"))
+        .subtract(edges.select(F.col("a").alias("doc_id")))
+        .withColumn("label", F.col("doc_id"))
+    )
+    return children.unionByName(roots)
+
+
 def dedup_cluster_labels_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star dedup-cluster assignment: connected components over the
     near-duplicate pair graph (MinHash candidates verified at jaccard >=
     0.2), labels = min doc_id reachable.  The canonical "pick one
     representative per duplicate cluster" step after pair detection.
-
-    Iterative min-label propagation as a driver loop (the same
-    generation-batched shape as the BFS crawler, pipeline/crawl.py):
-    each round joins labels to edges, takes min over neighbors, stops at
-    fixpoint.  Rounds needed = graph diameter (tiny for dup clusters);
-    each round is ONE shuffle on doc_id.  localCheckpoint per round cuts
-    the lineage exactly like the crawl loop does.  Rows-only (iterative,
-    not single-statement SQL)."""
+    Rows-only (iterative, not single-statement SQL)."""
     pairs = dedup_minhash_near(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(20):  # diameter bound; dup clusters are near-cliques
-        neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(edges.doc_a.alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components_min_label(pairs)
     # Exploded (cluster_rep, doc_id) membership rows — scalar columns only,
     # so downstream tooling can sort/hash/join the output without special
     # array handling, and it's the natural shape for the "join back to

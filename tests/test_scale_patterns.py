@@ -311,3 +311,91 @@ def test_banded_candidates_label_payloads_by_doc_id(spark):
     assert (r.doc_a, r.doc_b) == (1, 5)
     assert (r.n_a, r.n_b) == (2, 4)
     assert (r.sh_a, r.sh_b) == ([10], [50])
+
+
+# ---------------------------------------------------------------------------
+# Connected components: alternating large-star/small-star
+# ---------------------------------------------------------------------------
+
+
+def _union_find_labels(pairs):
+    """Reference component-min labels via driver-side union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc_spark(spark, pairs, **kwargs):
+    from data_integration_system_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs],
+        "doc_a long, doc_b long",
+    )
+    return {
+        r.doc_id: r.label
+        for r in connected_components_min_label(df, **kwargs).collect()
+    }
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Star contraction must label every node with its component minimum
+    on arbitrary graphs: sparse, dense, and multi-component."""
+    import random
+
+    for seed, n, m in ((7, 60, 30), (11, 60, 90), (13, 40, 400)):
+        rng = random.Random(seed)
+        pairs = {
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        }
+        assert _cc_spark(spark, pairs) == _union_find_labels(pairs)
+
+
+def test_cc_chain_converges_in_logarithmic_rounds(spark):
+    """The reason for star contraction over min-label propagation: a
+    128-node chain (diameter 127) must converge well under the round
+    cap — propagation would need one round per hop."""
+    chain = [(i, i + 1) for i in range(128)]
+    labels = _cc_spark(spark, chain, max_rounds=10)
+    assert labels == {i: 0 for i in range(129)}
+
+
+def test_cc_empty_and_single_edge(spark):
+    assert _cc_spark(spark, []) == {}
+    assert _cc_spark(spark, [(4, 9)]) == {4: 4, 9: 4}
+
+
+def test_dedup_clusters_labels_are_component_minima(spark):
+    """End-to-end: dedup_clusters labels equal union-find over the
+    actual near-dup pairs, and cluster_size counts members."""
+    from collections import Counter
+
+    from data_integration_system_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_near,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_near(spark, SF).collect()
+    ]
+    want = _union_find_labels(pairs)
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(spark, SF).collect()}
+    assert got == want and len(got) > 0
+    sizes = Counter(want.values())
+    for r in dedup_clusters(spark, SF).collect():
+        assert r.cluster_size == sizes[r.cluster_rep]
