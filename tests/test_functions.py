@@ -288,3 +288,23 @@ def test_embedding_dim_mismatch_fails_fast(spark, tmp_path):
         dedup_embedding_near(spark, sf).count()
     # the same data under the CORRECT dim executes fine
     dedup_embedding_near(spark, sf, dim=3).count()
+
+
+def test_multimodal_pil_decode_real_binding_with_generated_png():
+    """Import-gated REAL-codec test (VERDICT r3 polish #8): when PIL is
+    actually installed, _pil_decode must read a genuine PNG header. The
+    payload is a handcrafted minimal 1x1 RGBA PNG, so the test needs no
+    image-writing dependency; in containers without PIL it skips."""
+    import base64
+
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL.Image")
+    from data_integration_system_spark.operators import multimodal as mm
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    assert mm._resolve_decode() is mm._pil_decode
+    assert mm._pil_decode(png_1x1) == (1, 1, "png")
