@@ -43,13 +43,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         configure(spark)
         spark._dis_configured = True
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
-    # microsecond timestamps with integer division — double division
-    # would lose precision above 2^53 ns.
-    from pyspark.sql.types import LongType
+    # Normalize events.ts to a plain TIMESTAMP (LTZ) whatever the file's
+    # physical encoding — generator output has varied across rounds:
+    #  * TIMESTAMP(NANOS): arrives as long (nanosAsLong conf); integer-
+    #    divide to micros (double division loses precision above 2^53 ns)
+    #  * TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives TIMESTAMP_NTZ;
+    #    cast reinterprets the wall time in the UTC session TZ — the same
+    #    instants, and LTZ-only functions (unix_micros) keep working.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
