@@ -73,6 +73,13 @@ HEADLINE = (
     "large_volume_orders",     # TPC-H Q18 shape (agg-then-join topk)
     "brand_supplier_counts",   # TPC-H Q16 shape (two-phase distinct)
     "regional_nation_volume",  # TPC-H Q5 shape (correlated join constraint)
+    # round-4 additions
+    "pricing_summary",         # TPC-H Q1 shape (map-side-combine rollup)
+    "forecast_revenue",        # TPC-H Q6 shape (pure scan-side filtering)
+    "volume_shipping",         # TPC-H Q7 shape (nation-pair disjunction)
+    "national_market_share",   # TPC-H Q8 shape (conditional share agg)
+    "disjunctive_discount_revenue",  # TPC-H Q19 shape (OR-pushdown)
+    "lone_returned_supplier_orders",  # TPC-H Q21 shape (semi+anti on fact)
 )
 
 

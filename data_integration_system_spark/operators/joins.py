@@ -738,3 +738,386 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acctbal"),
         )
     )
+
+
+@query(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year, in
+    both directions — the disjunctive nation-pair constraint classic.
+
+    Scale plan: the nation dims broadcast into supplier and customer
+    BEFORE the facts join, so the pair disjunction prunes both dim-side
+    inputs early (suppliers and customers outside the two nations never
+    reach a fact join); the date range pushes to the lineitem scan; the
+    two fact joins shuffle on their natural keys and AQE picks broadcast
+    for the shrunken sides at small SF."""
+    n = table(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.filter(pair)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n.filter(pair)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "national_market_share",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume ELSE 0 END) AS DOUBLE)
+                      * 10000 / CAST(SUM(volume) AS DOUBLE)) AS BIGINT)
+             AS mkt_share_e4
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue among
+    ASIA-region customers, by order year — the conditional-share
+    two-level aggregate.
+
+    Scale plan: part (type-filtered), customer⋈nation⋈region (region-
+    filtered), and supplier⋈nation are all broadcast-shaped dims; the
+    fact shuffles once for the orders join; share numerator rides the
+    SAME aggregate as the denominator (a CASE inside SUM — one pass, no
+    self-join).  Exact decimal volumes; the share is floor-scaled
+    integer so no ROUND sits on a double boundary."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        c.join(
+            F.broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey")
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = (
+        F.floor(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).cast("double")
+            * 10000
+            / F.sum("volume").cast("double")
+        )
+        .cast("long")
+    )
+    return (
+        v.groupBy("o_year")
+        .agg(share.alias("mkt_share_e4"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(FLOOR(
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             * 10000
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE)) AS BIGINT)
+           AS promo_share_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the fraction of one month's revenue from PROMO
+    parts — conditional-sum ratio in a single aggregate.
+
+    Scale plan: the month filter pushes to the lineitem scan (at 100 TB
+    with date-partitioned layout this is partition pruning, not even row
+    filtering); part broadcasts; numerator and denominator share one
+    aggregate pass.  Floor-scaled integer share — exact decimal sums
+    divide in doubles identically on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(zero).alias("pv"),
+        vol.alias("v"),
+    )
+    return joined.agg(
+        F.floor(
+            F.sum("pv").cast("double") * 10000 / F.sum("v").cast("double")
+        )
+        .cast("long")
+        .alias("promo_share_e4")
+    )
+
+
+@query(
+    "small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / COUNT(*)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(FLOOR(
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7 * 100) AS BIGINT) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < pq.qty_threshold
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that would be lost by refusing
+    small-quantity orders of one brand — the decorrelated per-part
+    average threshold pattern.
+
+    Scale plan: the correlated scalar subquery (`avg(l_quantity) per
+    part`) becomes ONE co-keyed pre-aggregation on l_partkey joined back
+    to the fact on the same key — with AQE both sides co-shuffle once;
+    the brand filter broadcasts from part and prunes before the
+    threshold compare.  Threshold math is decimal-sum/count in doubles
+    (bit-identical across engines) so the `<` can't flip rows; the
+    single output row is floor-of-cents."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pq = li.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                / 7
+                * 100
+            )
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
+    )
+
+
+@query(
+    "disjunctive_discount_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunct bundles — the disjunctive-predicate pushdown test.
+
+    Scale plan: Catalyst factors the part-only conjuncts (brand ∈ {1,2,3}
+    sides of the OR) into a pushable disjunction on the part scan and
+    keeps the mixed part×lineitem residual on the join; part broadcasts,
+    so the fact is scanned once with NO shuffle at all.  The quantity
+    bounds are plain doubles compared identically by both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "lone_returned_supplier_orders",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_ret_supp
+      FROM lineitem GROUP BY l_orderkey
+    ), lone AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN per_order po ON po.l_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_ret_supp = 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM lone JOIN supplier s ON s.s_suppkey = lone.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
+)
+def lone_returned_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers from one nation who were the SOLE
+    supplier with returned lines in multi-supplier orders — the
+    EXISTS-plus-NOT-EXISTS-on-the-same-fact classic, decorrelated.
+
+    Scale plan: a two-level aggregation instead of two COUNT(DISTINCT)s
+    — distinct-ing to (order, supplier, has_returns) FIRST costs one
+    fact shuffle with map-side combine and avoids the 2× Expand
+    replication multiple distinct aggregates force (pinned: no Expand in
+    the plan); the per-order counts and the lone-supplier pick both run
+    on that already-distinct grain, orders of magnitude smaller than the
+    fact.  The nation-filtered supplier dim broadcasts;
+    TakeOrderedAndProject caps the result without a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("has_ret")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("has_ret").alias("n_ret_supp")
+    )
+    lone = per_supp.filter(F.col("has_ret") == 1).join(
+        per_order.filter(
+            (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+        ).select("l_orderkey"),
+        "l_orderkey",
+    ).select("l_orderkey", "l_suppkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lone.join(F.broadcast(s), lone.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )

@@ -519,3 +519,102 @@ def event_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("zval") * 1000).cast("long").alias("z_e3"),
         )
     )
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                               AS DECIMAL(18,4))
+                          * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical pricing summary report — per
+    (returnflag, linestatus) sums/averages over almost the whole fact.
+
+    Scale plan: THE map-side-combine showcase.  Six aggregates over 6
+    groups means partial aggregation collapses each input partition to
+    ≤6 rows before the exchange — the shuffle moves O(groups ×
+    partitions) rows regardless of fact size, and the date filter still
+    pushes to the scan.
+
+    Determinism: disc_price and charge multiply in DECIMAL space with
+    each FACTOR quantized first — a double product cast to decimal
+    tie-breaks differently between engines (Java shortest-repr HALF_UP
+    vs binary scaling), and over ~10k rows per group that drifts a
+    cent.  Exact decimal factors make the product itself exact, so both
+    engines sum identical values; averages per _common.mean2."""
+    from data_integration_system_spark.operators._common import dec, mean2, money_sum
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    one = F.lit(1)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (one + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            mean2("l_quantity").alias("avg_qty"),
+            mean2("l_extendedprice").alias("avg_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from hypothetically eliminating
+    small-quantity discounts — a pure filter + one global sum.
+
+    Scale plan: every predicate (date range, discount band, quantity
+    cap) pushes into the parquet scan as PushedFilters, so row groups
+    outside the year are never read; the single-row aggregate needs no
+    shuffle at all beyond the final partial-merge.  The cheapest
+    possible 100 TB query — IF the filters actually reach the scan,
+    which tests/test_plans.py pins."""
+    from data_integration_system_spark.operators._common import money_sum
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )

@@ -109,7 +109,16 @@ _DRIVER_HEAD: list[str] = [
     "embedding_norms",
     "customer_order_distribution",
     "priority_counts_with_lineitem",
-    # (3) new this round — appended below as they are added.
+    # (3) new this round (TPC-H Q1/Q6/Q7/Q8/Q14/Q17/Q19/Q21 shapes) —
+    # never driver-checked, so they must land inside the 50-query window:
+    "pricing_summary",
+    "forecast_revenue",
+    "volume_shipping",
+    "national_market_share",
+    "promo_revenue_share",
+    "small_qty_revenue",
+    "disjunctive_discount_revenue",
+    "lone_returned_supplier_orders",
 ]
 
 

@@ -160,3 +160,77 @@ def test_decontaminate_filter_broadcast_scrub(spark):
     df = get_queries()["decontaminate_filter"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pricing_summary_plan(spark):
+    """Q1 shape: the date filter reaches the scan, only the 7 needed
+    lineitem columns are read, and the whole report is ONE aggregation
+    shuffle (map-side partials collapse each partition to <= 6 rows)
+    plus the final tiny sort."""
+    df = get_queries()["pricing_summary"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df, "lineitem"))
+    schemas = scan_read_schemas(df)
+    assert sorted(schemas["lineitem"]) == [
+        "l_discount", "l_extendedprice", "l_linestatus", "l_quantity",
+        "l_returnflag", "l_shipdate", "l_tax",
+    ]
+    assert shuffle_count(df) <= 2  # one agg exchange + final orderBy
+
+
+def test_forecast_revenue_all_filters_pushed(spark):
+    """Q6 shape: every predicate (date range, discount band, quantity
+    cap) must reach the parquet scan — this query's entire 100 TB cost
+    model is scan-side filtering."""
+    df = get_queries()["forecast_revenue"](spark, SF)
+    pf = " ".join(pushed_filters(df, "lineitem"))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    # single-row global agg: the only exchange is the partial->final
+    # SinglePartition merge (rows crossing = #partitions, not data size)
+    assert shuffle_count(df) <= 1
+
+
+def test_disjunctive_discount_revenue_plan(spark):
+    """Q19 shape: the brand disjunction is factored onto the part scan
+    (OR-of-conjuncts pushdown) and part broadcasts — the fact side is
+    never shuffled."""
+    df = get_queries()["disjunctive_discount_revenue"](spark, SF)
+    pf = " ".join(pushed_filters(df, "part"))
+    assert "Brand#1" in pf and "Brand#3" in pf  # factored disjunction pushed
+    assert is_broadcast(df, "part")
+    assert not is_broadcast(df, "lineitem")
+    assert shuffle_count(df) <= 1  # only the global-agg partial merge
+
+
+def test_lone_returned_supplier_plan(spark):
+    """Q21 shape: the two correlated EXISTS collapse into one per-order
+    aggregate co-keyed with the returned-lines join; supplier broadcasts;
+    TakeOrdered caps the result."""
+    df = get_queries()["lone_returned_supplier_orders"](spark, SF)
+    # the returns flag folds into the per-supplier aggregate, so the scan
+    # reads exactly the three columns the grain needs (set(): the fact
+    # feeds two branches, so the relation scans twice)
+    assert sorted(set(scan_read_schemas(df)["lineitem"])) == [
+        "l_orderkey", "l_returnflag", "l_suppkey"
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # (no broadcast-side assertions: the lone set is empty at sf0.001, so
+    # AQE legitimately flips the build side; the pushed returns filter and
+    # the capped sort are the scale-invariant properties)
+
+
+def test_volume_shipping_plan(spark):
+    """Q7 shape: the date window reaches the fact scan and the nation
+    dims broadcast into supplier/customer before any fact join."""
+    df = get_queries()["volume_shipping"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df, "lineitem"))
+    assert is_broadcast(df, "nation")
+    # (no fact-side assertion: AQE broadcasts the date-filtered fact at
+    # sf0.001; the pushed date window + broadcast dims are what scale)
+
+
+def test_lone_returned_supplier_no_expand(spark):
+    """The two-level aggregation must not regress to multi-distinct
+    Expand (2x fact replication before the shuffle)."""
+    df = get_queries()["lone_returned_supplier_orders"](spark, SF)
+    assert "Expand" not in df._jdf.queryExecution().executedPlan().toString()
