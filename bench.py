@@ -158,6 +158,17 @@ def main() -> None:
     # JVM/codegen warmup on the smallest SF so q1 doesn't pay startup.
     queries["multiway_star_join"](spark, "/root/testdata/sf0.001").count()
 
+    # Machine-speed calibration: a fixed synthetic workload whose cost is
+    # independent of this repo's code.  Absolute query times vary ~1.5x
+    # run-to-run with host conditions; comparing `calibration_sec` across
+    # rounds separates "the machine is slower today" from a genuine
+    # regression in a query's plan.
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) as s"
+    ).collect()
+    calibration = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t_suite = time.perf_counter()
@@ -185,6 +196,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calibration,
     }
     if builds:
         out["index_build"] = builds
@@ -199,12 +211,28 @@ def main() -> None:
     if prev and prev.get("sf") != sf:
         prev = None
     if prev:
+        # normalize by machine speed when the previous round recorded a
+        # calibration: a uniformly slower host must not flag every query.
+        # Clamped >= 1 so a FASTER host can never mask a real regression.
+        prev_cal = prev.get("calibration_sec")
+        ratio = max(1.0, min(calibration / prev_cal, 3.0)) if prev_cal else 1.0
         regressions = {
             name: {"prev": p, "now": timings[name]}
             for name, p in prev.get("queries", {}).items()
-            if name in timings and p > 0 and timings[name] / p > 1.5
+            if name in timings and p > 0 and timings[name] / (p * ratio) > 1.5
         }
         out["prev_suite_sec"] = prev.get("value")
+        if prev_cal:
+            out["calibration_ratio_vs_prev"] = round(ratio, 3)
+        # the median carried-query ratio separates a uniform host-speed
+        # shift (all queries move together) from isolated regressions
+        ratios = sorted(
+            timings[name] / p
+            for name, p in prev.get("queries", {}).items()
+            if name in timings and p > 0
+        )
+        if ratios:
+            out["median_ratio_vs_prev"] = round(ratios[len(ratios) // 2], 3)
         out["regressions"] = regressions
     print(json.dumps(out))
 
