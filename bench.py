@@ -80,6 +80,8 @@ HEADLINE = (
     "national_market_share",   # TPC-H Q8 shape (conditional share agg)
     "disjunctive_discount_revenue",  # TPC-H Q19 shape (OR-pushdown)
     "lone_returned_supplier_orders",  # TPC-H Q21 shape (semi+anti on fact)
+    "rare_token_score",        # vocab join-back rarity signal
+    "tfidf_top_terms",         # integer TF-IDF top-k per doc
 )
 
 

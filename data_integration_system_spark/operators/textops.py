@@ -948,3 +948,100 @@ def weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_copies"),
     )
+
+
+@query(
+    "rare_token_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(1000000 // v.cnt) // count(*) AS BIGINT) AS rarity_e6
+    FROM tok t JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density per document: mean inverse corpus frequency of
+    the doc's tokens, integer-scaled (rarity_e6 = mean of 1e6 //
+    corpus_count).  The curation signal that flags OCR noise, gibberish,
+    and boilerplate-free uniqueness without an LM — a cheap stand-in for
+    perplexity-based quality filters (no log(): libm rounding diverges
+    between engines, integer division cannot).
+
+    Scale shape: corpus vocab = ONE map-side-combined count shuffle on
+    the token (Zipf head collapses to n_partitions partials); exploded
+    tokens then join the vocab on the token key and fold back to docs —
+    AQE broadcasts the vocab when it fits (it usually does: vocab grows
+    ~log of corpus), else both sides co-shuffle on the token.  All
+    integer math, exact oracle."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_of("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.sum(F.expr("1000000 div cnt")) / F.count("*"))
+            .cast("long")
+            .alias("rarity_e6"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), idf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf * (n.n_docs // idf.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (n.n_docs // idf.df) DESC, tf.token
+             ) AS rnk
+      FROM tf JOIN idf USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(rnk AS BIGINT) AS rnk,
+           CAST(score AS BIGINT) AS score
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer TF-IDF
+    (score = tf × (N // df)) — the classic keyword-extraction /
+    doc-representation step, with the idf as integer division so both
+    engines score identically (float idf = log(N/df) diverges in libm).
+
+    Scale shape: term frequencies are one (doc, token) shuffle with
+    map-side combine; document frequencies reduce THAT aggregate (tiny),
+    broadcast back onto it with the 1-row N; the per-doc top-3 window
+    runs on the tf grain (|distinct doc-token|, far below token
+    occurrences).  Ties break on the token for determinism."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_of("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    idf = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * (n_docs div df)"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "rnk", F.col("score").cast("long").alias("score"))
+    )

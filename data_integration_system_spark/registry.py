@@ -119,6 +119,8 @@ _DRIVER_HEAD: list[str] = [
     "small_qty_revenue",
     "disjunctive_discount_revenue",
     "lone_returned_supplier_orders",
+    "rare_token_score",
+    "tfidf_top_terms",
 ]
 
 
