@@ -1121,3 +1121,135 @@ def lone_returned_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                             AS DOUBLE)
+                        * 100
+                        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                               AS DOUBLE)) AS BIGINT) AS unit_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT u.l_partkey, u.l_suppkey, u.unit_cents,
+             row_number() OVER (
+               PARTITION BY u.l_partkey
+               ORDER BY u.unit_cents, u.l_suppkey
+             ) AS rn
+      FROM unit u
+      JOIN part p ON p.p_partkey = u.l_partkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+    )
+    SELECT r.l_partkey AS p_partkey, s.s_name, r.unit_cents
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a filtered family, the supplier
+    with the lowest observed unit price — the correlated-MIN-subquery
+    classic, decorrelated into aggregate-then-pick.
+
+    Scale plan: unit prices aggregate once on the (part, supplier)
+    grain with map-side combine; the part-family filter broadcasts and
+    prunes BEFORE the per-part pick; the winner per part is a min of a
+    (price, supplier) struct — an aggregation, not a window, so no
+    per-part sort materializes; supplier broadcasts onto the winners.
+    Unit price is floor-of-cents from exact decimal sums, so the min
+    can't flip between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = table(spark, sf_dir, "supplier")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.floor(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            * 100
+            / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+        )
+        .cast("long")
+        .alias("unit_cents")
+    )
+    best = (
+        unit.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cents", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.l_suppkey").alias("l_suppkey"),
+            F.col("b.unit_cents").alias("unit_cents"),
+        )
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_name", "unit_cents")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "part_value_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS value,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS vdec
+      FROM lineitem GROUP BY l_partkey
+    ), t AS (
+      SELECT CAST(SUM(vdec) AS DOUBLE) AS total,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM v
+    )
+    SELECT v.l_partkey, v.value,
+           CAST(FLOOR(CAST(v.vdec AS DOUBLE) * 1000000 / t.total) AS BIGINT)
+             AS share_e6
+    FROM v, t
+    WHERE CAST(v.vdec AS DOUBLE) * t.n_parts > 1.5 * t.total
+    ORDER BY v.value DESC, v.l_partkey
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose line-item value exceeds 1.5× the
+    mean per-part value — the groupwise-HAVING-vs-global-scalar pattern
+    (Q11's partsupp inventory restated on the available fact).  The
+    threshold is mean-relative, which is scale-free where Q11's fixed
+    fraction needs per-SF retuning.
+
+    Scale plan: one map-side-combined aggregation on l_partkey; the
+    1-row global total re-aggregates the per-part rows (tiny) and
+    broadcasts back as a crossJoin scalar.  The threshold compare
+    multiplies instead of dividing (vd × n_parts > 1.5 × total) and all
+    operands derive from exact decimal sums, so the filter can't flip
+    rows between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    ldec = F.col("l_extendedprice").cast("decimal(18,4)")
+    v = li.groupBy("l_partkey").agg(
+        F.round(F.sum(ldec), 2).cast("double").alias("value"),
+        F.sum(ldec).alias("vdec"),  # stays DECIMAL: the global total must
+        # re-sum exactly (a double re-sum would be order-dependent)
+    )
+    t = v.agg(
+        F.sum("vdec").cast("double").alias("total"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    vd = F.col("vdec").cast("double")
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(vd * F.col("n_parts") > 1.5 * F.col("total"))
+        .select(
+            "l_partkey",
+            "value",
+            F.floor(vd * 1000000 / F.col("total")).cast("long").alias("share_e6"),
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )

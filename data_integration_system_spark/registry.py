@@ -121,6 +121,8 @@ _DRIVER_HEAD: list[str] = [
     "lone_returned_supplier_orders",
     "rare_token_score",
     "tfidf_top_terms",
+    "cheapest_supplier_per_part",
+    "part_value_concentration",
 ]
 
 
