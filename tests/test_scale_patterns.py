@@ -399,3 +399,25 @@ def test_dedup_clusters_labels_are_component_minima(spark):
     sizes = Counter(want.values())
     for r in dedup_clusters(spark, SF).collect():
         assert r.cluster_size == sizes[r.cluster_rep]
+
+
+def test_cc_matches_union_find_hypothesis(spark):
+    """Randomized adversarial coverage beyond the fixed seeds: hypothesis
+    draws arbitrary small graphs (self-loop-free) and star contraction
+    must agree with union-find on every one. Example budget kept small —
+    each example is a full distributed CC run."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @given(pairs=st.lists(edge, min_size=0, max_size=60))
+    @settings(max_examples=5, deadline=None)
+    def check(pairs):
+        canon = {(min(a, b), max(a, b)) for a, b in pairs}
+        assert _cc_spark(spark, canon) == _union_find_labels(canon)
+
+    check()
