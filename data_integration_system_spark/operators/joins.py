@@ -1237,7 +1237,9 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(ldec), 2).cast("double").alias("value"),
         F.sum(ldec).alias("vdec"),  # stays DECIMAL: the global total must
         # re-sum exactly (a double re-sum would be order-dependent)
-    )
+    ).localCheckpoint()  # |parts| rows; the total and the filter both
+    # consume this relation — materializing it means the 100 TB fact
+    # aggregates ONCE, not once per consumer
     t = v.agg(
         F.sum("vdec").cast("double").alias("total"),
         F.count("*").cast("long").alias("n_parts"),

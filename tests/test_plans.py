@@ -234,3 +234,38 @@ def test_lone_returned_supplier_no_expand(spark):
     Expand (2x fact replication before the shuffle)."""
     df = get_queries()["lone_returned_supplier_orders"](spark, SF)
     assert "Expand" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cheapest_supplier_is_aggregation_not_window(spark):
+    """Q2 shape: the per-part winner must come from a struct-min
+    aggregate (map-side combinable), never a per-part window sort."""
+    df = get_queries()["cheapest_supplier_per_part"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert any("p_type" in f or "p_size" in f for f in pushed_filters(df, "part"))
+
+
+def test_part_value_concentration_two_aggregates(spark):
+    """Q11 shape: one fact shuffle to the part grain; the global total
+    re-aggregates that tiny relation and broadcasts back."""
+    df = get_queries()["part_value_concentration"](spark, SF)
+    # the part-grain relation is checkpointed (the fact aggregates ONCE
+    # and its scan no longer appears in this plan); remaining exchanges:
+    # tiny global agg + final sort
+    assert shuffle_count(df) <= 2
+
+
+def test_rare_token_score_column_pruning(spark):
+    """The rarity join must read only (doc_id, text) — rarity is a
+    text-only signal, the metadata columns never load."""
+    df = get_queries()["rare_token_score"](spark, SF)
+    assert sorted(set(scan_read_schemas(df)["documents"])) == ["doc_id", "text"]
+
+
+def test_tfidf_no_expand_and_pruned(spark):
+    """Integer TF-IDF: tf/df are plain aggregates (no multi-distinct
+    Expand) over a (doc_id, text)-pruned scan."""
+    df = get_queries()["tfidf_top_terms"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert sorted(set(scan_read_schemas(df)["documents"])) == ["doc_id", "text"]
