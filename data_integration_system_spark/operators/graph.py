@@ -1,0 +1,164 @@
+"""Graph analytics over derived relations.
+
+The connected-components operator lives with its consumer in dedup.py
+(`connected_components_min_label`); this module holds standalone graph
+algorithms.  PageRank here runs over the event-type transition graph —
+the web-corpus analog is PageRank over the crawl's link graph, the
+classic link-derived quality prior for corpus weighting.
+
+The novelty is the determinism contract: PageRank is iterative, which
+normally forces the driver's weaker rows-only check.  Computing it in
+pure INTEGER arithmetic (ranks scaled to 1e9, per-edge contributions by
+integer division) makes every iteration engine-exact, so a fixed
+iteration count unrolls into chained SQL CTEs and the driver gets a
+full value-hash oracle for an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.registry import query
+
+_ITERS = 8
+_SCALE = 10**9
+#: damping 0.85 expressed as integer percent so both engines compute
+#: r' = base + (85 * inflow) // 100 identically
+_DAMP_PCT = 85
+_BASE_NUM = _SCALE * (100 - _DAMP_PCT) // 100  # 0.15 * 1e9
+
+
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n): per-user consecutive event-type transitions —
+    identical derivation to event_type_transitions (windows.py)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def pagerank_int(
+    edges: DataFrame, iters: int = _ITERS
+) -> DataFrame:
+    """Integer-arithmetic PageRank: ``(node, rank_e9)`` after ``iters``
+    power-method rounds over weighted edges ``(src, dst, n)``.
+
+    Each round: contribution = (rank_e9 × edge_n) // src_out_weight,
+    summed per target; new rank = 0.15·1e9//N + (85 × inflow)//100.
+    All BIGINT ops — associative, order-independent, engine-identical.
+
+    Scale shape: per round ONE shuffle keyed on dst (map-side combined)
+    plus the broadcast-sized node relation join; localCheckpoint cuts
+    lineage like the crawl/CC loops.  Dangling mass is dropped on both
+    engines identically (the standard simplification)."""
+    edges = edges.localCheckpoint()
+    out_w = edges.groupBy("src").agg(F.sum("n").alias("total"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # |event types| — a tiny control-plane scalar
+    base = _BASE_NUM // n_nodes
+    init = _SCALE // n_nodes
+    r = nodes.withColumn("rank_e9", F.lit(init).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(out_w, "src")
+            .join(r, edges.src == r.node)
+            .select(
+                F.col("dst"),
+                F.expr("(rank_e9 * n) div total").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({_DAMP_PCT} * coalesce(s, 0)) div 100")
+                )
+                .cast("long")
+                .alias("rank_e9"),
+            )
+            .localCheckpoint()
+        )
+    return r
+
+
+def _pagerank_oracle() -> str:
+    """The same integer power method, unrolled into chained CTEs —
+    iterative, yet a full value-hash oracle."""
+    parts = [
+        """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ), edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outw AS (
+      SELECT src, SUM(n) AS total FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+    pr0 AS (
+      SELECT node, CAST({scale} // nn.n_nodes AS BIGINT) AS rank_e9
+      FROM nodes, nn
+    )""".format(scale=_SCALE)
+    ]
+    for k in range(1, _ITERS + 1):
+        parts.append(
+            """,
+    pr{k} AS (
+      SELECT n.node,
+             CAST({base_num} // nn.n_nodes
+                  + ({damp} * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_e9
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(pr.rank_e9 * e.n // w.total) AS c
+        FROM edges e
+        JOIN outw w ON w.src = e.src
+        JOIN pr{prev} pr ON pr.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""".format(k=k, prev=k - 1, base_num=_BASE_NUM, damp=_DAMP_PCT)
+        )
+    parts.append(
+        f"""
+    SELECT node AS event_type, rank_e9
+    FROM pr{_ITERS} ORDER BY rank_e9 DESC, event_type
+    """
+    )
+    return "".join(parts)
+
+
+@query("event_type_pagerank", oracle=_pagerank_oracle())
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of event types in the user-flow transition
+    graph — which states dominate user sessions at the stationary
+    distribution.  The corpus-curation sibling is PageRank over the
+    crawl link graph as a document quality prior.
+
+    Iterative AND exactly oracle-checked: integer arithmetic makes the
+    8-round power method bit-identical to the unrolled-CTE SQL twin."""
+    r = pagerank_int(_transition_edges(spark, sf_dir))
+    return r.select(F.col("node").alias("event_type"), "rank_e9").orderBy(
+        F.col("rank_e9").desc(), "event_type"
+    )

@@ -49,6 +49,7 @@ def _load_all_modules() -> None:
     """Import every operator module so registration side-effects run."""
     from data_integration_system_spark.operators import (  # noqa: F401
         dedup,
+        graph,
         groupops,
         joins,
         multimodal,
@@ -123,6 +124,7 @@ _DRIVER_HEAD: list[str] = [
     "tfidf_top_terms",
     "cheapest_supplier_per_part",
     "part_value_concentration",
+    "event_type_pagerank",
 ]
 
 

@@ -421,3 +421,28 @@ def test_cc_matches_union_find_hypothesis(spark):
         assert _cc_spark(spark, canon) == _union_find_labels(canon)
 
     check()
+
+
+def test_pagerank_int_properties(spark):
+    """Integer PageRank sanity on a known graph: a sink-fed chain ranks
+    the sink highest; total mass stays near 1e9 (integer-division loss
+    only); node order never matters."""
+    from data_integration_system_spark.operators.graph import pagerank_int
+
+    # star: three sources all point at the hub (no cycles, so finite
+    # iterations can't rotate rank): hub max, sources equal and minimal
+    edges = spark.createDataFrame(
+        [("a", "hub", 2), ("b", "hub", 1), ("d", "hub", 3)],
+        "src string, dst string, n long",
+    )
+    ranks = {r.node: r.rank_e9 for r in pagerank_int(edges).collect()}
+    assert set(ranks) == {"a", "b", "d", "hub"}
+    assert ranks["hub"] == max(ranks.values())    # all inflow lands here
+    assert ranks["a"] == ranks["b"] == ranks["d"]  # sources: base rank only
+    assert ranks["hub"] > 2 * ranks["a"]
+    # weighted split: one source, two targets at 3:1 edge weight
+    edges2 = spark.createDataFrame(
+        [("s", "x", 3), ("s", "y", 1)], "src string, dst string, n long"
+    )
+    r2 = {r.node: r.rank_e9 for r in pagerank_int(edges2).collect()}
+    assert r2["x"] > r2["y"] > 0                   # weight-proportional inflow
