@@ -618,3 +618,54 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
     )
+
+
+def _col_stats_oracle(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(FLOOR(min({col}) * 100) AS BIGINT) AS min_e2,
+           CAST(FLOOR(max({col}) * 100) AS BIGINT) AS max_e2
+    FROM lineitem"""
+
+
+_STATS_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount",
+)
+
+
+@query(
+    "column_stats_lineitem",
+    oracle="\nUNION ALL\n".join(_col_stats_oracle(c) for c in _STATS_COLS)
+    + "\nORDER BY col",
+)
+def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics for the fact table: null
+    count, exact distinct count, floor-scaled min/max — the stats a
+    cost-based optimizer (or a data-quality monitor) collects.
+
+    Scale shape: one aggregation PER COLUMN, unioned — six narrow
+    columnar scans with map-side combine and NO Expand (a single
+    multi-column COUNT(DISTINCT) pass would replicate every row 6× by
+    grouping-set expansion; independent one-column passes each read only
+    their own column's pages and parallelize freely).  At 100 TB swap
+    the exact distinct for approx_count_distinct (HLL, one pass, no
+    per-column rescans) — exact is kept here because the driver's
+    correctness gate hashes values."""
+    li = table(spark, sf_dir, "lineitem")
+    parts = [
+        li.agg(
+            F.lit(c).alias("col"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.floor(F.min(F.col(c) * 100)).cast("long").alias("min_e2"),
+            F.floor(F.max(F.col(c) * 100)).cast("long").alias("max_e2"),
+        )
+        for c in _STATS_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")

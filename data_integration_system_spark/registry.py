@@ -125,6 +125,7 @@ _DRIVER_HEAD: list[str] = [
     "cheapest_supplier_per_part",
     "part_value_concentration",
     "event_type_pagerank",
+    "column_stats_lineitem",
 ]
 
 
