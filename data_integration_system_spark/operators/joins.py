@@ -1255,3 +1255,53 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("value").desc(), "l_partkey")
     )
+
+
+@query(
+    "segment_median_order",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(FLOOR(quantile_cont(o.o_totalprice, 0.25) * 100) AS BIGINT)
+             AS p25_cents,
+           CAST(FLOOR(quantile_cont(o.o_totalprice, 0.5) * 100) AS BIGINT)
+             AS median_cents,
+           CAST(FLOOR(quantile_cont(o.o_totalprice, 0.75) * 100) AS BIGINT)
+             AS p75_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/median/p75) of order value per
+    market segment — the BUILT-IN percentile path, complementing
+    group_quantiles' applyInPandas custom-UDAF formulation.
+
+    Scale shape: Spark's `percentile` is a single-pass typed aggregate
+    (per-partition buffers merge on the one segment-keyed shuffle) — no
+    sort of the fact, no window.  Both engines define quantile_cont by
+    the same (1-g)·a + g·b interpolation on identical doubles, and the
+    result is floored to cents, so the hash can't flip.  Customer
+    broadcasts into the fact before the aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def pct_cents(q: float, name: str):
+        return (
+            F.floor(F.expr(f"percentile(o_totalprice, {q})") * 100)
+            .cast("long")
+            .alias(name)
+        )
+
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            pct_cents(0.25, "p25_cents"),
+            pct_cents(0.5, "median_cents"),
+            pct_cents(0.75, "p75_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -669,3 +669,38 @@ def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+@query(
+    "weekday_order_stats",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY iso_dow ORDER BY iso_dow
+    """,
+)
+def weekday_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume by ISO weekday — the date-part analytics family
+    (seasonality / load profiling).  Weekday numbering is the cross-
+    engine trap: Spark's ``weekday`` is 0=Monday, DuckDB's ``isodow`` is
+    1=Monday — normalized here to ISO (1=Monday..7=Sunday) explicitly.
+
+    Scale shape: one 7-group aggregation with map-side partials; the
+    single-column distinct is the standard two-phase expand over a
+    7-key space (bounded, unlike a high-cardinality multi-distinct)."""
+    from data_integration_system_spark.operators._common import money_sum
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy((F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            money_sum("o_totalprice").alias("sum_total"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("iso_dow")
+    )

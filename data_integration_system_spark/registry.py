@@ -126,6 +126,8 @@ _DRIVER_HEAD: list[str] = [
     "part_value_concentration",
     "event_type_pagerank",
     "column_stats_lineitem",
+    "segment_median_order",
+    "weekday_order_stats",
 ]
 
 
