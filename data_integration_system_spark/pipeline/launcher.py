@@ -57,16 +57,25 @@ class Supervisor:
         host: str = "127.0.0.1",
         port: int = 0,
         claim_batch: int = 10,
+        worker: str = "poll",
     ) -> None:
+        if worker not in ("poll", "stream"):
+            raise ValueError(f"worker must be 'poll' or 'stream', got {worker!r}")
         self._spark = spark
         self._jobs_path = jobs_path
         self._output_root = output_root
         self._fetch_fn = fetch_fn
         self._poll_interval = poll_interval
         self._claim_batch = claim_batch
+        #: "poll" = thread loop over run_pending_jobs (reports collected
+        #: in-process); "stream" = streaming.jobs.job_worker_stream (the
+        #: reference daemon as a Structured Streaming query — job
+        #: outcomes live on the jobs log, self.reports stays empty)
+        self._worker_mode = worker
         self.api = JobApiServer(spark, jobs_path, host=host, port=port)
         self._stop = threading.Event()
         self._worker: threading.Thread | None = None
+        self._stream_q = None
         self.worker_error: BaseException | None = None
         self.reports: list[dict[str, Any]] = []
 
@@ -117,18 +126,31 @@ class Supervisor:
         except TimeoutError:
             self.api.stop()
             raise
-        self._worker = threading.Thread(
-            target=self._worker_loop, name="job-worker", daemon=True
-        )
-        self._worker.start()
+        if self._worker_mode == "stream":
+            from data_integration_system_spark.streaming.jobs import (
+                job_worker_stream,
+            )
+
+            self._stream_q = job_worker_stream(
+                self._spark,
+                self._jobs_path,
+                self._output_root,
+                fetch_fn=self._fetch_fn,
+                trigger={"processingTime": f"{self._poll_interval} seconds"},
+            )
+        else:
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="job-worker", daemon=True
+            )
+            self._worker.start()
         return self.api.address
 
     def healthy(self) -> bool:
-        return (
-            self.api.is_alive()
-            and self._worker is not None
-            and self._worker.is_alive()
-        )
+        if not self.api.is_alive():
+            return False
+        if self._worker_mode == "stream":
+            return self._stream_q is not None and self._stream_q.isActive
+        return self._worker is not None and self._worker.is_alive()
 
     def monitor(self, check_interval: float = 0.5) -> None:
         """The launcher's watch loop: block until stop() is called from
@@ -151,6 +173,14 @@ class Supervisor:
         if self._worker is not None:
             self._worker.join(timeout=60)
             self._worker = None
+        if self._stream_q is not None:
+            try:
+                if self.worker_error is None and self._stream_q.exception():
+                    self.worker_error = self._stream_q.exception()
+            except Exception:  # noqa: BLE001 — a dead gateway must not block teardown
+                pass
+            self._stream_q.stop()
+            self._stream_q = None
         self.api.stop()
 
 

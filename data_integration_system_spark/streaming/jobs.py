@@ -154,7 +154,14 @@ def job_worker_stream(
     fetch = fetch_fn or default_http_fetch
     # schema is the known constant, NOT inferred from the log: the worker
     # must be deployable BEFORE the first submission (the reference
-    # daemon's startup order), when the path does not exist yet
+    # daemon's startup order).  The file source still demands the path
+    # EXIST at query start, so create the (empty) log dir — submit_job
+    # appends into it either way.
+    from data_integration_system_spark.pipeline.fsutil import hadoop_path
+
+    p, fs = hadoop_path(spark, jobs_path)
+    if not fs.exists(p):
+        fs.mkdirs(p)
     stream = pending_job_picker(
         spark.readStream.schema(_JOBS_SCHEMA).parquet(jobs_path)
     )

@@ -186,3 +186,36 @@ def test_supervisor_monitor_tears_down_on_worker_crash(spark, tmp_path, monkeypa
     with pytest.raises(RuntimeError, match="worker exploded"):
         sup.monitor(check_interval=0.1)
     assert not sup.api.is_alive()
+
+
+def test_supervisor_streaming_worker_mode(spark, tmp_path):
+    """worker="stream": the supervisor runs the reference daemon as a
+    Structured Streaming query instead of the poll thread — same
+    HTTP-submit-to-DONE contract, outcomes read from the jobs log."""
+    from data_integration_system_spark.pipeline.launcher import Supervisor
+
+    sup = Supervisor(
+        spark, str(tmp_path / "jobs_log"), str(tmp_path / "out"),
+        fetch_fn=fake_fetch, poll_interval=0.5, worker="stream",
+    )
+    base = sup.start()
+    try:
+        assert sup.healthy()
+        status, created = _req(
+            "POST", f"{base}/jobs",
+            {"url": "https://svc.com/", "download_files": False},
+        )
+        assert status == 200
+        jid = created["job_id"]
+        deadline = time.monotonic() + 180
+        job = None
+        while time.monotonic() < deadline:
+            status, job = _req("GET", f"{base}/jobs/{jid}")
+            if status == 200 and job["status"] in ("DONE", "FAILED"):
+                break
+            time.sleep(0.5)
+        assert job is not None and job["status"] == "DONE", job
+        assert sup.reports == []  # outcomes live on the log in stream mode
+    finally:
+        sup.stop()
+    assert not sup.healthy()
