@@ -234,7 +234,13 @@ def main() -> None:
             if name in timings and p > 0
         )
         if ratios:
-            out["median_ratio_vs_prev"] = round(ratios[len(ratios) // 2], 3)
+            mid = len(ratios) // 2
+            median = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            out["median_ratio_vs_prev"] = round(median, 3)
         out["regressions"] = regressions
     print(json.dumps(out))
 

@@ -16,7 +16,7 @@ full value-hash oracle for an iterative algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
@@ -31,18 +31,18 @@ _BASE_NUM = _SCALE * (100 - _DAMP_PCT) // 100  # 0.15 * 1e9
 
 
 def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst, n): per-user consecutive event-type transitions —
-    identical derivation to event_type_transitions (windows.py)."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("n"))
+    """(src, dst, n): per-user consecutive event-type transitions — a
+    rename projection over the canonical event_type_transitions
+    derivation (windows.py), so the two queries can never silently
+    disagree about what the transition graph IS."""
+    from data_integration_system_spark.operators.windows import (
+        event_type_transitions,
+    )
+
+    return event_type_transitions(spark, sf_dir).select(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("dst"),
+        F.col("n").cast("long").alias("n"),
     )
 
 

@@ -988,7 +988,10 @@ def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            (F.sum(F.expr("1000000 div cnt")) / F.count("*"))
+            # integer `div`, not `/`+cast: a double quotient half an ulp
+            # under an integer would round across the floor boundary the
+            # oracle's exact integer division never crosses
+            F.expr("sum(1000000 div cnt) div count(*)")
             .cast("long")
             .alias("rarity_e6"),
         )

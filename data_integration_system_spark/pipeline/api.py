@@ -21,9 +21,10 @@ so a reference client's error handling ports unchanged.
 Scale note: the service is a control plane — requests/sec is bounded by
 human and agent job submission, not data volume, so driver-side handling
 is correct (the DATA plane stays distributed; a submit appends one row).
-Submits are serialized with a lock: concurrent Spark writes to one
-parquet path race on the _temporary staging dir, and a job queue's
-ordering guarantee comes from the log anyway.
+Log-append serialization (concurrent Spark writes to one parquet path
+race on the _temporary staging dir) lives in jobs._LOG_LOCK, shared
+with the worker's status writes — not here, where it would cover only
+submit-vs-submit.
 """
 
 from __future__ import annotations
@@ -74,7 +75,6 @@ class JobApiServer:
         self._jobs_path = jobs_path
         self._host = host
         self._requested_port = port
-        self._submit_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -88,8 +88,7 @@ class JobApiServer:
         if not isinstance(request, dict):
             return 400, {"detail": "request body must be a JSON object"}
         try:
-            with self._submit_lock:
-                job_id = submit_job(self._spark, self._jobs_path, request)
+            job_id = submit_job(self._spark, self._jobs_path, request)
         except ValueError as e:
             return 400, {"detail": str(e)}
         return 200, {"job_id": job_id, "status": "PENDING"}

@@ -137,6 +137,18 @@ _JOBS_SCHEMA = (
     "status string, error string, created_at timestamp"
 )
 
+#: serializes ALL jobs-log appends within this driver: concurrent Spark
+#: write jobs against one parquet path stage under the same
+#: {path}/_temporary/0 dir, and the first committer's cleanup deletes
+#: the other job's staged files (a lost submit or status row).  Every
+#: writer — HTTP submits, the worker's status transitions — appends one
+#: tiny row, so the lock costs nothing; cross-PROCESS coordination is a
+#: commit-protocol concern (use a log store with an atomic append
+#: protocol when multiple drivers share one queue).
+import threading as _threading
+
+_LOG_LOCK = _threading.Lock()
+
 
 def _append_job_row(
     spark: SparkSession,
@@ -148,11 +160,13 @@ def _append_job_row(
     status: str,
     error: str = "",
 ) -> None:
-    spark.createDataFrame(
+    df = spark.createDataFrame(
         [(job_id, start_url, root_domain, config, status, error,
           _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None))],
         _JOBS_SCHEMA,
-    ).coalesce(1).write.mode("append").parquet(jobs_path)
+    )
+    with _LOG_LOCK:
+        df.coalesce(1).write.mode("append").parquet(jobs_path)
 
 
 def submit_job(spark: SparkSession, jobs_path: str, request: dict[str, Any]) -> str:

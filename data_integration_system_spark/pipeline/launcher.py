@@ -131,13 +131,20 @@ class Supervisor:
                 job_worker_stream,
             )
 
-            self._stream_q = job_worker_stream(
-                self._spark,
-                self._jobs_path,
-                self._output_root,
-                fetch_fn=self._fetch_fn,
-                trigger={"processingTime": f"{self._poll_interval} seconds"},
-            )
+            try:
+                self._stream_q = job_worker_stream(
+                    self._spark,
+                    self._jobs_path,
+                    self._output_root,
+                    fetch_fn=self._fetch_fn,
+                    trigger={"processingTime": f"{self._poll_interval} seconds"},
+                )
+            except BaseException:
+                # same contract as the readiness-timeout path: a failed
+                # component startup must not leak a listening API that
+                # accepts submits no worker will ever claim
+                self.api.stop()
+                raise
         else:
             self._worker = threading.Thread(
                 target=self._worker_loop, name="job-worker", daemon=True
