@@ -704,3 +704,69 @@ def weekday_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow")
     )
+
+
+@query(
+    "quantity_price_correlation",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity * 100) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM v GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      * 1000000) AS BIGINT) AS corr_e6
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag
+    — the statistical-aggregate family (corr/covar), computed from exact
+    integer co-moments instead of the built-in corr().
+
+    Built-in corr's partial-merge order differs between engines (and
+    between runs), perturbing the last bits.  Correlation is affine-
+    invariant, so both variables quantize EXACTLY to integer hundredths
+    (prices are 2-decimal, quantities integral) and the five co-moments
+    sum in exact integer space (decimal(38,0) accumulators Spark-side so
+    a 100 TB fact cannot overflow a long); only the closed form runs in
+    doubles — on identical inputs, identically.  One map-side-combined
+    shuffle over 3 groups; the corpus is scanned once."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    big = "decimal(38,0)"
+    m = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(big)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(big)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(big)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(big)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(big)).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            F.floor(corr * 1000000).cast("long").alias("corr_e6"),
+        )
+        .orderBy("l_returnflag")
+    )

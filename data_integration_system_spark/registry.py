@@ -130,6 +130,13 @@ _DRIVER_HEAD: list[str] = [
     "weekday_order_stats",
 ]
 
+#: Built in round 4 but OUTSIDE the full 50-slot window above — covered
+#: by the in-repo parity gate now; MUST lead the round-5 rotation so
+#: they get their first driver row:
+_NEXT_ROTATION_FIRST = [
+    "quantity_price_correlation",
+]
+
 
 def _ordered_specs() -> list[QuerySpec]:
     _load_all_modules()
