@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
-from data_integration_system_spark.functions.hashing import normalize_ws
+from data_integration_system_spark.functions.hashing import content_hash, normalize_ws
 from data_integration_system_spark.operators._common import drop_hot_keys
 from data_integration_system_spark.registry import query
 
@@ -951,4 +951,56 @@ def dedup_corpus_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(drop), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle=r"""
+    WITH h AS (
+      SELECT source,
+             sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ), c AS (
+      SELECT ch, count(*) AS n FROM h GROUP BY ch
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+                AS BIGINT) AS dup_rate_e4
+    FROM h JOIN c USING (ch)
+    GROUP BY h.source ORDER BY h.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication health report: per source, how many documents share
+    their normalized content hash with at least one other document
+    corpus-wide — the per-slice dedup pressure metric a curation
+    pipeline tracks release over release.
+
+    Scale shape: one hash-grain aggregation (map-side combined — dup
+    groups collapse to one partial per partition) joined back on the
+    hash key, then a tiny per-source rollup.  Cross-source duplicates
+    count in EVERY source they appear in, which is the operative
+    question (how much of THIS slice is redundant).  Integer rate."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", content_hash(F.col("text")).alias("ch")
+    )
+    c = h.groupBy("ch").agg(F.count("*").alias("n"))
+    return (
+        h.join(c, "ch")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate_e4",
+            F.expr("n_dup_docs * 10000 div n_docs").cast("long"),
+        )
+        .orderBy("source")
     )

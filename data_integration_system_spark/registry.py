@@ -135,6 +135,7 @@ _DRIVER_HEAD: list[str] = [
 #: they get their first driver row:
 _NEXT_ROTATION_FIRST = [
     "quantity_price_correlation",
+    "dup_rate_by_source",
 ]
 
 
