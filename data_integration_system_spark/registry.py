@@ -142,9 +142,9 @@ _NEXT_ROTATION_FIRST = [
 def _ordered_specs() -> list[QuerySpec]:
     _load_all_modules()
     head_rank = {name: i for i, name in enumerate(_DRIVER_HEAD)}
-    unknown = set(head_rank) - set(QUERIES)
+    unknown = (set(head_rank) | set(_NEXT_ROTATION_FIRST)) - set(QUERIES)
     if unknown:  # a typo here would silently waste a driver-window slot
-        raise ValueError(f"_DRIVER_HEAD names not registered: {sorted(unknown)}")
+        raise ValueError(f"driver-rotation names not registered: {sorted(unknown)}")
     names = list(QUERIES)
     reg_rank = {name: i for i, name in enumerate(names)}
     names.sort(key=lambda n: (0, head_rank[n]) if n in head_rank else (1, reg_rank[n]))
