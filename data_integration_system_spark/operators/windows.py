@@ -298,3 +298,36 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "daily_active_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU: distinct users and event volume per calendar day — the
+    product-analytics staple (and the batch twin of a streaming
+    tumbling-window distinct).
+
+    Both engines emit DATE for the day key (DuckDB's date_trunc('day')
+    is already a DATE; Spark's is a midnight TIMESTAMP, so to_date).
+
+    Scale shape: one aggregation keyed on the day; the single-column
+    distinct is the standard two-phase expand, bounded by |days × users|
+    partials.  Day boundaries are UTC on both engines (session TZ pins
+    Spark; DuckDB's timestamps are naive wall times of the same
+    instants)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("dau"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )

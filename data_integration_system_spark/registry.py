@@ -136,6 +136,7 @@ _DRIVER_HEAD: list[str] = [
 _NEXT_ROTATION_FIRST = [
     "quantity_price_correlation",
     "dup_rate_by_source",
+    "daily_active_users",
 ]
 
 
