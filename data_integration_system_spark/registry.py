@@ -71,72 +71,84 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # (1) round-3 hash-fails, fixed this round (oracle HUGEINT -> BIGINT
-    # casts) — must be re-checked so CORRECTNESS_r4 shows them green:
-    "repetition_top_bigram",
-    "pack_sequences",
-    "exact_substring_dup_spans",
-    # (2) queries whose latest driver row is round 2 (stalest first per
-    # VERDICT r3 "Next round" #4) — §2B tier:
-    "scan_project",
-    "filter_blocklist",
-    "filter_scope",
-    "filter_size_cap",
-    "project_domain",
-    "project_content_hash",
-    "agg_counts_by_group",
-    "agg_rollup",
-    "agg_distinct",
-    "topk_oldest_pending",
-    "stale_timeout_filter",
-    "union_pages_files",
-    "set_ops",
-    "json_config_extract",
-    "string_metrics",
-    "text_stats",
-    "similarity_topk",
-    "approx_distinct",
-    # — §2C tier, also last checked in round 2:
-    "text_quality_score",
-    "token_count_bpe",
-    "text_lang_id",
-    "similarity_ivf_topk",
-    "multimodal_decode_meta",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    "pivot_lang_counts",
-    "agg_cube_events",
-    "orders_above_customer_avg",
-    "embedding_norms",
-    "customer_order_distribution",
-    "priority_counts_with_lineitem",
-    # (3) new this round (TPC-H Q1/Q6/Q7/Q8/Q14/Q17/Q19/Q21 shapes) —
-    # never driver-checked, so they must land inside the 50-query window:
-    "pricing_summary",
-    "forecast_revenue",
-    "volume_shipping",
-    "national_market_share",
-    "promo_revenue_share",
-    "small_qty_revenue",
-    "disjunctive_discount_revenue",
-    "lone_returned_supplier_orders",
-    "rare_token_score",
-    "tfidf_top_terms",
-    "cheapest_supplier_per_part",
-    "part_value_concentration",
-    "event_type_pagerank",
-    "column_stats_lineitem",
-    "segment_median_order",
-    "weekday_order_stats",
-]
-
-#: Built in round 4 but OUTSIDE the full 50-slot window above — covered
-#: by the in-repo parity gate now; MUST lead the round-5 rotation so
-#: they get their first driver row:
-_NEXT_ROTATION_FIRST = [
+    # (1) never driver-sampled: built late in round 4, outside the r4
+    # window (VERDICT r4 "Next round" #1) — must get their first row:
     "quantity_price_correlation",
     "dup_rate_by_source",
     "daily_active_users",
+    # (1b) NEW in round 5 — never driver-checked:
+    "shipmode_priority_counts",
+    "excess_stock_suppliers",
+    "shipping_priority",
+    "order_priority_check",
+    "local_supplier_volume",
+    # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
+    # round" #2) — §2B heart first:
+    "dedup_exact",
+    "dedup_keep_latest",
+    "upsert_changed_rows",
+    "join_broadcast_dim",
+    "join_sortmerge_fact",
+    "semi_join_existing",
+    "anti_join_unvisited",
+    "multiway_star_join",
+    "range_join_events",
+    "asof_latest_event_per_order",
+    "window_rank_frames",
+    "tumbling_window_counts",
+    "sliding_window_avg",
+    "session_windows",
+    # — §2C exact-oracle tier, also last checked in round 3:
+    "dedup_exact_full",
+    "dedup_ngram_jaccard",
+    "contamination_check",
+    "sample_stratified",
+    "text_normalize",
+    "group_quantiles",
+    "partsupp_profit",
+    "top_sources_per_lang",
+    "ntile_quartiles",
+    "signup_purchase_funnel",
+    "event_type_transitions",
+    "quality_filter_gopher",
+    "token_top_vocab",
+    "domain_mix_weights",
+    "decontaminate_filter",
+    "returned_item_report",
+    "top_revenue_supplier",
+    "segment_top_orders",
+    "snapshot_reconcile",
+    "pii_redact",
+    "large_volume_orders",
+    "brand_supplier_counts",
+    "event_zscore_outliers",
+    "weighted_resample",
+    "regional_nation_volume",
+    "idle_rich_customers",
+    # (3) rows-only r3 tier LAST — their driver check is the weaker
+    # rows-only compare and each is pinned by in-repo tests, so they are
+    # the right entries to fall out of the 50-slot window as new queries
+    # land this round:
+    "dedup_minhash_near",
+    "dedup_simhash",
+    "dedup_embedding_near",
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    "doc_fingerprint",
+    "fingerprint_overlap_pairs",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). These five rows-only r3-checked
+#: queries sit at positions 51-55 of the r5 ordering (the five round-5
+#: queries displaced them from the 50-slot window), so their latest
+#: driver row will be 3 rounds old by r6:
+_NEXT_ROTATION_FIRST: list[str] = [
+    "dedup_embedding_near",
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    "doc_fingerprint",
+    "fingerprint_overlap_pairs",
 ]
 
 

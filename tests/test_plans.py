@@ -269,3 +269,70 @@ def test_tfidf_no_expand_and_pruned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert sorted(set(scan_read_schemas(df)["documents"])) == ["doc_id", "text"]
+
+
+def test_shipmode_priority_counts_plan(spark):
+    """Q12 shape: the ship-year window reaches the lineitem scan; neither
+    fact side broadcasts payload-wide; single agg after the join."""
+    df = get_queries()["shipmode_priority_counts"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df, "lineitem"))
+    assert not is_broadcast(df, "lineitem")
+    # orders carries only the 3 needed columns into the join
+    assert sorted(scan_read_schemas(df)["orders"]) == [
+        "o_orderdate", "o_orderkey", "o_orderpriority",
+    ]
+
+
+def test_excess_stock_suppliers_plan(spark):
+    """Q20 shape: date window pushed to the fact scan, part family and
+    region dims broadcast, fact never broadcast."""
+    df = get_queries()["excess_stock_suppliers"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df, "lineitem"))
+    assert any("p_name" in f for f in pushed_filters(df, "part"))
+    assert is_broadcast(df, "part")
+    assert not is_broadcast(df, "lineitem")
+    # the HAVING aggregate reads only the 3 fact columns it needs
+    assert sorted(scan_read_schemas(df)["lineitem"]) == [
+        "l_partkey", "l_quantity", "l_shipdate", "l_suppkey",
+    ]
+
+
+def test_shipping_priority_plan(spark):
+    """Q3 shape: every filter reaches its own scan; the segment dim
+    broadcasts; top-10 is a TakeOrdered, not a global sort."""
+    df = get_queries()["shipping_priority"](spark, SF)
+    assert any("c_mktsegment" in f for f in pushed_filters(df, "customer"))
+    assert any("o_orderdate" in f for f in pushed_filters(df, "orders"))
+    assert any("l_shipdate" in f for f in pushed_filters(df, "lineitem"))
+    assert is_broadcast(df, "customer")
+    # NOTE: at sf0.001 the post-filter lineitem side is tiny and the
+    # size-based planner may legitimately broadcast it — a scale-variant
+    # decision we do NOT pin (the unfiltered-fact queries pin it instead).
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_order_priority_check_plan(spark):
+    """Q4 shape: quarter filter at the orders scan; the EXISTS stays a
+    semi join reading only lineitem's key + date columns."""
+    df = get_queries()["order_priority_check"](spark, SF)
+    assert any("o_orderdate" in f for f in pushed_filters(df, "orders"))
+    assert scan_read_schemas(df)["lineitem"] == ["l_orderkey", "l_shipdate"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_local_supplier_volume_plan(spark):
+    """Q5 shape: date window at the orders scan, region filter at the
+    region scan, all dims broadcast, the fact shuffles for its orderkey
+    join + final agg only."""
+    df = get_queries()["local_supplier_volume"](spark, SF)
+    assert any("o_orderdate" in f for f in pushed_filters(df, "orders"))
+    assert any("ASIA" in f for f in pushed_filters(df, "region"))
+    assert is_broadcast(df, "customer")
+    assert is_broadcast(df, "region")
+    assert not is_broadcast(df, "lineitem")
+    # supplier reaches the fact join THROUGH its own broadcast join with
+    # nation⋈region, then that subtree broadcasts; the fact side streams
+    # through every join.  (Exact count is scale-variant: at sf0.001 the
+    # date-filtered orders side may broadcast too.)
+    assert broadcast_join_count(df) >= 3
