@@ -69,6 +69,8 @@ def pagerank_int(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # |event types| — a tiny control-plane scalar
+    if n_nodes == 0:  # empty graph: no ranks, not a ZeroDivisionError
+        return nodes.withColumn("rank_e9", F.lit(0).cast("long"))
     base = _BASE_NUM // n_nodes
     init = _SCALE // n_nodes
     r = nodes.withColumn("rank_e9", F.lit(init).cast("long"))

@@ -1237,9 +1237,11 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(ldec), 2).cast("double").alias("value"),
         F.sum(ldec).alias("vdec"),  # stays DECIMAL: the global total must
         # re-sum exactly (a double re-sum would be order-dependent)
-    ).localCheckpoint()  # |parts| rows; the total and the filter both
-    # consume this relation — materializing it means the 100 TB fact
-    # aggregates ONCE, not once per consumer
+    ).localCheckpoint(eager=False)  # |parts| rows; the total and the
+    # filter both consume this relation — checkpointing it means the
+    # 100 TB fact aggregates ONCE, not once per consumer.  Lazy: the
+    # first ACTION materializes it, so plan-only consumers (explain,
+    # plans/report) never trigger the aggregation job
     t = v.agg(
         F.sum("vdec").cast("double").alias("total"),
         F.count("*").cast("long").alias("n_parts"),
@@ -1262,12 +1264,15 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(FLOOR(quantile_cont(o.o_totalprice, 0.25) * 100) AS BIGINT)
-             AS p25_cents,
-           CAST(FLOOR(quantile_cont(o.o_totalprice, 0.5) * 100) AS BIGINT)
-             AS median_cents,
-           CAST(FLOOR(quantile_cont(o.o_totalprice, 0.75) * 100) AS BIGINT)
-             AS p75_cents
+           CAST(FLOOR(quantile_cont(
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+             0.25)) AS BIGINT) AS p25_cents,
+           CAST(FLOOR(quantile_cont(
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+             0.5)) AS BIGINT) AS median_cents,
+           CAST(FLOOR(quantile_cont(
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+             0.75)) AS BIGINT) AS p75_cents
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
@@ -1280,16 +1285,21 @@ def segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: Spark's `percentile` is a single-pass typed aggregate
     (per-partition buffers merge on the one segment-keyed shuffle) — no
-    sort of the fact, no window.  Both engines define quantile_cont by
-    the same (1-g)·a + g·b interpolation on identical doubles, and the
-    result is floored to cents, so the hash can't flip.  Customer
+    sort of the fact, no window.  Percentiles are computed over
+    PRE-SCALED INTEGER CENTS, which makes the (1-g)·a + g·b
+    interpolation bit-exact on BOTH engines regardless of how each one
+    associates it: for quartiles g ∈ {0, ¼, ½, ¾} (exact binary
+    fractions) and a, b are integers ≪ 2^53, so every product and the
+    sum are exact doubles — no last-ulp drift at a FLOOR boundary is
+    possible, unlike percentile-over-dollars-then-×100.  Customer
     broadcasts into the fact before the aggregate."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
     def pct_cents(q: float, name: str):
         return (
-            F.floor(F.expr(f"percentile(o_totalprice, {q})") * 100)
+            F.floor(F.expr(f"percentile({cents}, {q})"))
             .cast("long")
             .alias(name)
         )

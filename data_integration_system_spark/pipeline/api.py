@@ -11,7 +11,8 @@ packing, and root-domain semantics live in ONE place, and the network
 layer adds only transport:
 
 * ``POST /jobs``      -> submit_job, 200 ``{"job_id": ..., "status": "PENDING"}``
-* ``GET /jobs``       -> present state of every job (current_jobs)
+* ``GET /jobs``       -> newest-first job states, capped at ``?limit=N``
+  (default 100, max 1000) so the listing stays bounded as the log grows
 * ``GET /jobs/{id}``  -> one job's present state, 404 when unknown
 * ``GET /health``     -> liveness probe (the launcher's readiness check)
 
@@ -41,6 +42,12 @@ from data_integration_system_spark.pipeline.jobs import current_jobs, submit_job
 #: request bodies above this are rejected with 413 — a job request is a
 #: small option dict; anything bigger is a client error, not a job
 _MAX_BODY_BYTES = 1 << 20
+
+#: GET /jobs caps its listing server-side (override per-request with
+#: ?limit=N, itself capped) so a dashboard polling a long-lived queue
+#: can't drag the whole log through the driver
+_DEFAULT_LIST_LIMIT = 100
+_MAX_LIST_LIMIT = 1000
 
 
 def _job_row_dict(row) -> dict[str, Any]:
@@ -93,7 +100,9 @@ class JobApiServer:
             return 400, {"detail": str(e)}
         return 200, {"job_id": job_id, "status": "PENDING"}
 
-    def _handle_get_jobs(self, job_id: str | None) -> tuple[int, Any]:
+    def _handle_get_jobs(
+        self, job_id: str | None, limit: int = _DEFAULT_LIST_LIMIT
+    ) -> tuple[int, Any]:
         from pyspark.errors import AnalysisException
 
         try:
@@ -101,7 +110,14 @@ class JobApiServer:
         except AnalysisException:  # no log yet: an empty queue, not an error
             return (404, {"detail": "job not found"}) if job_id else (200, [])
         if job_id is None:
-            rows = jobs.orderBy("created_at", "job_id").collect()
+            # newest-first with a server-side cap: the jobs log grows
+            # without bound, so an unlimited collect() would eventually
+            # stall the control plane; limit applies BEFORE collect
+            rows = (
+                jobs.orderBy(jobs.created_at.desc(), "job_id")
+                .limit(limit)
+                .collect()
+            )
             return 200, [_job_row_dict(r) for r in rows]
         rows = jobs.filter(jobs.job_id == job_id).collect()
         if not rows:
@@ -129,18 +145,48 @@ class JobApiServer:
                 if self.path.rstrip("/") != "/jobs":
                     self._send(404, {"detail": "not found"})
                     return
-                length = int(self.headers.get("Content-Length") or 0)
+                # body length comes ONLY from Content-Length: absent
+                # (e.g. chunked transfer) is 411, non-numeric/negative is
+                # 400 — never passed unchecked into rfile.read()
+                raw_len = self.headers.get("Content-Length")
+                if raw_len is None:
+                    self._send(411, {"detail": "Content-Length required"})
+                    return
+                try:
+                    length = int(raw_len)
+                except ValueError:
+                    length = -1
+                if length < 0:
+                    self._send(400, {"detail": "invalid Content-Length"})
+                    return
                 if length > _MAX_BODY_BYTES:
                     self._send(413, {"detail": "request body too large"})
                     return
                 self._send(*server._handle_post_jobs(self.rfile.read(length)))
 
             def do_GET(self):
-                path = self.path.split("?", 1)[0].rstrip("/")
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                path = parts.path.rstrip("/")
                 if path == "/health":
                     self._send(200, {"status": "ok"})
                 elif path == "/jobs":
-                    self._send(*server._handle_get_jobs(None))
+                    raw = parse_qs(parts.query).get("limit", [None])[0]
+                    limit = _DEFAULT_LIST_LIMIT
+                    if raw is not None:
+                        try:
+                            limit = int(raw)
+                        except ValueError:
+                            limit = 0
+                        if limit <= 0:
+                            self._send(
+                                400,
+                                {"detail": "limit must be a positive integer"},
+                            )
+                            return
+                        limit = min(limit, _MAX_LIST_LIMIT)
+                    self._send(*server._handle_get_jobs(None, limit))
                 elif path.startswith("/jobs/"):
                     self._send(*server._handle_get_jobs(path[len("/jobs/"):]))
                 else:

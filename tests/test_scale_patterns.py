@@ -446,3 +446,14 @@ def test_pagerank_int_properties(spark):
     )
     r2 = {r.node: r.rank_e9 for r in pagerank_int(edges2).collect()}
     assert r2["x"] > r2["y"] > 0                   # weight-proportional inflow
+
+
+def test_pagerank_int_empty_graph(spark):
+    """An empty edge set returns an empty (node, rank_e9) frame instead
+    of dividing by zero on the node count."""
+    from data_integration_system_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame([], "src string, dst string, n long")
+    out = pagerank_int(edges)
+    assert out.columns == ["node", "rank_e9"]
+    assert out.count() == 0

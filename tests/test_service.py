@@ -219,3 +219,74 @@ def test_supervisor_streaming_worker_mode(spark, tmp_path):
     finally:
         sup.stop()
     assert not sup.healthy()
+
+
+def test_http_jobs_listing_bounded(spark, tmp_path):
+    """GET /jobs is newest-first and capped: the default cap keeps an
+    unbounded jobs log from flowing through the driver, ?limit=N narrows
+    it, and a non-positive/garbage limit is a 400, not a server error."""
+    from data_integration_system_spark.pipeline.api import JobApiServer
+    from data_integration_system_spark.pipeline.jobs import submit_job
+
+    jobs_path = str(tmp_path / "jobs_log")
+    ids = [
+        submit_job(spark, jobs_path, {"url": f"https://lim{i}.com/"})
+        for i in range(4)
+    ]
+    srv = JobApiServer(spark, jobs_path)
+    srv.start()
+    try:
+        base = srv.address
+        status, listing = _req("GET", f"{base}/jobs")
+        assert status == 200 and len(listing) == 4
+
+        status, listing = _req("GET", f"{base}/jobs?limit=2")
+        assert status == 200 and len(listing) == 2
+        # newest-first: the cap keeps the most recent submissions
+        returned = {j["job_id"] for j in listing}
+        tstamps = {j["job_id"]: j["created_at"] for j in listing}
+        status, full = _req("GET", f"{base}/jobs?limit=1000")
+        assert status == 200 and len(full) == 4
+        newest_two = [j["job_id"] for j in full[:2]]
+        assert returned == set(newest_two)
+        assert sorted(tstamps.values(), reverse=True) == [
+            j["created_at"] for j in listing
+        ]
+        assert set(newest_two) <= set(ids)
+
+        for bad in ("0", "-3", "abc"):
+            status, body = _req("GET", f"{base}/jobs?limit={bad}")
+            assert status == 400 and "detail" in body
+    finally:
+        srv.stop()
+
+
+def test_http_post_content_length_validation(spark, tmp_path):
+    """POST body length comes only from Content-Length: a request
+    without the header is 411; a garbled value is 400."""
+    import http.client
+
+    from data_integration_system_spark.pipeline.api import JobApiServer
+
+    srv = JobApiServer(spark, str(tmp_path / "jobs_log"))
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        # hand-rolled request so we control the headers exactly
+        conn.putrequest("POST", "/jobs", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()  # no Content-Length, no body
+        resp = conn.getresponse()
+        assert resp.status == 411
+        resp.read()
+
+        conn.putrequest("POST", "/jobs", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+    finally:
+        srv.stop()
