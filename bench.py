@@ -82,6 +82,18 @@ HEADLINE = (
     "lone_returned_supplier_orders",  # TPC-H Q21 shape (semi+anti on fact)
     "rare_token_score",        # vocab join-back rarity signal
     "tfidf_top_terms",         # integer TF-IDF top-k per doc
+    # round-5 additions
+    "quantity_price_correlation",  # two-pass Pearson corr (agg shape)
+    "dup_rate_by_source",      # reduced-grain dup-pressure report
+    "daily_active_users",      # per-day distinct rollup
+    "shipmode_priority_counts",  # TPC-H Q12 shape (conditional 2-branch agg)
+    "excess_stock_suppliers",  # TPC-H Q20 shape (nested semi-join chain)
+    "shipping_priority",       # TPC-H Q3 shape (star + grouped topk)
+    "order_priority_check",    # TPC-H Q4 shape (non-equi EXISTS semi)
+    "local_supplier_volume",   # TPC-H Q5 shape (same-nation arm constraint)
+    "monthly_revenue_growth",  # month-grain lag/cumsum windows
+    "customer_spend_percentile",  # percent_rank/cume_dist total-order window
+    "doc_length_histogram",    # in-scan binned histogram + share window
 )
 
 

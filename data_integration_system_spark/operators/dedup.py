@@ -979,22 +979,27 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide — the per-slice dedup pressure metric a curation
     pipeline tracks release over release.
 
-    Scale shape: one hash-grain aggregation (map-side combined — dup
-    groups collapse to one partial per partition) joined back on the
-    hash key, then a tiny per-source rollup.  Cross-source duplicates
-    count in EVERY source they appear in, which is the operative
-    question (how much of THIS slice is redundant).  Integer rate."""
+    Scale shape: the corpus aggregates ONCE to the (ch, source) grain
+    (map-side combined), and everything downstream — the corpus-wide
+    per-hash counts AND the join-back — runs on that already-reduced
+    relation, smaller than the corpus by the per-source duplication
+    factor; the raw document rows are scanned exactly once and never
+    joined.  Cross-source duplicates count in EVERY source they appear
+    in, which is the operative question (how much of THIS slice is
+    redundant).  Integer rate."""
     docs = table(spark, sf_dir, "documents")
-    h = docs.select(
-        "source", content_hash(F.col("text")).alias("ch")
+    g = (
+        docs.select("source", content_hash(F.col("text")).alias("ch"))
+        .groupBy("ch", "source")
+        .agg(F.count("*").cast("long").alias("n_src"))
     )
-    c = h.groupBy("ch").agg(F.count("*").alias("n"))
+    c = g.groupBy("ch").agg(F.sum("n_src").alias("n"))
     return (
-        h.join(c, "ch")
+        g.join(c, "ch")
         .groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            F.sum("n_src").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, F.col("n_src")).otherwise(0))
             .cast("long")
             .alias("n_dup_docs"),
         )

@@ -1048,3 +1048,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "rnk", F.col("score").cast("long").alias("score"))
     )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(LEAST(n_chars // 50, 12) AS BIGINT) AS bin,
+           CAST(min(LEAST(n_chars // 50, 12)) * 50 AS BIGINT) AS bin_lo_chars,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) * 1000000 // SUM(count(*)) OVER () AS BIGINT)
+             AS share_e6
+    FROM documents
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: 50-char bins (capped at bin 12) with
+    doc counts, total chars, and each bin's ×10⁶ corpus share — the
+    length-distribution profile a curation pipeline checks before
+    picking context-length/packing budgets.
+
+    Scale shape: the bin key is computed IN the scan (integer div +
+    least — no UDF, no shuffle before the aggregate), so the histogram
+    is one map-side-combined aggregation over ≤13 groups; the corpus
+    total for the share column is a whole-relation window over those
+    ≤13 rows (one single-partition exchange — no second aggregation
+    branch, the corpus is scanned exactly once).  All-integer math —
+    bins, sums, and the ×10⁶ floor-div share can't drift between
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    binned = docs.select(
+        F.least(F.expr("n_chars div 50"), F.lit(12)).cast("long").alias("bin"),
+        "n_chars",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            (F.min("bin") * 50).cast("long").alias("bin_lo_chars"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn(
+            "share_e6",
+            F.expr("n_docs * 1000000 div sum(n_docs) over ()").cast("long"),
+        )
+        .orderBy("bin")
+    )

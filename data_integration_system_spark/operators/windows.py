@@ -331,3 +331,117 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY month
+    )
+    SELECT month, n_orders, rev_cents,
+           CAST(SUM(rev_cents) OVER (ORDER BY month
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_cents,
+           CAST((rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 10000
+                // lag(rev_cents) OVER (ORDER BY month) AS BIGINT)
+             AS growth_e4
+    FROM m ORDER BY month
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: per calendar month, order count,
+    revenue, running cumulative revenue, and integer-scaled MoM growth —
+    the time-series reporting rollup (trend dashboards, release-over-
+    release tracking).
+
+    Scale shape: the fact aggregates ONCE to month grain (map-side
+    combined, |months| rows); the cumulative/lag windows then run over
+    that tiny relation on a single partition — unbounded-preceding over
+    the raw fact would be a serial scan, over the month grain it is
+    free.  All window inputs are exact integer cents, so lag/cumsum and
+    the ×10⁴ floor-div growth are engine-identical; the first month's
+    growth is NULL on both engines."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("rev_cents"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return (
+        m.withColumn(
+            "cum_rev_cents",
+            F.sum("rev_cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .withColumn(
+            "growth_e4",
+            F.expr(
+                "(rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 10000"
+                " div lag(rev_cents) OVER (ORDER BY month)"
+            ).cast("long"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "customer_spend_percentile",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend_cents,
+           CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT)
+             AS pct_rank_e6,
+           CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT)
+             AS cume_dist_e6
+    FROM s
+    WINDOW w AS (ORDER BY spend_cents, o_custkey)
+    ORDER BY spend_cents DESC, o_custkey
+    LIMIT 100
+    """,
+)
+def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytics: each top customer's percent_rank and
+    cume_dist over lifetime spend — the distribution-position window
+    family (the ntile/rank queries' continuous sibling).
+
+    Determinism: the window orders by (spend_cents, o_custkey) — a
+    TOTAL order — so rank-based percentiles can't shift between engines
+    on spend ties; spend is exact integer cents and both engines define
+    percent_rank = (rank-1)/(n-1), cume_dist = rank/n on identical
+    integers, floored at 10⁻⁶.
+
+    Scale shape: one fact aggregation to customer grain, then the
+    global-order window.  A single ORDER BY window serializes — at
+    100 TB swap to percent_rank within salted range buckets or the
+    one-pass formula rank-via-join; here |customers| ≪ |orders| and the
+    post-agg relation is range-partitionable by Spark's window sort."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("spend_cents")
+    )
+    w = Window.orderBy("spend_cents", "o_custkey")
+    return (
+        s.withColumn(
+            "pct_rank_e6",
+            F.floor(F.percent_rank().over(w) * 1000000).cast("long"),
+        )
+        .withColumn(
+            "cume_dist_e6",
+            F.floor(F.cume_dist().over(w) * 1000000).cast("long"),
+        )
+        .orderBy(F.col("spend_cents").desc(), "o_custkey")
+        .limit(100)
+    )

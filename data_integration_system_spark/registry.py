@@ -82,6 +82,9 @@ _DRIVER_HEAD: list[str] = [
     "shipping_priority",
     "order_priority_check",
     "local_supplier_volume",
+    "monthly_revenue_growth",
+    "customer_spend_percentile",
+    "doc_length_histogram",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -139,11 +142,14 @@ _DRIVER_HEAD: list[str] = [
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). These five rows-only r3-checked
-#: queries sit at positions 51-55 of the r5 ordering (the five round-5
-#: queries displaced them from the 50-slot window), so their latest
-#: driver row will be 3 rounds old by r6:
+#: of _DRIVER_HEAD when updating it). The eight round-5 queries displaced
+#: these from the 50-slot window (idle_rich_customers at position 51,
+#: then the rows-only r3 tier), so their latest driver row will be 3
+#: rounds old by r6:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "idle_rich_customers",
+    "dedup_minhash_near",
+    "dedup_simhash",
     "dedup_embedding_near",
     "dedup_clusters",
     "dedup_corpus_keep_reps",

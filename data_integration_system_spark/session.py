@@ -77,6 +77,36 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: shuffle parallelism for local[N] runs — matched to the 32-thread test
+#: host; AQE coalesces below it when partitions come out small
+_LOCAL_SHUFFLE_PARTITIONS = 32
+
+
+def shuffle_partition_plan(
+    master: str, default_parallelism: int, env: os._Environ | dict = os.environ
+) -> tuple[int, int | None]:
+    """Pick ``(spark.sql.shuffle.partitions, AQE initialPartitionNum)``
+    for this deployment.  Returns ``None`` for the second element when no
+    AQE override is needed.
+
+    A fixed small number is right ONLY single-host: on a cluster,
+    ``spark.sql.shuffle.partitions`` also seeds AQE's
+    ``initialPartitionNum``, so hardcoding 32 would cap every shuffle at
+    32 tasks no matter how many executors exist.  Cluster masters get
+    2× total cores (floor 200) with a 4× initialPartitionNum headroom so
+    AQE coalesces DOWN from a high-parallelism split instead of being
+    capped from below.  ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides
+    both modes for explicit tuning."""
+    override = env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if override:
+        n = int(override)
+        return n, 4 * n
+    if master.startswith("local"):
+        return _LOCAL_SHUFFLE_PARTITIONS, None
+    n = max(2 * default_parallelism, 200)
+    return n, 4 * n
+
+
 def get_spark(app_name: str = "data_integration_system_spark") -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -87,7 +117,6 @@ def get_spark(app_name: str = "data_integration_system_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # bucketed-table tests (saveAsTable) must not write into the repo
@@ -102,4 +131,15 @@ def get_spark(app_name: str = "data_integration_system_spark") -> SparkSession:
         builder = builder.master(f"local[{cpus}]")
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
-    return configure(builder.getOrCreate())
+    spark = builder.getOrCreate()
+    # shuffle parallelism is deployment-dependent (runtime-settable, so
+    # decided AFTER the session exists and the real master is known)
+    sc = spark.sparkContext
+    n_shuffle, init_num = shuffle_partition_plan(sc.master, sc.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    if init_num is not None:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(init_num),
+        )
+    return configure(spark)

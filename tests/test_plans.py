@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from data_integration_system_spark.plans.analyze import (
     broadcast_join_count,
+    formatted_plan,
     is_broadcast,
     pushed_filters,
     scan_read_schemas,
@@ -336,3 +337,50 @@ def test_local_supplier_volume_plan(spark):
     # through every join.  (Exact count is scale-variant: at sf0.001 the
     # date-filtered orders side may broadcast too.)
     assert broadcast_join_count(df) >= 3
+
+
+def test_dup_rate_by_source_reduced_grain_join(spark):
+    """The dup-rate report must aggregate the corpus ONCE to the
+    (ch, source) grain and feed both the per-hash counts and the
+    join-back from that reduced relation.  Both consumers share the SAME
+    aggregation exchange, so at execution AQE reuses it (ReusedExchange)
+    and the documents scan runs once — the corpus-grain relation is
+    never joined."""
+    df = get_queries()["dup_rate_by_source"](spark, SF)
+    df.collect()  # exchange reuse only materializes in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    # reads only the two needed columns
+    assert sorted(set(scan_read_schemas(df)["documents"])) == ["source", "text"]
+
+
+def test_monthly_revenue_growth_windows_after_agg(spark):
+    """The cumulative/lag windows must run over the month grain, not the
+    fact: one agg shuffle, then single-partition windows over |months|
+    rows; the scan reads only the two needed columns."""
+    df = get_queries()["monthly_revenue_growth"](spark, SF)
+    assert sorted(scan_read_schemas(df)["orders"]) == [
+        "o_orderdate", "o_totalprice",
+    ]
+    plan = formatted_plan(df)
+    # Window nodes sit ABOVE the HashAggregate pair in the plan text
+    # (post-agg), never between scan and aggregate
+    agg_pos = plan.index("HashAggregate")
+    assert "Window" in plan and plan.index("Window") < agg_pos
+
+
+def test_customer_spend_percentile_agg_before_window(spark):
+    """percent_rank runs on the customer grain: the fact aggregates
+    first, and only (o_custkey, o_totalprice) are ever read."""
+    df = get_queries()["customer_spend_percentile"](spark, SF)
+    assert sorted(scan_read_schemas(df)["orders"]) == [
+        "o_custkey", "o_totalprice",
+    ]
+
+
+def test_doc_length_histogram_zero_prejoin_shuffle(spark):
+    """The bin key is computed in the scan: one agg shuffle for ≤13
+    groups plus the tiny total broadcast — and only n_chars is read."""
+    df = get_queries()["doc_length_histogram"](spark, SF)
+    assert sorted(set(scan_read_schemas(df)["documents"])) == ["n_chars"]
+    assert shuffle_count(df) <= 3  # bin agg + total agg + final sort

@@ -457,3 +457,28 @@ def test_pagerank_int_empty_graph(spark):
     out = pagerank_int(edges)
     assert out.columns == ["node", "rank_e9"]
     assert out.count() == 0
+
+
+def test_shuffle_partition_plan_by_deployment(spark):
+    """session.get_spark must not cap cluster shuffles at the local
+    default: local masters keep the fixed 32, non-local masters derive
+    from total cores (floor 200) with AQE initialPartitionNum headroom,
+    and the env override wins everywhere."""
+    from data_integration_system_spark.session import shuffle_partition_plan
+
+    # local: fixed, no AQE override
+    assert shuffle_partition_plan("local[32]", 32, {}) == (32, None)
+    assert shuffle_partition_plan("local[*]", 8, {}) == (32, None)
+    # cluster: 2x cores, floored at 200, 4x headroom for AQE to coalesce
+    assert shuffle_partition_plan("spark://m:7077", 400, {}) == (800, 3200)
+    assert shuffle_partition_plan("yarn", 16, {}) == (200, 800)
+    assert shuffle_partition_plan("k8s://https://api:6443", 1000, {}) == (
+        2000,
+        8000,
+    )
+    # env override beats the heuristic in both modes
+    env = {"SPARK_GRAFT_SHUFFLE_PARTITIONS": "96"}
+    assert shuffle_partition_plan("local[4]", 4, env) == (96, 384)
+    assert shuffle_partition_plan("yarn", 4000, env) == (96, 384)
+    # the live (local) session really got the local setting
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
