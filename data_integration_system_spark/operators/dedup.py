@@ -993,6 +993,16 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ch", "source")
         .agg(F.count("*").cast("long").alias("n_src"))
     )
+    return dup_rate_report(g)
+
+
+def dup_rate_report(grain: DataFrame) -> DataFrame:
+    """The dup-rate rollup from a ``(ch, source, n_src)`` grain relation
+    — shared by the batch query above and the incremental streaming
+    sink (streaming/jobs.dup_rate_sink), so the two paths cannot drift.
+    ``grain`` may carry duplicate (ch, source) rows (e.g. a ledger of
+    per-batch appends); they are re-summed first."""
+    g = grain.groupBy("ch", "source").agg(F.sum("n_src").alias("n_src"))
     c = g.groupBy("ch").agg(F.sum("n_src").alias("n"))
     return (
         g.join(c, "ch")

@@ -454,3 +454,51 @@ def trending_tokens(
             "n",
         )
     )
+
+
+def dup_rate_sink(
+    spark: SparkSession,
+    ledger_path: str,
+    report_root: str,
+):
+    """Incremental per-source duplicate-pressure monitoring: each
+    micro-batch of ``(source, text)`` documents is hashed and reduced to
+    its ``(ch, source, n_src)`` counts, which land in a hash-grain
+    LEDGER; the per-source report (the batch `dup_rate_by_source`
+    contract, via the shared operators/dedup.dup_rate_report rollup) is
+    then recomputed FROM THE LEDGER and committed as the next snapshot
+    of ``report_root`` — readers see an atomically-swapped consistent
+    report after every trigger (pipeline/snapshots pointer swap), and
+    the raw corpus is never rescanned.
+
+    Exactly-once ledger under at-least-once foreachBatch: each batch
+    writes its counts to a DETERMINISTIC ``batch_id=N`` directory with
+    overwrite, so a redelivered batch replaces its own rows instead of
+    double-counting (the near-dup sink can tolerate re-appends; a COUNT
+    ledger cannot).  Scale note: the ledger is hash-grain — smaller than
+    the corpus by the duplication factor — and per-trigger report cost
+    is one aggregation over it; when batch-dirs accumulate, compact by
+    rewriting the summed grain (dup_rate_report's input contract accepts
+    either form).  Returns a foreachBatch callable."""
+    from data_integration_system_spark.functions.hashing import content_hash
+    from data_integration_system_spark.operators.dedup import dup_rate_report
+    from data_integration_system_spark.pipeline.snapshots import write_snapshot
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.select("source", content_hash(F.col("text")).alias("ch"))
+            .groupBy("ch", "source")
+            .agg(F.count("*").cast("long").alias("n_src"))
+            .write.mode("overwrite")
+            .parquet(f"{ledger_path}/batch_id={batch_id}")
+        )
+        ledger = (
+            spark.read.option("basePath", ledger_path)
+            .parquet(ledger_path)
+            .select("ch", "source", "n_src")
+        )
+        write_snapshot(dup_rate_report(ledger), report_root)
+
+    return apply

@@ -490,3 +490,63 @@ def test_trending_tokens_matches_batch_counts(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dup_rate_sink_matches_batch(spark, tmp_path):
+    """Incremental dup-rate over the hash ledger: after streaming the
+    corpus in >= 2 micro-batches, the snapshotted report must equal the
+    batch dup_rate_by_source on the full corpus (cross-batch duplicates
+    count — the ledger, not the trigger, is the aggregation scope)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.registry import get_queries
+    from data_integration_system_spark.streaming.jobs import dup_rate_sink
+
+    docs = table(spark, SF, "documents").select("source", "text", "doc_id")
+    d = str(tmp_path / "doc_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select("source", "text")
+    )
+    report_root = str(tmp_path / "report")
+    sink = dup_rate_sink(spark, str(tmp_path / "ledger"), report_root)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_current(spark, report_root).collect()}
+    want = {tuple(r) for r in get_queries()["dup_rate_by_source"](spark, SF).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_dup_rate_sink_redelivery_idempotent(spark, tmp_path):
+    """A redelivered micro-batch must not double-count: the ledger write
+    is keyed on batch_id (overwrite), so re-applying the same batch
+    leaves the report unchanged."""
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.streaming.jobs import dup_rate_sink
+
+    batch = spark.createDataFrame(
+        [("s1", "same text"), ("s1", "same text"), ("s2", "other")],
+        "source string, text string",
+    )
+    report_root = str(tmp_path / "report")
+    sink = dup_rate_sink(spark, str(tmp_path / "ledger"), report_root)
+    sink(batch, 7)
+    first = sorted(tuple(r) for r in read_current(spark, report_root).collect())
+    sink(batch, 7)  # at-least-once redelivery of the SAME batch id
+    second = sorted(tuple(r) for r in read_current(spark, report_root).collect())
+    assert first == second
+    assert first == [("s1", 2, 2, 10000), ("s2", 1, 0, 0)]
