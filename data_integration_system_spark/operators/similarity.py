@@ -297,3 +297,42 @@ def query_ivf_index(
             F.round("sim", 4).alias("cos_sim"),
         )
     )
+
+
+@query("similarity_recall_at_k", oracle=None)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: per-query recall@k of the IVF probe path
+    against the exact brute-force top-k — the evaluation loop that
+    decides nprobe/k trade-offs before anyone trusts the index at scale.
+
+    Emits (q_id, n_hits, recall_e2) with recall as an integer percent.
+    Approximate input -> rows-only check (the IVF side is the
+    non-SQL-expressible operand); tests pin a recall floor so the
+    metric is meaningful, and the streaming ANN sink serves the same
+    probe protocol this evaluates.
+
+    Scale shape: both operands are already top-k RESULT relations
+    (|queries| x k rows) — the joins here are trivia; the cost is the
+    two searches themselves, each already audited (broadcast-the-
+    queries exact scan; nprobe-pruned IVF probe).  The semi-join counts
+    overlap without materializing either payload."""
+    exact = similarity_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = similarity_ivf_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = (
+        approx.join(exact, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 100 div {_TOP_K}")
+            .cast("long")
+            .alias("recall_e2"),
+        )
+        .orderBy("q_id")
+    )

@@ -85,6 +85,7 @@ _DRIVER_HEAD: list[str] = [
     "monthly_revenue_growth",
     "customer_spend_percentile",
     "doc_length_histogram",
+    "similarity_recall_at_k",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -142,11 +143,12 @@ _DRIVER_HEAD: list[str] = [
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The eight round-5 queries displaced
-#: these from the 50-slot window (idle_rich_customers at position 51,
-#: then the rows-only r3 tier), so their latest driver row will be 3
-#: rounds old by r6:
+#: of _DRIVER_HEAD when updating it). The nine round-5 queries displaced
+#: these from the 50-slot window (the §2C exact tier's tail, then the
+#: rows-only r3 tier), so their latest driver row will be 3 rounds old
+#: by r6:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "regional_nation_volume",
     "idle_rich_customers",
     "dedup_minhash_near",
     "dedup_simhash",

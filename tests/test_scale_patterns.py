@@ -482,3 +482,23 @@ def test_shuffle_partition_plan_by_deployment(spark):
     assert shuffle_partition_plan("yarn", 4000, env) == (96, 384)
     # the live (local) session really got the local setting
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+
+def test_similarity_recall_floor(spark):
+    """The recall@k evaluation must be meaningful: every query reports
+    in [0, 100], the relation is one row per query, and mean recall
+    clears a floor — an IVF probe that stopped finding true neighbors
+    (e.g. a broken centroid assignment) fails here before any index
+    ships."""
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        similarity_recall_at_k,
+    )
+
+    rows = similarity_recall_at_k(spark, SF).collect()
+    assert len(rows) == _N_QUERIES
+    assert all(0 <= r.recall_e2 <= 100 for r in rows)
+    mean_recall = sum(r.recall_e2 for r in rows) / len(rows)
+    # nprobe=3 over the label-count centroids at this SF recovers most
+    # true neighbors; 40 is a loose floor that still catches breakage
+    assert mean_recall >= 40, f"mean recall@5 collapsed: {mean_recall}"
