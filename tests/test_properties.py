@@ -131,3 +131,52 @@ def test_band_blocking_exactness_property(spark, sizes):
         if min(sizes[i], sizes[j]) >= 0.5 * max(sizes[i], sizes[j])
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # hash id
+            st.integers(min_value=0, max_value=3),   # source id
+            st.integers(min_value=1, max_value=4),   # count shard
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_dup_rate_report_property(spark, rows):
+    """dup_rate_report over RANDOM (possibly duplicate-keyed) grain
+    ledgers matches a direct Python reference: per source, docs whose
+    hash appears (corpus-wide) more than once count as dups, and the
+    rate is the floor-scaled integer.  Duplicate (ch, source) ledger
+    rows (the streaming append form) must behave as their sum."""
+    from collections import defaultdict
+
+    from data_integration_system_spark.operators.dedup import dup_rate_report
+
+    grain = spark.createDataFrame(
+        [(f"h{h}", f"s{s}", n) for h, s, n in rows],
+        "ch string, source string, n_src long",
+    )
+    got = {
+        (r.source, r.n_docs, r.n_dup_docs, r.dup_rate_e4)
+        for r in dup_rate_report(grain).collect()
+    }
+
+    per = defaultdict(int)        # (ch, source) -> n
+    for h, s, n in rows:
+        per[(f"h{h}", f"s{s}")] += n
+    tot = defaultdict(int)        # ch -> corpus count
+    for (ch, _s), n in per.items():
+        tot[ch] += n
+    n_docs = defaultdict(int)
+    n_dup = defaultdict(int)
+    for (ch, s), n in per.items():
+        n_docs[s] += n
+        if tot[ch] > 1:
+            n_dup[s] += n
+    want = {
+        (s, n_docs[s], n_dup[s], n_dup[s] * 10000 // n_docs[s]) for s in n_docs
+    }
+    assert got == want
