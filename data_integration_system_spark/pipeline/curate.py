@@ -1,0 +1,102 @@
+"""End-to-end corpus curation: the composed training-data job.
+
+The reference stops at ingest→store; a training-data pipeline's actual
+deliverable is a CURATED corpus.  This module chains the engine's
+independently-audited curation stages into one job:
+
+    quality filter (Gopher rules)      operators/textops.quality_filter_gopher
+    ∩ exact dedup survivors            operators/dedup.dedup_exact_full
+    ∩ near-dup cluster representatives operators/dedup.dedup_corpus_keep_reps
+    ∩ decontamination survivors        operators/textops.decontaminate_filter
+
+and commits the surviving documents as an atomically-swapped snapshot
+(pipeline/snapshots), returning a per-stage audit report — the
+release-over-release record a curation team actually reviews.
+
+Scale notes: every stage emits a doc_id-keyed relation no larger than
+the corpus, so the composition is a chain of doc_id equi-joins — at
+100 TB, bucket the corpus by doc_id and the whole intersection is
+shuffle-free; the decontamination/near-dup drop sets additionally
+broadcast inside their own stages.  Each stage's internals (zero-shuffle
+quality scan, one-shuffle hash dedup, banded LSH, broadcast anti-joins)
+are pinned by tests/test_plans.py on the standalone queries this job
+reuses verbatim — composition adds joins, never new shuffles inside a
+stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.pipeline.snapshots import write_snapshot
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, out_root: str
+) -> DataFrame:
+    """Run the full curation chain over ``sf_dir``'s documents, commit
+    the curated corpus as the next snapshot of ``out_root``, and return
+    the per-stage audit report ``(stage_idx, stage, n_docs)``.
+
+    Stage semantics (all keyed on doc_id):
+
+    * ``corpus``        — every document.
+    * ``quality``       — Gopher-rule passers.
+    * ``exact_dedup``   — first-writer-wins survivors on the full
+      normalized content hash.
+    * ``near_dedup``    — near-dup cluster representatives (MinHash/LSH
+      → connected components → keep min doc_id).
+    * ``decontaminated``— documents clear of benchmark shingle overlap
+      (the held-out set itself is excluded by contract).
+    * ``curated``       — the intersection, i.e. what ships.
+    """
+    from data_integration_system_spark.operators.dedup import (
+        dedup_corpus_keep_reps,
+        dedup_exact_full,
+    )
+    from data_integration_system_spark.operators.textops import (
+        decontaminate_filter,
+        quality_filter_gopher,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stages: list[tuple[str, DataFrame]] = [
+        (
+            "quality",
+            quality_filter_gopher(spark, sf_dir)
+            .filter(F.col("passes"))
+            .select("doc_id"),
+        ),
+        ("exact_dedup", dedup_exact_full(spark, sf_dir).select("doc_id")),
+        ("near_dedup", dedup_corpus_keep_reps(spark, sf_dir).select("doc_id")),
+        (
+            "decontaminated",
+            decontaminate_filter(spark, sf_dir).select("doc_id"),
+        ),
+    ]
+
+    curated = docs
+    for _name, ids in stages:
+        curated = curated.join(ids, "doc_id", "left_semi")
+    # one stable view: the report counts and the snapshot write must see
+    # the same survivors, and the 4-stage lineage re-runs otherwise
+    curated = curated.localCheckpoint()
+
+    write_snapshot(curated, out_root)
+
+    counts: list[tuple[int, str, DataFrame]] = [
+        (0, "corpus", docs),
+        *[(i + 1, name, ids) for i, (name, ids) in enumerate(stages)],
+        (len(stages) + 1, "curated", curated),
+    ]
+    report = None
+    for idx, name, df in counts:
+        row = df.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        report = row if report is None else report.unionByName(row)
+    return report.orderBy("stage_idx")

@@ -90,3 +90,44 @@ def test_large_volume_orders_threshold_and_order(spark):
     assert all(r.total_qty > 250 for r in rows)
     keys = [(-r.total_qty, r.o_orderkey) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The composed curation job: the committed snapshot must be exactly
+    the intersection of the four stage survivor sets, the report must
+    count every stage, and the curated count can exceed no stage's."""
+    from data_integration_system_spark.operators.dedup import (
+        dedup_corpus_keep_reps,
+        dedup_exact_full,
+    )
+    from data_integration_system_spark.operators.textops import (
+        decontaminate_filter,
+        quality_filter_gopher,
+    )
+    from data_integration_system_spark.pipeline.curate import curate_corpus
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    out = str(tmp_path / "curated")
+    report = {r.stage: r.n_docs for r in curate_corpus(spark, SF, out).collect()}
+    assert set(report) == {
+        "corpus", "quality", "exact_dedup", "near_dedup",
+        "decontaminated", "curated",
+    }
+
+    got = {r.doc_id for r in read_current(spark, out).select("doc_id").collect()}
+    want = (
+        {r.doc_id for r in quality_filter_gopher(spark, SF).filter("passes").collect()}
+        & {r.doc_id for r in dedup_exact_full(spark, SF).collect()}
+        & {r.doc_id for r in dedup_corpus_keep_reps(spark, SF).collect()}
+        & {r.doc_id for r in decontaminate_filter(spark, SF).collect()}
+    )
+    assert got == want and len(got) > 0
+    assert report["curated"] == len(got)
+    assert all(
+        report["curated"] <= report[s]
+        for s in ("quality", "exact_dedup", "near_dedup", "decontaminated")
+    )
+    # curated output keeps full document payloads
+    assert set(read_current(spark, out).columns) == {
+        "doc_id", "text", "lang", "source", "n_chars",
+    }
