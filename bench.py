@@ -94,6 +94,7 @@ HEADLINE = (
     "monthly_revenue_growth",  # month-grain lag/cumsum windows
     "customer_spend_percentile",  # percent_rank/cume_dist total-order window
     "doc_length_histogram",    # in-scan binned histogram + share window
+    "salted_event_type_rollup",  # skew-salted two-phase aggregation
 )
 
 

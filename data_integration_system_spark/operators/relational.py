@@ -770,3 +770,47 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "salted_event_type_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rollup computed through the SALTED two-phase
+    aggregation (functions/skew.salted_agg) — the skew-mitigation path
+    as a driver-checked query: event streams are Zipf-skewed (one hot
+    event_type can stall a 1000-executor stage), and salting is
+    semantics-preserving, so the result hashes identically to the plain
+    GROUP BY oracle.
+
+    Scale shape: phase 1 aggregates on (event_type, salt) — the hot
+    key's rows spread over 8 reducers — and phase 2 combines |keys|×8
+    partials on the key alone.  The summed column is pre-cast to exact
+    DECIMAL, so the extra combine step cannot reorder a double sum; the
+    salt column never leaves phase 1."""
+    from data_integration_system_spark.functions.skew import salted_agg
+    from data_integration_system_spark.operators._common import dec
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", dec("value").alias("value_dec")
+    )
+    # "count" ignores its column key (counts rows); "sum" is exact decimal
+    out = salted_agg(ev, "event_type", {"value_dec": "sum", "n": "count"})
+    # salted_agg's count lands under `count`; decimal sum under sum_value_dec
+    return (
+        out.select(
+            "event_type",
+            F.col("count").cast("long").alias("n_events"),
+            F.round(F.col("sum_value_dec"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

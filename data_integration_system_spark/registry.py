@@ -86,6 +86,7 @@ _DRIVER_HEAD: list[str] = [
     "customer_spend_percentile",
     "doc_length_histogram",
     "similarity_recall_at_k",
+    "salted_event_type_rollup",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -143,11 +144,12 @@ _DRIVER_HEAD: list[str] = [
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The nine round-5 queries displaced
+#: of _DRIVER_HEAD when updating it). The ten round-5 queries displaced
 #: these from the 50-slot window (the §2C exact tier's tail, then the
 #: rows-only r3 tier), so their latest driver row will be 3 rounds old
 #: by r6:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "weighted_resample",
     "regional_nation_volume",
     "idle_rich_customers",
     "dedup_minhash_near",
