@@ -1078,16 +1078,37 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins, sums, and the ×10⁶ floor-div share can't drift between
     engines."""
     docs = table(spark, sf_dir, "documents")
+    return length_histogram_report(length_histogram_grain(docs))
+
+
+def length_histogram_grain(docs: DataFrame) -> DataFrame:
+    """``(bin, n_docs, sum_chars)`` bin counts from a documents relation
+    — the reducible grain the batch query and the streaming ledger sink
+    both aggregate (same split as dedup.dup_rate_report's)."""
     binned = docs.select(
         F.least(F.expr("n_chars div 50"), F.lit(12)).cast("long").alias("bin"),
         "n_chars",
     )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def length_histogram_report(grain: DataFrame) -> DataFrame:
+    """The histogram report from a (possibly duplicate-keyed) bin grain:
+    re-sum per bin, derive the bin floor, add the ×10⁶ share window."""
     return (
-        binned.groupBy("bin")
+        grain.groupBy("bin")
         .agg(
-            (F.min("bin") * 50).cast("long").alias("bin_lo_chars"),
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50).cast("long").alias("bin_lo_chars"),
+            "n_docs",
+            "sum_chars",
         )
         .withColumn(
             "share_e6",

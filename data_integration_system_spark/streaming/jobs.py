@@ -456,49 +456,100 @@ def trending_tokens(
     )
 
 
-def dup_rate_sink(
+def incremental_report_sink(
     spark: SparkSession,
     ledger_path: str,
     report_root: str,
+    grain_fn,
+    report_fn,
 ):
-    """Incremental per-source duplicate-pressure monitoring: each
-    micro-batch of ``(source, text)`` documents is hashed and reduced to
-    its ``(ch, source, n_src)`` counts, which land in a hash-grain
-    LEDGER; the per-source report (the batch `dup_rate_by_source`
-    contract, via the shared operators/dedup.dup_rate_report rollup) is
-    then recomputed FROM THE LEDGER and committed as the next snapshot
-    of ``report_root`` — readers see an atomically-swapped consistent
-    report after every trigger (pipeline/snapshots pointer swap), and
-    the raw corpus is never rescanned.
+    """Generic incremental-report pattern: per micro-batch, reduce the
+    batch to a REDUCIBLE GRAIN (``grain_fn(batch) -> DataFrame``), land
+    it in a ledger, recompute the report from the whole ledger
+    (``report_fn(ledger) -> DataFrame``), and commit it as the next
+    snapshot of ``report_root`` — readers see an atomically-swapped
+    consistent report after every trigger (pipeline/snapshots pointer
+    swap) and the raw stream is never rescanned.
 
     Exactly-once ledger under at-least-once foreachBatch: each batch
-    writes its counts to a DETERMINISTIC ``batch_id=N`` directory with
+    writes its grain to a DETERMINISTIC ``batch_id=N`` directory with
     overwrite, so a redelivered batch replaces its own rows instead of
-    double-counting (the near-dup sink can tolerate re-appends; a COUNT
-    ledger cannot).  Scale note: the ledger is hash-grain — smaller than
-    the corpus by the duplication factor — and per-trigger report cost
-    is one aggregation over it; when batch-dirs accumulate, compact by
-    rewriting the summed grain (dup_rate_report's input contract accepts
-    either form).  Returns a foreachBatch callable."""
-    from data_integration_system_spark.functions.hashing import content_hash
-    from data_integration_system_spark.operators.dedup import dup_rate_report
+    double-counting (append-tolerant sinks like near_dup_sink don't need
+    this; COUNT ledgers do).  The grain must be re-aggregable —
+    ``report_fn`` must treat duplicate grain keys as their sum — which
+    also makes compaction trivial: rewrite the ledger as its summed
+    grain whenever batch-dirs accumulate.
+
+    Scale: the ledger is grain-sized (≪ stream volume for counting
+    grains), and per-trigger report cost is one aggregation over it.
+    Returns a foreachBatch callable."""
     from data_integration_system_spark.pipeline.snapshots import write_snapshot
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        (
-            batch.select("source", content_hash(F.col("text")).alias("ch"))
-            .groupBy("ch", "source")
-            .agg(F.count("*").cast("long").alias("n_src"))
-            .write.mode("overwrite")
-            .parquet(f"{ledger_path}/batch_id={batch_id}")
+        grain = grain_fn(batch)
+        cols = grain.columns
+        grain.write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
         )
         ledger = (
             spark.read.option("basePath", ledger_path)
             .parquet(ledger_path)
-            .select("ch", "source", "n_src")
+            .select(*cols)  # drop the batch_id partition-discovery column
         )
-        write_snapshot(dup_rate_report(ledger), report_root)
+        write_snapshot(report_fn(ledger), report_root)
 
     return apply
+
+
+def dup_rate_sink(
+    spark: SparkSession,
+    ledger_path: str,
+    report_root: str,
+):
+    """Incremental per-source duplicate-pressure monitoring: batches of
+    ``(source, text)`` documents reduce to ``(ch, source, n_src)`` hash
+    counts; the report is the batch `dup_rate_by_source` contract via
+    the shared operators/dedup.dup_rate_report rollup.  An
+    incremental_report_sink instance — see it for the exactly-once
+    ledger and snapshot-swap semantics."""
+    from data_integration_system_spark.functions.hashing import content_hash
+    from data_integration_system_spark.operators.dedup import dup_rate_report
+
+    def grain(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select("source", content_hash(F.col("text")).alias("ch"))
+            .groupBy("ch", "source")
+            .agg(F.count("*").cast("long").alias("n_src"))
+        )
+
+    return incremental_report_sink(
+        spark, ledger_path, report_root, grain, dup_rate_report
+    )
+
+
+def length_histogram_sink(
+    spark: SparkSession,
+    ledger_path: str,
+    report_root: str,
+):
+    """Incremental corpus length-profile monitoring: batches of
+    documents (any relation with ``n_chars``) reduce to per-bin
+    ``(bin, n_docs, sum_chars)`` counts; the report is the batch
+    `doc_length_histogram` contract via the shared
+    operators/textops.length_histogram_report rollup — the live view of
+    whether the ingest mix is drifting toward short/long documents.
+    An incremental_report_sink instance."""
+    from data_integration_system_spark.operators.textops import (
+        length_histogram_grain,
+        length_histogram_report,
+    )
+
+    return incremental_report_sink(
+        spark,
+        ledger_path,
+        report_root,
+        length_histogram_grain,
+        length_histogram_report,
+    )

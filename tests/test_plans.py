@@ -384,3 +384,14 @@ def test_doc_length_histogram_zero_prejoin_shuffle(spark):
     df = get_queries()["doc_length_histogram"](spark, SF)
     assert sorted(set(scan_read_schemas(df)["documents"])) == ["n_chars"]
     assert shuffle_count(df) <= 3  # bin agg + total agg + final sort
+
+
+def test_salted_rollup_two_phase(spark):
+    """The salted rollup must show BOTH aggregation phases — a (key,
+    salt) exchange then a key-only exchange — and the salt column must
+    never reach the output."""
+    df = get_queries()["salted_event_type_rollup"](spark, SF)
+    assert "_salt" not in df.columns
+    # phase-1 partials + phase-2 combine + final sort
+    assert shuffle_count(df) == 3
+    assert sorted(set(scan_read_schemas(df)["events"])) == ["event_type", "value"]

@@ -550,3 +550,41 @@ def test_dup_rate_sink_redelivery_idempotent(spark, tmp_path):
     second = sorted(tuple(r) for r in read_current(spark, report_root).collect())
     assert first == second
     assert first == [("s1", 2, 2, 10000), ("s2", 1, 0, 0)]
+
+
+def test_length_histogram_sink_matches_batch(spark, tmp_path):
+    """The generic incremental_report_sink instance for the length
+    histogram: after streaming the corpus in >= 2 micro-batches, the
+    snapshotted report equals the batch doc_length_histogram."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.registry import get_queries
+    from data_integration_system_spark.streaming.jobs import length_histogram_sink
+
+    docs = table(spark, SF, "documents").select("doc_id", "n_chars")
+    d = str(tmp_path / "doc_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select("n_chars")
+    )
+    report_root = str(tmp_path / "report")
+    sink = length_histogram_sink(spark, str(tmp_path / "ledger"), report_root)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_current(spark, report_root).collect()}
+    want = {tuple(r) for r in get_queries()["doc_length_histogram"](spark, SF).collect()}
+    assert got == want and len(want) > 0
