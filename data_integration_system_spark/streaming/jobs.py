@@ -482,8 +482,15 @@ def incremental_report_sink(
 
     Scale: the ledger is grain-sized (≪ stream volume for counting
     grains), and per-trigger report cost is one aggregation over it.
+    Report snapshots are pruned to the newest ``keep_reports`` per
+    trigger (time-travel is the upsert sink's job, not a monitor's),
+    and ``compact_ledger`` folds accumulated batch-dirs back to one
+    summed grain when a long-lived stream's trigger count grows.
     Returns a foreachBatch callable."""
-    from data_integration_system_spark.pipeline.snapshots import write_snapshot
+    from data_integration_system_spark.pipeline.snapshots import (
+        prune_snapshots,
+        write_snapshot,
+    )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -499,8 +506,49 @@ def incremental_report_sink(
             .select(*cols)  # drop the batch_id partition-discovery column
         )
         write_snapshot(report_fn(ledger), report_root)
+        prune_snapshots(spark, report_root, keep=_REPORT_KEEP)
 
     return apply
+
+
+#: report snapshots kept per monitor root (current + one for readers
+#: mid-swap); monitors are dashboards, not time-travel stores
+_REPORT_KEEP = 2
+
+
+def compact_ledger(
+    spark: SparkSession, ledger_path: str, key_cols: list[str]
+) -> None:
+    """Fold an incremental_report_sink ledger's accumulated batch-dirs
+    into ONE summed-grain dir, preserving report results exactly (the
+    grain contract: duplicate keys behave as their sum, so summing them
+    eagerly is a no-op for every report_fn).
+
+    The compacted grain lands under a reserved ``batch_id=-1`` dir and
+    the per-batch dirs are deleted — a redelivered pre-compaction batch
+    would double-count, so run this only at a stream checkpoint
+    boundary (stopped stream, or a trigger known committed).  Numeric
+    columns other than ``key_cols`` are summed."""
+    ledger = spark.read.option("basePath", ledger_path).parquet(ledger_path)
+    val_cols = [
+        c for c in ledger.columns if c not in key_cols and c != "batch_id"
+    ]
+    old_ids = [
+        r.batch_id
+        for r in ledger.select("batch_id").distinct().collect()
+        if r.batch_id != -1
+    ]
+    summed = (
+        ledger.select(*key_cols, *val_cols)
+        .groupBy(*key_cols)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
+        .localCheckpoint()  # materialize BEFORE deleting its input dirs
+    )
+    summed.write.mode("overwrite").parquet(f"{ledger_path}/batch_id=-1")
+    from data_integration_system_spark.pipeline.fsutil import delete_tree
+
+    for b in old_ids:
+        delete_tree(spark, f"{ledger_path}/batch_id={b}")
 
 
 def dup_rate_sink(

@@ -588,3 +588,44 @@ def test_length_histogram_sink_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in read_current(spark, report_root).collect()}
     want = {tuple(r) for r in get_queries()["doc_length_histogram"](spark, SF).collect()}
     assert got == want and len(want) > 0
+
+
+def test_report_sink_prunes_and_compacts(spark, tmp_path):
+    """Monitor housekeeping: report snapshots stay bounded at 2 per
+    root however many triggers ran, and compact_ledger folds the
+    batch-dirs to one summed grain WITHOUT changing the next report."""
+    import os
+
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.streaming.jobs import (
+        compact_ledger,
+        dup_rate_sink,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    report_root = str(tmp_path / "report")
+    sink = dup_rate_sink(spark, ledger, report_root)
+    for i, rows in enumerate(
+        [
+            [("s1", "dup text"), ("s2", "only")],
+            [("s1", "dup text")],
+            [("s2", "more"), ("s2", "dup text")],
+        ]
+    ):
+        sink(spark.createDataFrame(rows, "source string, text string"), i)
+
+    versions = [d for d in os.listdir(report_root) if d.startswith("v")]
+    assert len(versions) == 2  # pruned every trigger, 3 triggers ran
+
+    before = sorted(tuple(r) for r in read_current(spark, report_root).collect())
+    compact_ledger(spark, ledger, ["ch", "source"])
+    dirs = [d for d in os.listdir(ledger) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+
+    # the next trigger's report over the compacted ledger is unchanged
+    # in the already-seen keys and counts
+    sink(spark.createDataFrame([("s3", "new src")], "source string, text string"), 99)
+    after = {r.source: tuple(r) for r in read_current(spark, report_root).collect()}
+    for row in before:
+        assert after[row[0]] == row
+    assert after["s3"] == ("s3", 1, 0, 0)
