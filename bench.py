@@ -95,6 +95,8 @@ HEADLINE = (
     "customer_spend_percentile",  # percent_rank/cume_dist total-order window
     "doc_length_histogram",    # in-scan binned histogram + share window
     "salted_event_type_rollup",  # skew-salted two-phase aggregation
+    "weekly_retention",        # cohort self-join on the distinct grain
+    "lang_source_grouping_sets",  # bounded-Expand grouping sets
 )
 
 

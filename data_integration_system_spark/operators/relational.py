@@ -814,3 +814,46 @@ def salted_event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "lang_source_grouping_sets",
+    oracle="""
+    SELECT CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           coalesce(lang, '(all)') AS lang,
+           coalesce(source, '(all)') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    ORDER BY g_lang, g_source, lang, source
+    """,
+)
+def lang_source_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-set variant beyond
+    agg_rollup/agg_cube_events: exactly the (lang), (source),
+    (lang, source) slices, no grand total, with GROUPING() flags so
+    consumers can tell a real NULL from a super-aggregate row (the
+    flags also make the coalesced '(all)' labels unambiguous).
+
+    Scale shape: one Expand (×3 — the declared sets, nothing more,
+    unlike CUBE's 2^n) followed by a single map-side-combined
+    aggregation shuffle; the scan reads only (lang, source, n_chars)."""
+    docs = table(spark, sf_dir, "documents")
+    docs.select("lang", "source", "n_chars").createOrReplaceTempView(
+        "_gs_docs"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(source) AS BIGINT) AS g_source,
+               coalesce(lang, '(all)') AS lang,
+               coalesce(source, '(all)') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM _gs_docs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+        ORDER BY g_lang, g_source, lang, source
+        """
+    )

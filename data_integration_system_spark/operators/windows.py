@@ -445,3 +445,73 @@ def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("spend_cents").desc(), "o_custkey")
         .limit(100)
     )
+
+
+@query(
+    "weekly_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT a.week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS retention_e4
+    FROM uw a
+    LEFT JOIN uw b
+      ON b.user_id = a.user_id AND b.week = a.week + 7
+    GROUP BY a.week
+    ORDER BY a.week
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of the users active in ISO week W, how
+    many are also active in W+1 — the cohort-retention staple (and the
+    window family's self-join sibling: activity is sparse per user, so
+    lead() over per-user weeks would miss gap weeks).
+
+    Both engines truncate weeks to Monday (Spark date_trunc('week') and
+    DuckDB's agree) and the +7-days shift stays in exact DATE space, so
+    the join keys are engine-identical; the rate is integer ×10⁴.
+
+    Scale shape: the corpus reduces to DISTINCT (user, week) first —
+    one shuffle, map-side combined, |users × weeks| rows — and the
+    self-join + week rollup run on that reduced relation, co-keyed on
+    user_id.  The grain is lazily checkpointed so the fact scans ONCE
+    however many join sides consume it (the join's null-filter on side
+    b makes the two subtrees non-identical, so AQE exchange reuse alone
+    would NOT kick in — each side would rescan the fact)."""
+    ev = table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = uw.alias("a")
+    b = uw.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.week") == F.date_add(F.col("a.week"), 7)),
+        "left",
+    )
+    ret = F.sum(F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0))
+    return (
+        joined.groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            ret.cast("long").alias("n_retained"),
+        )
+        .withColumn(
+            "retention_e4",
+            F.expr("n_retained * 10000 div n_active").cast("long"),
+        )
+        .orderBy("week")
+    )

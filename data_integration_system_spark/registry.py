@@ -87,6 +87,8 @@ _DRIVER_HEAD: list[str] = [
     "doc_length_histogram",
     "similarity_recall_at_k",
     "salted_event_type_rollup",
+    "weekly_retention",
+    "lang_source_grouping_sets",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -144,11 +146,13 @@ _DRIVER_HEAD: list[str] = [
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The ten round-5 queries displaced
-#: these from the 50-slot window (the §2C exact tier's tail, then the
-#: rows-only r3 tier), so their latest driver row will be 3 rounds old
-#: by r6:
+#: of _DRIVER_HEAD when updating it). The twelve round-5 queries
+#: displaced these from the 50-slot window (the §2C exact tier's tail,
+#: then the rows-only r3 tier), so their latest driver row will be 3
+#: rounds old by r6:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "brand_supplier_counts",
+    "event_zscore_outliers",
     "weighted_resample",
     "regional_nation_volume",
     "idle_rich_customers",

@@ -395,3 +395,36 @@ def test_salted_rollup_two_phase(spark):
     # phase-1 partials + phase-2 combine + final sort
     assert shuffle_count(df) == 3
     assert sorted(set(scan_read_schemas(df)["events"])) == ["event_type", "value"]
+
+
+def test_weekly_retention_reduced_before_join(spark):
+    """Retention must reduce to DISTINCT (user, week) BEFORE the
+    self-join: the checkpointed grain means NO parquet scan appears in
+    the final plan (the fact aggregates once however many join sides
+    consume it), and the grain's own plan reads only (ts, user_id)."""
+    df = get_queries()["weekly_retention"](spark, SF)
+    # the fact scan lives below the checkpoint — the join plan sees only
+    # the materialized grain
+    assert "events.parquet" not in formatted_plan(df)
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+
+    grain = (
+        table(spark, SF, "events")
+        .select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("week"))
+        .distinct()
+    )
+    assert sorted(set(scan_read_schemas(grain)["events"])) == ["ts", "user_id"]
+
+
+def test_grouping_sets_bounded_expand(spark):
+    """GROUPING SETS must expand ×3 (the declared sets, not CUBE's 2^n)
+    and aggregate in ONE shuffle over a 3-column pruned scan."""
+    df = get_queries()["lang_source_grouping_sets"](spark, SF)
+    assert sorted(set(scan_read_schemas(df)["documents"])) == [
+        "lang", "n_chars", "source",
+    ]
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert shuffle_count(df) <= 2  # agg exchange + final sort
