@@ -486,14 +486,24 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     b makes the two subtrees non-identical, so AQE exchange reuse alone
     would NOT kick in — each side would rescan the fact)."""
     ev = table(spark, sf_dir, "events")
-    uw = (
-        ev.select(
-            "user_id",
-            F.to_date(F.date_trunc("week", "ts")).alias("week"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    return retention_report(retention_grain(ev))
+
+
+def retention_grain(events: DataFrame) -> DataFrame:
+    """DISTINCT ``(user_id, week)`` activity grain — the reducible
+    relation the batch query and the streaming ledger sink share
+    (duplicate rows across ledger appends collapse in the report's
+    re-distinct)."""
+    return events.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+    ).distinct()
+
+
+def retention_report(grain: DataFrame) -> DataFrame:
+    """The retention rollup from a (possibly duplicate-rowed) activity
+    grain: re-distinct, self-join on (user, week+7), per-week rates."""
+    uw = grain.distinct().localCheckpoint(eager=False)
     a = uw.alias("a")
     b = uw.alias("b")
     joined = a.join(

@@ -601,3 +601,26 @@ def length_histogram_sink(
         length_histogram_grain,
         length_histogram_report,
     )
+
+
+def retention_sink(
+    spark: SparkSession,
+    ledger_path: str,
+    report_root: str,
+):
+    """Incremental cohort-retention monitoring: batches of timestamped
+    events reduce to their DISTINCT (user_id, week) activity grain; the
+    report is the batch `weekly_retention` contract via the shared
+    operators/windows.retention_report rollup (which re-distincts, so
+    the same user landing in multiple batches of one week collapses).
+    An incremental_report_sink instance — note the ledger here is
+    distinct-keyed rather than summed, which the generic pattern admits
+    because the report's first step is itself the de-duplicator."""
+    from data_integration_system_spark.operators.windows import (
+        retention_grain,
+        retention_report,
+    )
+
+    return incremental_report_sink(
+        spark, ledger_path, report_root, retention_grain, retention_report
+    )

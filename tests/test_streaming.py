@@ -629,3 +629,41 @@ def test_report_sink_prunes_and_compacts(spark, tmp_path):
     for row in before:
         assert after[row[0]] == row
     assert after["s3"] == ("s3", 1, 0, 0)
+
+
+def test_retention_sink_matches_batch(spark, tmp_path):
+    """Streaming retention over the activity-grain ledger: after >= 2
+    micro-batches (split so some users' consecutive-week activity spans
+    batches), the snapshot equals batch weekly_retention."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.registry import get_queries
+    from data_integration_system_spark.streaming.jobs import retention_sink
+
+    ev = table(spark, SF, "events").select("event_id", "user_id", "ts")
+    d = str(tmp_path / "ev_stream")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(d)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select("user_id", "ts")
+    )
+    report_root = str(tmp_path / "report")
+    sink = retention_sink(spark, str(tmp_path / "ledger"), report_root)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_current(spark, report_root).collect()}
+    want = {tuple(r) for r in get_queries()["weekly_retention"](spark, SF).collect()}
+    assert got == want and len(want) > 0
