@@ -97,6 +97,14 @@ HEADLINE = (
     "salted_event_type_rollup",  # skew-salted two-phase aggregation
     "weekly_retention",        # cohort self-join on the distinct grain
     "lang_source_grouping_sets",  # bounded-Expand grouping sets
+    "rolling_7day_event_volume",  # true range frame over the day grain
+    "customer_rfm_scores",     # customer-grain agg + three ntile windows
+    "order_gap_percentiles",   # lag window -> integer percentile agg
+    "supplier_share_of_nation",  # share-of-parent windows on one sort
+    "discount_band_pivot",     # explicit-values pivot (two-level agg)
+    "cross_source_duplicate_matrix",  # distinct-grain hash self-join
+    "lang_confusion_matrix",   # classifier eval over in-scan predictor
+    "source_quality_report",   # single-pass per-source curation rollup
 )
 
 

@@ -1019,3 +1019,60 @@ def dup_rate_report(grain: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "cross_source_duplicate_matrix",
+    oracle=r"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             sha256(substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 24))
+               AS content_key
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_hashes
+    FROM h a JOIN h b
+      ON a.content_key = b.content_key AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct content hashes they share — the "where do my
+    duplicates come from" report that decides which source to drop when
+    `dedup_corpus_keep_reps` keeps one representative (reference D6
+    first-writer-wins, db/postgres_store.py:88, viewed pairwise).
+
+    Uses the same prefix-24 normalized sha256 key as `dedup_exact`, so
+    the matrix explains exactly the duplicates that query removes.
+
+    Scale shape: the corpus reduces to DISTINCT (source, hash) first —
+    one map-side combined shuffle — and the self-join runs hash-keyed on
+    that reduced grain.  Per-key fanout is bounded by |sources|² (20
+    sources → ≤190 pairs/key), not by document multiplicity, because the
+    distinct collapses doc-grain duplicates before any pairing; the
+    output is at most |sources|² rows."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.sha2(F.substring(normalize_ws(F.col("text")), 1, 24), 256)
+    h = (
+        docs.select("source", key.alias("content_key"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both join sides consume this
+        # grain; the lazy checkpoint makes the corpus scan/distinct run
+        # ONCE, not once per side
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.content_key") == F.col("b.content_key"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_hashes"))
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
-from data_integration_system_spark.operators._common import money_sum
+from data_integration_system_spark.operators._common import dec, money_sum
 from data_integration_system_spark.registry import query
 
 
@@ -1585,4 +1585,72 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money_sum(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "supplier_share_of_nation",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT n.n_name, s.s_suppkey, r.rev_e4,
+           CAST(r.rev_e4 * 1000000
+                // SUM(r.rev_e4) OVER (PARTITION BY n.n_name)
+                AS BIGINT) AS share_e6,
+           CAST(rank() OVER (PARTITION BY n.n_name
+                             ORDER BY r.rev_e4 DESC, s.s_suppkey)
+                AS BIGINT) AS rank_in_nation
+    FROM r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics: each supplier's revenue as an integer
+    ppm share of its nation's total, plus in-nation rank — the
+    "contribution within parent group" report (market-share dashboards,
+    the windowed sibling of `top_revenue_supplier`).
+
+    Determinism: revenue quantizes the discounted product to
+    DECIMAL(18,4) (the suite-wide pattern), sums exactly, and scales by
+    10⁴ so the BIGINT cast is integral on both engines (×100 would
+    leave 2 fractional digits, where Spark truncates but DuckDB rounds);
+    the share is INTEGER division, so no float ratio ever forms; rank
+    orders by (rev_e4 DESC, s_suppkey) — a total order.  (At 100 TB
+    promote the ×10⁶ numerator to DECIMAL before dividing; rev_e4 × 10⁶
+    approaches 2^63 around $900 B/supplier.)
+
+    Scale shape: the fact aggregates to supplier grain first (one
+    map-side combined shuffle); supplier and nation dims broadcast into
+    that grain; both windows (share-of-partition sum and rank) share the
+    single |suppliers|-row nation-partitioned sort — per the "windows
+    over aggregated grains, never facts" rule (SCALE.md)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey")).agg(
+        (F.sum(dec(rev_expr)) * 10000).cast("long").alias("rev_e4")
+    )
+    g = rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    wp = Window.partitionBy("n_name")
+    wr = Window.partitionBy("n_name").orderBy(F.col("rev_e4").desc(), "s_suppkey")
+    return (
+        g.select(
+            "n_name",
+            "s_suppkey",
+            "rev_e4",
+            F.sum("rev_e4").over(wp).alias("_den"),
+            F.rank().over(wr).cast("long").alias("rank_in_nation"),
+        )
+        .withColumn(
+            "share_e6", F.expr("rev_e4 * 1000000 div _den").cast("long")
+        )
+        .select("n_name", "s_suppkey", "rev_e4", "share_e6", "rank_in_nation")
     )

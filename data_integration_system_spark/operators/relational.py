@@ -857,3 +857,65 @@ def lang_source_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_lang, g_source, lang, source
         """
     )
+
+
+@query(
+    "discount_band_pivot",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CASE WHEN CAST(round(l_discount * 100) AS BIGINT) <= 3 THEN 'low'
+                  WHEN CAST(round(l_discount * 100) AS BIGINT) <= 6 THEN 'mid'
+                  ELSE 'high' END AS band,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN band = 'low' THEN l_quantity ELSE 0 END)
+                AS BIGINT) AS low,
+           CAST(SUM(CASE WHEN band = 'mid' THEN l_quantity ELSE 0 END)
+                AS BIGINT) AS mid,
+           CAST(SUM(CASE WHEN band = 'high' THEN l_quantity ELSE 0 END)
+                AS BIGINT) AS high
+    FROM b GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def discount_band_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab report via the DataFrame `pivot` API: total quantity per
+    return flag × discount band (low ≤3%, mid 4-6%, high ≥7%) — the
+    long-to-wide reshape every BI layer needs, here with EXPLICIT pivot
+    values so Spark skips the extra distinct-values job (the oracle is
+    the equivalent CASE-WHEN conditional aggregate).
+
+    Banding rounds l_discount×100 to an integer first — the data is 2dp
+    so the double product sits within 1 ulp of the integer and both
+    engines round it identically; quantities are integral doubles, so
+    the BIGINT sums are exact.
+
+    Scale shape: pivot-with-values compiles to TWO chained aggregates —
+    sum on the (flag, band) grain, then pivotfirst folding bands into
+    array slots on the flag grain — both map-side combined; the second
+    exchange moves only the already-reduced |flags × bands| grain, so
+    the fact is shuffled once (as partials) like any plain groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.round(F.col("l_discount") * 100).cast("long")
+    band = (
+        F.when(pct <= 3, "low").when(pct <= 6, "mid").otherwise("high")
+    )
+    return (
+        li.select("l_returnflag", band.alias("band"), "l_quantity")
+        .groupBy("l_returnflag")
+        .pivot("band", ["low", "mid", "high"])
+        .agg(F.sum("l_quantity"))
+        # cast AFTER the pivot (pivot agg wants a bare aggregate) and
+        # coalesce: an absent (flag, band) cell is NULL here but 0 in the
+        # oracle's conditional sum
+        .select(
+            "l_returnflag",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("low", "mid", "high")
+            ],
+        )
+        .orderBy("l_returnflag")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
+from data_integration_system_spark.functions.hashing import normalize_ws
 from data_integration_system_spark.operators._common import drop_hot_keys
 from data_integration_system_spark.registry import query
 
@@ -1115,4 +1116,99 @@ def length_histogram_report(grain: DataFrame) -> DataFrame:
             F.expr("n_docs * 1000000 div sum(n_docs) over ()").cast("long"),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH p AS ({_lang_id_oracle()})
+    SELECT lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang, predicted_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the labeled-vs-predicted confusion matrix
+    of `text_lang_id` — the QUALITY-MEASUREMENT step every classifier in
+    the curation pipeline needs before its output gates data (the
+    lang-id sibling of `similarity_recall_at_k`'s ANN recall report).
+
+    Composes the registered predictor verbatim on both sides (the Spark
+    side calls it, the oracle CTE-wraps its SQL), so this matrix always
+    grades the EXACT predictor that ships.
+
+    Scale shape: the predictor is a zero-shuffle per-document array
+    pass; the rollup is one |langs|² aggregation with map-side combine."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "source_quality_report",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             string_split_regex(trim(text), '\s+') AS toks,
+             n_chars,
+             sha256(substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 24))
+               AS ch
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT ch) AS BIGINT) AS n_unique,
+           CAST((count(*) - count(DISTINCT ch)) * 10000 // count(*)
+                AS BIGINT) AS dup_rate_e4,
+           CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(toks)) * 100 // count(*) AS BIGINT)
+             AS avg_tokens_e2,
+           CAST(SUM(n_chars) * 100 // count(*) AS BIGINT) AS avg_chars_e2
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source curation dashboard: volume, exact-dup rate (via the
+    `dedup_exact` content key), and token/char density in one report —
+    what an operator looks at before deciding a source's mix weight
+    (composing the dedup, token-count, and domain-mix families).
+
+    All ratios are integer-scaled (`div`), so the driver hash is exact;
+    the distinct-hash count is the standard two-phase partial distinct.
+
+    Scale shape: a single aggregation keyed on source over in-scan array
+    arithmetic — no joins; the only heavy operand is the per-source
+    DISTINCT, map-side reduced on (source, ch) partials."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_of("text")
+    ch = F.sha2(F.substring(normalize_ws(F.col("text")), 1, 24), 256)
+    d = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("ntok"),
+        "n_chars",
+        ch.alias("ch"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("ch").cast("long").alias("n_unique"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr("(n_docs - n_unique) * 10000 div n_docs")
+            .cast("long")
+            .alias("dup_rate_e4"),
+            "sum_tokens",
+            F.expr("sum_tokens * 100 div n_docs").cast("long").alias("avg_tokens_e2"),
+            F.expr("sum_chars * 100 div n_docs").cast("long").alias("avg_chars_e2"),
+        )
+        .orderBy("source")
     )

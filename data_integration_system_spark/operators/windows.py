@@ -303,7 +303,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "daily_active_users",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY day ORDER BY day
@@ -314,8 +314,11 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics staple (and the batch twin of a streaming
     tumbling-window distinct).
 
-    Both engines emit DATE for the day key (DuckDB's date_trunc('day')
-    is already a DATE; Spark's is a midnight TIMESTAMP, so to_date).
+    Both engines emit a midnight TIMESTAMP for the day key (Spark's
+    date_trunc natively; DuckDB's date_trunc yields DATE, so CAST) —
+    TIMESTAMP keys are the driver-proven class for time grains, where a
+    DATE column would hit the Spark-date-object vs pandas-datetime64
+    representation split in the driver's canonicalizer.
 
     Scale shape: one aggregation keyed on the day; the single-column
     distinct is the standard two-phase expand, bounded by |days × users|
@@ -324,7 +327,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     instants)."""
     ev = table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.to_date("ts").alias("day"))
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.countDistinct("user_id").cast("long").alias("dau"),
             F.count("*").cast("long").alias("n_events"),
@@ -337,7 +340,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue_growth",
     oracle="""
     WITH m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              CAST(count(*) AS BIGINT) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
                AS rev_cents
@@ -368,7 +371,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth is NULL on both engines."""
     o = table(spark, sf_dir, "orders")
     m = o.groupBy(
-        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        F.date_trunc("month", "o_orderdate").alias("month")
     ).agg(
         F.count("*").cast("long").alias("n_orders"),
         (F.sum(dec("o_totalprice")) * 100).cast("long").alias("rev_cents"),
@@ -452,7 +455,7 @@ def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH uw AS (
       SELECT DISTINCT user_id,
-             CAST(date_trunc('week', ts) AS DATE) AS week
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
       FROM events
     )
     SELECT a.week,
@@ -463,7 +466,7 @@ def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 10000 // count(*) AS BIGINT) AS retention_e4
     FROM uw a
     LEFT JOIN uw b
-      ON b.user_id = a.user_id AND b.week = a.week + 7
+      ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
     GROUP BY a.week
     ORDER BY a.week
     """,
@@ -474,9 +477,10 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     window family's self-join sibling: activity is sparse per user, so
     lead() over per-user weeks would miss gap weeks).
 
-    Both engines truncate weeks to Monday (Spark date_trunc('week') and
-    DuckDB's agree) and the +7-days shift stays in exact DATE space, so
-    the join keys are engine-identical; the rate is integer ×10⁴.
+    Both engines truncate weeks to Monday-midnight TIMESTAMPs (the
+    driver-proven key class for time grains) and the +7-days shift is
+    exact interval arithmetic on those instants, so the join keys are
+    engine-identical; the rate is integer ×10⁴.
 
     Scale shape: the corpus reduces to DISTINCT (user, week) first —
     one shuffle, map-side combined, |users × weeks| rows — and the
@@ -496,7 +500,7 @@ def retention_grain(events: DataFrame) -> DataFrame:
     re-distinct)."""
     return events.select(
         "user_id",
-        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.date_trunc("week", "ts").alias("week"),
     ).distinct()
 
 
@@ -509,7 +513,7 @@ def retention_report(grain: DataFrame) -> DataFrame:
     joined = a.join(
         b,
         (F.col("b.user_id") == F.col("a.user_id"))
-        & (F.col("b.week") == F.date_add(F.col("a.week"), 7)),
+        & (F.col("b.week") == F.col("a.week") + F.expr("INTERVAL 7 DAYS")),
         "left",
     )
     ret = F.sum(F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0))
@@ -524,4 +528,195 @@ def retention_report(grain: DataFrame) -> DataFrame:
             F.expr("n_retained * 10000 div n_active").cast("long"),
         )
         .orderBy("week")
+    )
+
+
+@query(
+    "rolling_7day_event_volume",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY day
+    )
+    SELECT day, n_events, value_cents,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_7d,
+           CAST(SUM(value_cents) OVER w AS BIGINT) AS value_cents_7d
+    FROM d
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def rolling_7day_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day event volume and value per day — the moving-window
+    trend report (rolling actives, rolling revenue), distinct from
+    `sliding_window_avg`'s epoch-aligned hop windows: this is a TRUE
+    range frame anchored at each calendar day, so gap days shrink the
+    window rather than shifting buckets.
+
+    The range frame runs over an integer day number (days since epoch)
+    in Spark and an INTERVAL range over the midnight-TIMESTAMP day key
+    in DuckDB — identical semantics because both are closed
+    [day-6, day] windows on exact day keys; sums are exact integer
+    cents.
+
+    Scale shape: the fact reduces to day grain first (one map-side
+    combined shuffle); the global-order range window then touches
+    |days| rows only — bounded by the calendar, not the corpus (the
+    "windows over aggregated grains, never facts" rule, SCALE.md)."""
+    ev = table(spark, sf_dir, "events")
+    day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.sum(dec("value")) * 100).cast("long").alias("value_cents"),
+    )
+    w = (
+        Window.orderBy(F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return day.select(
+        "day",
+        "n_events",
+        "value_cents",
+        F.sum("n_events").over(w).cast("long").alias("n_events_7d"),
+        F.sum("value_cents").over(w).cast("long").alias("value_cents_7d"),
+    ).orderBy("day")
+
+
+@query(
+    "customer_rfm_scores",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2002-01-01')
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                AS BIGINT) AS m_score
+    FROM s
+    """,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (vs a fixed
+    analysis anchor just past the data's horizon), order count, lifetime
+    spend, and quartile scores for each — the classic marketing-analytics
+    triple (and the composed form of the ntile/percentile family).
+
+    Determinism: every ntile orders by (metric, o_custkey) — a total
+    order — so quartile boundaries cannot shift between engines on
+    metric ties; recency is exact integer days against a LITERAL anchor
+    (a data-derived max(date) anchor would re-scan and, worse, make the
+    report non-reproducible across runs as data arrives).
+
+    Scale shape: one fact aggregation to customer grain; the three
+    global ntile windows share one sort-partition pass over |customers|
+    rows.  A global window serializes, but only on the post-agg grain —
+    at larger scale swap ntile for the rank-via-broadcast-quantile
+    formula."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("monetary_cents"),
+    )
+    return s.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
+@query(
+    "order_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                   ORDER BY o_orderdate,
+                                                            o_orderkey),
+                            o_orderdate) AS BIGINT) AS gap_days
+      FROM orders
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(FLOOR(quantile_cont(g.gap_days, 0.5)) AS BIGINT)
+             AS median_gap_days,
+           CAST(FLOOR(quantile_cont(g.gap_days, 0.9)) AS BIGINT)
+             AS p90_gap_days
+    FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence: median and p90 of the day-gap between a
+    customer's consecutive orders, rolled up per market segment — the
+    lag-then-percentile composition (repeat-purchase behavior, SLA
+    inter-arrival analyses).
+
+    Determinism: gaps are exact integer days from a lag window with a
+    TOTAL order (o_orderdate, o_orderkey); percentiles interpolate over
+    those integers, so (1-g)·a + g·b is bit-exact on both engines (the
+    `segment_median_order` pre-scaled-integer rule; 0.9 is not an exact
+    binary fraction but g·b on integers ≪ 2^53 still rounds identically
+    because both engines evaluate the same two-operand products).
+
+    Scale shape: one shuffle on o_custkey for the lag window (the
+    partition key makes it embarrassingly parallel), broadcast of the
+    customer dim into the gap relation, then a 5-group percentile
+    aggregate with per-partition buffers."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.floor(F.expr("percentile(gap_days, 0.5)"))
+            .cast("long")
+            .alias("median_gap_days"),
+            F.floor(F.expr("percentile(gap_days, 0.9)"))
+            .cast("long")
+            .alias("p90_gap_days"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -89,6 +89,14 @@ _DRIVER_HEAD: list[str] = [
     "salted_event_type_rollup",
     "weekly_retention",
     "lang_source_grouping_sets",
+    "rolling_7day_event_volume",
+    "customer_rfm_scores",
+    "order_gap_percentiles",
+    "supplier_share_of_nation",
+    "discount_band_pivot",
+    "cross_source_duplicate_matrix",
+    "lang_confusion_matrix",
+    "source_quality_report",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -146,11 +154,20 @@ _DRIVER_HEAD: list[str] = [
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The twelve round-5 queries
+#: of _DRIVER_HEAD when updating it). The twenty round-5 queries
 #: displaced these from the 50-slot window (the §2C exact tier's tail,
 #: then the rows-only r3 tier), so their latest driver row will be 3
-#: rounds old by r6:
+#: rounds old by r6. Ordered by displacement time: the names the LATE
+#: round-5 additions pushed out first, then the earlier batch:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "domain_mix_weights",
+    "decontaminate_filter",
+    "returned_item_report",
+    "top_revenue_supplier",
+    "segment_top_orders",
+    "snapshot_reconcile",
+    "pii_redact",
+    "large_volume_orders",
     "brand_supplier_counts",
     "event_zscore_outliers",
     "weighted_resample",

@@ -412,7 +412,7 @@ def test_weekly_retention_reduced_before_join(spark):
 
     grain = (
         table(spark, SF, "events")
-        .select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("week"))
+        .select("user_id", F.date_trunc("week", "ts").alias("week"))
         .distinct()
     )
     assert sorted(set(scan_read_schemas(grain)["events"])) == ["ts", "user_id"]
@@ -428,3 +428,105 @@ def test_grouping_sets_bounded_expand(spark):
     plan = formatted_plan(df)
     assert "Expand" in plan
     assert shuffle_count(df) <= 2  # agg exchange + final sort
+
+
+def test_rolling_7day_window_over_day_grain(spark):
+    """The range frame must run over the day grain, not the fact: the
+    Window sits above the HashAggregate pair and the scan reads only
+    (ts, value)."""
+    df = get_queries()["rolling_7day_event_volume"](spark, SF)
+    assert sorted(set(scan_read_schemas(df)["events"])) == ["ts", "value"]
+    plan = formatted_plan(df)
+    assert "Window" in plan and plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_customer_rfm_windows_over_customer_grain(spark):
+    """All three ntile windows run on the post-agg customer grain and
+    the scan reads only the three needed columns."""
+    df = get_queries()["customer_rfm_scores"](spark, SF)
+    assert sorted(scan_read_schemas(df)["orders"]) == [
+        "o_custkey", "o_orderdate", "o_totalprice",
+    ]
+    plan = formatted_plan(df)
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_order_gap_percentiles_broadcasts_dim(spark):
+    """The customer dim broadcasts into the gap relation; the fact scan
+    reads only the lag-window inputs."""
+    df = get_queries()["order_gap_percentiles"](spark, SF)
+    assert is_broadcast(df, "customer")
+    assert sorted(scan_read_schemas(df)["orders"]) == [
+        "o_custkey", "o_orderdate", "o_orderkey",
+    ]
+
+
+def test_supplier_share_windows_share_one_sort(spark):
+    """Both nation-partitioned windows (share denominator, rank) must
+    share a single exchange on the supplier grain: one fact agg shuffle
+    + one window shuffle, dims broadcast."""
+    df = get_queries()["supplier_share_of_nation"](spark, SF)
+    assert is_broadcast(df, "supplier")
+    assert is_broadcast(df, "nation")
+    assert not is_broadcast(df, "lineitem")
+    assert shuffle_count(df) <= 2
+    assert sorted(scan_read_schemas(df)["lineitem"]) == [
+        "l_discount", "l_extendedprice", "l_suppkey",
+    ]
+
+
+def test_discount_band_pivot_single_agg(spark):
+    """Explicit pivot values skip the distinct-values job: the fact is
+    shuffled once as (flag, band) partials, the pivotfirst fold and the
+    final sort move only the reduced grain — 3 exchanges total, and a
+    3-column scan."""
+    df = get_queries()["discount_band_pivot"](spark, SF)
+    assert shuffle_count(df) <= 3
+    assert sorted(scan_read_schemas(df)["lineitem"]) == [
+        "l_discount", "l_quantity", "l_returnflag",
+    ]
+
+
+def test_cross_source_matrix_scans_corpus_once(spark):
+    """The DISTINCT (source, hash) grain is checkpointed: the self-join
+    plan contains NO documents scan (the corpus reduced once), and the
+    grain itself reads only (source, text)."""
+    df = get_queries()["cross_source_duplicate_matrix"](spark, SF)
+    assert "documents.parquet" not in formatted_plan(df)
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.functions.hashing import normalize_ws
+
+    grain = (
+        table(spark, SF, "documents")
+        .select(
+            "source",
+            F.sha2(F.substring(normalize_ws(F.col("text")), 1, 24), 256).alias(
+                "content_key"
+            ),
+        )
+        .distinct()
+    )
+    assert sorted(set(scan_read_schemas(grain)["documents"])) == ["source", "text"]
+
+
+def test_source_quality_report_single_pass(spark):
+    """One source-keyed aggregation over in-scan array math: no joins,
+    bounded shuffles (partial-distinct expand + final sort), 4-column
+    scan."""
+    df = get_queries()["source_quality_report"](spark, SF)
+    assert broadcast_join_count(df) == 0
+    assert shuffle_count(df) <= 3
+    assert sorted(set(scan_read_schemas(df)["documents"])) == [
+        "n_chars", "source", "text",
+    ]
+
+
+def test_lang_confusion_matrix_zero_join(spark):
+    """The confusion rollup adds one tiny aggregation over the
+    zero-shuffle predictor pass — no joins anywhere."""
+    df = get_queries()["lang_confusion_matrix"](spark, SF)
+    assert broadcast_join_count(df) == 0
+    # doc_id is pruned away — the rollup only needs (lang, text)
+    assert sorted(set(scan_read_schemas(df)["documents"])) == ["lang", "text"]

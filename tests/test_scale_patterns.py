@@ -502,3 +502,61 @@ def test_similarity_recall_floor(spark):
     # nprobe=3 over the label-count centroids at this SF recovers most
     # true neighbors; 40 is a loose floor that still catches breakage
     assert mean_recall >= 40, f"mean recall@5 collapsed: {mean_recall}"
+
+
+def test_cobucket_api_join_and_agg_shuffle_free(spark, tmp_path):
+    """pipeline.bucketize.cobucket: one API call lays out the fact pair
+    bucketed+sorted on the join key; afterwards BOTH the equi-join and a
+    groupBy on the bucket key plan ZERO Exchange, and each layout has
+    exactly one file per bucket (files==buckets is what lets Spark trust
+    the sortBy metadata)."""
+    import glob
+
+    from data_integration_system_spark.pipeline.bucketize import cobucket
+
+    for t in ("li_cb", "o_cb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    n = 8
+    cobucket(
+        spark,
+        [
+            (table(spark, SF, "lineitem"), "li_cb", "lineitem", ["l_orderkey"]),
+            (table(spark, SF, "orders"), "o_cb", "orders", ["o_orderkey"]),
+        ],
+        n_buckets=n,
+        base_path=str(tmp_path),
+    )
+    for sub in ("lineitem", "orders"):
+        files = glob.glob(f"{tmp_path}/{sub}/part-*")
+        assert len(files) == n, files
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, o = spark.table("li_cb"), spark.table("o_cb")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        assert sortmerge_join_count(j) == 1
+        assert shuffle_count(j) == 0
+        agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        assert shuffle_count(agg) == 0  # bucket layout satisfies the
+        # aggregation's clustering requirement too
+        assert j.count() > 0 and agg.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_bucketed_rejects_non_power_of_two(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_integration_system_spark.pipeline.bucketize import write_bucketed
+
+    with _pytest.raises(ValueError):
+        write_bucketed(
+            table(spark, SF, "orders"),
+            "o_badbuckets",
+            str(tmp_path / "x"),
+            ["o_orderkey"],
+            n_buckets=6,
+        )
