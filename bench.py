@@ -105,6 +105,8 @@ HEADLINE = (
     "cross_source_duplicate_matrix",  # distinct-grain hash self-join
     "lang_confusion_matrix",   # classifier eval over in-scan predictor
     "source_quality_report",   # single-pass per-source curation rollup
+    "order_date_gap_fill",     # sequence-spine densification + fill window
+    "percentile_approx_check",  # exact-vs-sketch percentile harness
 )
 
 

@@ -919,3 +919,44 @@ def discount_band_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("percentile_approx_check", oracle=None)  # rows-only BY DESIGN: the
+# GK sketch inside percentile_approx is engine-specific (same class as
+# approx_distinct's HLL) — the value here is the MEASUREMENT itself
+def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality harness for percentile_approx: per market
+    segment, the exact interpolated median (integer cents) next to the
+    sketch median and their absolute error — the percentile sibling of
+    `similarity_recall_at_k` (every approximate operator in the engine
+    ships with a query that MEASURES it, so the accuracy knob has a
+    number attached before anyone trusts it at scale).
+
+    tests/test_scale_patterns.py pins the error floor (≤1% of the exact
+    median at accuracy=10000).
+
+    Scale shape: both aggregates ride one segment-keyed shuffle with
+    per-partition buffers; percentile_approx is the one that still works
+    when a group no longer fits sort memory — this report is what
+    justifies switching to it."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.floor(F.expr(f"percentile({cents}, 0.5)"))
+            .cast("long")
+            .alias("exact_median_cents"),
+            F.expr(f"percentile_approx({cents}, 0.5, 10000)")
+            .cast("long")
+            .alias("approx_median_cents"),
+        )
+        .withColumn(
+            "abs_err_cents",
+            F.abs(F.col("exact_median_cents") - F.col("approx_median_cents")),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -720,3 +720,85 @@ def order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "order_date_gap_fill",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY day
+    ), b AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM d
+    ), spine AS (
+      SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+      FROM b
+    ), f AS (
+      SELECT s.day,
+             COALESCE(d.n_orders, 0) AS n_orders,
+             COALESCE(d.rev_cents, 0) AS rev_cents
+      FROM spine s LEFT JOIN d ON d.day = s.day
+    )
+    SELECT day, n_orders, rev_cents,
+           last_value(CASE WHEN n_orders > 0 THEN day END IGNORE NULLS)
+             OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_active_day,
+           CAST(date_diff('day',
+                last_value(CASE WHEN n_orders > 0 THEN day END IGNORE NULLS)
+                  OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                day) AS BIGINT) AS days_since_active
+    FROM f ORDER BY day
+    """,
+)
+def order_date_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: a complete day spine between the first and last
+    order date, zero-filled volume/revenue on silent days, plus a
+    forward-filled last-active-day marker — the densification step every
+    time-series consumer needs before rolling math or charting (silent
+    days must exist as zeros, not be absent).
+
+    Spark-first shape: the spine is `sequence(min, max, interval 1 day)`
+    exploded from ONE broadcast scalar row — no driver-side date loop,
+    no recursive CTE; forward-fill is `last(..., ignorenulls)` over a
+    running frame, matching DuckDB's IGNORE NULLS exactly because the
+    frame and the (total) order are identical.
+
+    Scale shape: the fact reduces to day grain first; the spine is
+    |calendar days| rows built from a 1-row cross join (broadcast, not a
+    shuffle); the fill window runs on the spine grain, bounded by the
+    calendar, never by the corpus."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("rev_cents"),
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    f = (
+        spine.join(d, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("rev_cents", F.lit(0)).cast("long").alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    last_active = F.last(
+        F.when(F.col("n_orders") > 0, F.col("day")), ignorenulls=True
+    ).over(w)
+    return f.select(
+        "day",
+        "n_orders",
+        "rev_cents",
+        last_active.alias("last_active_day"),
+        F.datediff(F.to_date("day"), F.to_date(last_active))
+        .cast("long")
+        .alias("days_since_active"),
+    ).orderBy("day")

@@ -97,6 +97,8 @@ _DRIVER_HEAD: list[str] = [
     "cross_source_duplicate_matrix",
     "lang_confusion_matrix",
     "source_quality_report",
+    "order_date_gap_fill",
+    "percentile_approx_check",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -160,6 +162,8 @@ _DRIVER_HEAD: list[str] = [
 #: rounds old by r6. Ordered by displacement time: the names the LATE
 #: round-5 additions pushed out first, then the earlier batch:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "quality_filter_gopher",
+    "token_top_vocab",
     "domain_mix_weights",
     "decontaminate_filter",
     "returned_item_report",

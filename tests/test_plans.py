@@ -530,3 +530,24 @@ def test_lang_confusion_matrix_zero_join(spark):
     assert broadcast_join_count(df) == 0
     # doc_id is pruned away — the rollup only needs (lang, text)
     assert sorted(set(scan_read_schemas(df)["documents"])) == ["lang", "text"]
+
+
+def test_order_date_gap_fill_spine_shape(spark):
+    """The spine explodes from a 1-row bounds aggregate (broadcast, not
+    a shuffle) and the fill window runs on the day grain; the fact scan
+    reads only (o_orderdate, o_totalprice)."""
+    df = get_queries()["order_date_gap_fill"](spark, SF)
+    assert sorted(set(scan_read_schemas(df)["orders"])) == [
+        "o_orderdate", "o_totalprice",
+    ]
+    plan = formatted_plan(df)
+    assert "Generate" in plan  # the exploded sequence spine
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_percentile_approx_check_one_shuffle(spark):
+    """Both the exact and the sketch median ride ONE segment-keyed
+    aggregation; the customer dim broadcasts."""
+    df = get_queries()["percentile_approx_check"](spark, SF)
+    assert is_broadcast(df, "customer")
+    assert shuffle_count(df) <= 2  # agg exchange + final sort

@@ -560,3 +560,15 @@ def test_write_bucketed_rejects_non_power_of_two(spark, tmp_path):
             ["o_orderkey"],
             n_buckets=6,
         )
+
+
+def test_percentile_approx_error_floor(spark):
+    """The sketch median must sit within 1% of the exact median per
+    segment at accuracy=10000 — the pinned number behind trusting
+    percentile_approx when groups outgrow exact-percentile sort memory."""
+    from data_integration_system_spark.registry import get_queries
+
+    rows = get_queries()["percentile_approx_check"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.abs_err_cents <= max(r.exact_median_cents * 0.01, 100), r
