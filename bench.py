@@ -107,6 +107,10 @@ HEADLINE = (
     "source_quality_report",   # single-pass per-source curation rollup
     "order_date_gap_fill",     # sequence-spine densification + fill window
     "percentile_approx_check",  # exact-vs-sketch percentile harness
+    "bigram_lift_top",         # collocation lift (vocab broadcast-back)
+    "event_value_mad",         # robust dispersion, double percentile pass
+    "event_type_gini_per_user",  # integer diversity index, chained aggs
+    "pareto_revenue_share",    # 80/20 cumulative-threshold windows
 )
 
 

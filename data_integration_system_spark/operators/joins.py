@@ -1654,3 +1654,83 @@ def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "s_suppkey", "rev_e4", "share_e6", "rank_in_nation")
     )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+               AS spend_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ), r AS (
+      SELECT c_mktsegment, spend_cents,
+             row_number() OVER w AS rn,
+             SUM(spend_cents) OVER (PARTITION BY c_mktsegment ORDER BY
+                                    spend_cents DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             SUM(spend_cents) OVER (PARTITION BY c_mktsegment) AS tot_cents,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n_customers
+      FROM s
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY spend_cents DESC, o_custkey)
+    )
+    SELECT c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum_cents * 5 >= tot_cents * 4
+                         THEN rn END) AS BIGINT) AS n_top_80pct,
+           CAST(min(CASE WHEN cum_cents * 5 >= tot_cents * 4
+                         THEN rn END) * 10000 // n_customers AS BIGINT)
+             AS share_e4
+    FROM r GROUP BY c_mktsegment, n_customers ORDER BY c_mktsegment
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: per market segment, the smallest number of
+    top customers whose cumulative spend covers 80% of the segment's
+    revenue, and what fraction of the customer base that is — the 80/20
+    report behind account-prioritization decisions.
+
+    Determinism: the cumulative window runs under a TOTAL order
+    (spend DESC, custkey) over exact integer cents, and the 80%
+    threshold is the integer cross-multiplication `cum·5 ≥ tot·4` — no
+    float shares anywhere until the final ×10⁴ `div`.
+
+    Scale shape: the fact aggregates to (segment, customer) grain first;
+    all three windows (running sum, total, count) and the rank share ONE
+    segment-partitioned sort over that grain; the threshold pick is a
+    conditional MIN in the final |segments|-row rollup."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("spend_cents"))
+    )
+    wo = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend_cents").desc(), "o_custkey"
+    )
+    wp = Window.partitionBy("c_mktsegment")
+    r = s.select(
+        "c_mktsegment",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("spend_cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cents"),
+        F.sum("spend_cents").over(wp).alias("tot_cents"),
+        F.count("*").over(wp).alias("n_customers"),
+    )
+    hit = F.when(
+        F.col("cum_cents") * 5 >= F.col("tot_cents") * 4, F.col("rn")
+    )
+    return (
+        r.groupBy("c_mktsegment", F.col("n_customers").cast("long").alias("n_customers"))
+        .agg(F.min(hit).cast("long").alias("n_top_80pct"))
+        .withColumn(
+            "share_e4",
+            F.expr("n_top_80pct * 10000 div n_customers").cast("long"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -960,3 +960,109 @@ def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "event_value_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(FLOOR(quantile_cont(cents, 0.5)) AS BIGINT) AS median_cents
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, m.n_events, m.median_cents,
+           CAST(FLOOR(quantile_cont(abs(v.cents - m.median_cents), 0.5))
+                AS BIGINT) AS mad_cents
+    FROM v JOIN m ON m.event_type = v.event_type
+    GROUP BY v.event_type, m.n_events, m.median_cents
+    ORDER BY v.event_type
+    """,
+)
+def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation of event value per
+    type — the outlier-resistant sibling of `event_zscore_outliers`'
+    mean/stddev moments (one stuck sensor can't move a MAD the way it
+    moves a σ).
+
+    Determinism: the center is the FLOORED median (integer cents), so
+    deviations are exact integers and the second percentile interpolates
+    over integers — the `segment_median_order` rule applied twice.
+
+    Scale shape: two passes over the fact, both keyed on event_type with
+    per-partition percentile buffers; the per-type medians are a
+    |types|-row broadcast back into the scan, so pass two shuffles
+    partials only — no sort, no window."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.floor(F.expr("percentile(cents, 0.5)")).cast("long").alias("median_cents"),
+    )
+    return (
+        v.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n_events", "median_cents")
+        .agg(
+            F.floor(F.expr("percentile(abs(cents - median_cents), 0.5)"))
+            .cast("long")
+            .alias("mad_cents")
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_type_gini_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), u AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST((n_events * n_events - ss) * 1000000
+                // (n_events * n_events) AS BIGINT) AS gini_e6
+    FROM u ORDER BY user_id
+    """,
+)
+def event_type_gini_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: per-user Gini impurity of the event-type mix
+    (1 − Σpᵢ², 0 = single-type user, →1 = uniform spread) — the
+    user-segmentation signal for "explorers vs single-feature users".
+
+    Entropy needs log(); Gini is the log-free diversity index, and its
+    sum-of-squares form is pure integers (×10⁶, `div`), so the driver
+    hash is exact — the same no-libm discipline as rare_token_score.
+
+    Scale shape: two chained aggregations, (user, type) then user — the
+    first absorbs event multiplicity map-side, the second is co-keyed
+    with it (AQE-coalesced, no extra wide shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr("(n_events * n_events - ss) * 1000000 div (n_events * n_events)")
+        .cast("long")
+        .alias("gini_e6"),
+    ).orderBy("user_id")

@@ -1212,3 +1212,92 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "bigram_lift_top",
+    oracle=r"""
+    WITH t AS (
+      SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i+1])) AS w2
+      FROM t WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS co FROM bg GROUP BY w1, w2
+    ), n AS (
+      SELECT CAST(SUM(co) AS BIGINT) AS nb FROM bc
+    )
+    SELECT bc.w1, bc.w2, bc.co,
+           CAST(bc.co * n.nb * 1000 // (a.c * b.c) AS BIGINT) AS lift_e3
+    FROM bc
+    JOIN uc a ON a.tok = bc.w1
+    JOIN uc b ON b.tok = bc.w2
+    CROSS JOIN n
+    WHERE bc.co >= 3 AND a.c >= 5 AND b.c >= 5
+    ORDER BY lift_e3 DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top word pairs by lift —
+    observed bigram frequency over the frequency expected if the two
+    words were independent — the association-strength signal behind
+    phrase detection / tokenizer-merge candidates (the corpus-level
+    sibling of `repetition_top_bigram`'s within-doc score).
+
+    Lift is integer-only (`co·N·10³ div (c₁·c₂)`, N = total bigrams):
+    no log/float PMI, so the driver hash is exact.  (At web scale
+    promote the ×10³ numerator to DECIMAL: co·N approaches 2⁶³ once the
+    corpus passes ~10¹⁵ bigrams.)  Support floors (co ≥ 3, c ≥ 5) bound
+    the output to genuinely repeated pairs.
+
+    Scale shape: one (w1, w2) shuffle for bigram counts; the unigram
+    vocabulary aggregates once and BROADCASTS back twice (a vocabulary
+    is small by Heaps' law however large the corpus); the bigram total
+    is a 1-row broadcast; top-k is TakeOrdered, never a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(tokens_of("text").alias("toks")).localCheckpoint(eager=False)
+    uc = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.struct(
+            F.element_at("toks", (i + 1).cast("int")).alias("w1"),
+            F.element_at("toks", (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bc = (
+        d.filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("co"))
+    ).localCheckpoint(eager=False)  # feeds both the total and the report
+    nb = bc.agg(F.sum("co").cast("long").alias("nb"))
+    a = uc.select(F.col("tok").alias("_w1"), F.col("c").alias("c1"))
+    b = uc.select(F.col("tok").alias("_w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("co") >= 3)
+        .join(F.broadcast(a), F.col("w1") == F.col("_w1"))
+        .join(F.broadcast(b), F.col("w2") == F.col("_w2"))
+        .filter((F.col("c1") >= 5) & (F.col("c2") >= 5))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "co",
+            F.expr("co * nb * 1000 div (c1 * c2)").cast("long").alias("lift_e3"),
+        )
+        .orderBy(F.col("lift_e3").desc(), "w1", "w2")
+        .limit(100)
+    )

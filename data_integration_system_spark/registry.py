@@ -99,6 +99,10 @@ _DRIVER_HEAD: list[str] = [
     "source_quality_report",
     "order_date_gap_fill",
     "percentile_approx_check",
+    "bigram_lift_top",
+    "event_value_mad",
+    "event_type_gini_per_user",
+    "pareto_revenue_share",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -162,6 +166,10 @@ _DRIVER_HEAD: list[str] = [
 #: rounds old by r6. Ordered by displacement time: the names the LATE
 #: round-5 additions pushed out first, then the earlier batch:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "top_sources_per_lang",
+    "ntile_quartiles",
+    "signup_purchase_funnel",
+    "event_type_transitions",
     "quality_filter_gopher",
     "token_top_vocab",
     "domain_mix_weights",

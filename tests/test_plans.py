@@ -551,3 +551,48 @@ def test_percentile_approx_check_one_shuffle(spark):
     df = get_queries()["percentile_approx_check"](spark, SF)
     assert is_broadcast(df, "customer")
     assert shuffle_count(df) <= 2  # agg exchange + final sort
+
+
+def test_event_value_mad_broadcast_back(spark):
+    """Pass two must consume the per-type medians as a BROADCAST into the
+    fact, and the fact scan reads only (event_type, value)."""
+    df = get_queries()["event_value_mad"](spark, SF)
+    assert broadcast_join_count(df) == 1
+    assert sorted(set(scan_read_schemas(df)["events"])) == ["event_type", "value"]
+
+
+def test_gini_two_chained_aggs_no_join(spark):
+    """Gini is two chained aggregations, zero joins, 2-column scan."""
+    df = get_queries()["event_type_gini_per_user"](spark, SF)
+    assert broadcast_join_count(df) == 0
+    assert sorted(scan_read_schemas(df)["events"]) == ["event_type", "user_id"]
+    assert shuffle_count(df) <= 3  # (user,type) agg + user agg + final sort
+
+
+def test_pareto_windows_over_customer_grain(spark):
+    """All pareto windows run over the (segment, customer) grain — the
+    Window nodes sit above the fact aggregation — and the customer dim
+    broadcasts into the fact before it."""
+    df = get_queries()["pareto_revenue_share"](spark, SF)
+    assert is_broadcast(df, "customer")
+    # node numbers increase bottom-up: the fact aggregation must sit
+    # BELOW (smaller number than) every Window node
+    import re
+
+    plan = formatted_plan(df)
+    aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    wins = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert wins and min(aggs) < min(wins)
+    assert sorted(scan_read_schemas(df)["orders"]) == ["o_custkey", "o_totalprice"]
+
+
+def test_bigram_lift_vocab_broadcasts(spark):
+    """The unigram vocabulary and the bigram total must broadcast into
+    the bigram-count relation (3 broadcasts, no vocab shuffle join), and
+    top-k is TakeOrdered, not a global sort."""
+    df = get_queries()["bigram_lift_top"](spark, SF)
+    assert broadcast_join_count(df) == 2  # the two vocab lookups
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the 1-row bigram total rides a broadcast nested-loop cross join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
