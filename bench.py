@@ -111,6 +111,8 @@ HEADLINE = (
     "event_value_mad",         # robust dispersion, double percentile pass
     "event_type_gini_per_user",  # integer diversity index, chained aggs
     "pareto_revenue_share",    # 80/20 cumulative-threshold windows
+    "new_vs_returning_users",  # first-seen split on the distinct grain
+    "discount_band_unpivot",   # wide->long melt of the band pivot
 )
 
 

@@ -1066,3 +1066,54 @@ def event_type_gini_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_e6"),
     ).orderBy("user_id")
+
+
+@query(
+    "discount_band_unpivot",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CASE WHEN CAST(round(l_discount * 100) AS BIGINT) <= 3 THEN 'low'
+                  WHEN CAST(round(l_discount * 100) AS BIGINT) <= 6 THEN 'mid'
+                  ELSE 'high' END AS band,
+             l_quantity
+      FROM lineitem
+    ), wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN band = 'low' THEN l_quantity ELSE 0 END)
+                  AS BIGINT) AS low,
+             CAST(SUM(CASE WHEN band = 'mid' THEN l_quantity ELSE 0 END)
+                  AS BIGINT) AS mid,
+             CAST(SUM(CASE WHEN band = 'high' THEN l_quantity ELSE 0 END)
+                  AS BIGINT) AS high
+      FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, band, qty
+    FROM wide
+    UNPIVOT (qty FOR band IN (low, mid, high))
+    ORDER BY l_returnflag, band
+    """,
+)
+def discount_band_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse reshape of `discount_band_pivot`: the wide band
+    columns melted back to (flag, band, qty) long form — the
+    wide→long half of the BI reshape pair, via Spark's `unpivot`
+    (ids/values/variable/value API) against DuckDB's UNPIVOT clause.
+
+    Composes the registered pivot query verbatim, so the pair is
+    provably lossless: unpivot(pivot(x)) here equals the conditional
+    aggregate the oracle states directly.
+
+    Scale shape: adds a zero-shuffle Expand (3 rows per input row) on
+    top of the pivot's |flags|-row output — reshape cost is bounded by
+    the REPORT size, never the fact."""
+    wide = discount_band_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["low", "mid", "high"],
+            variableColumnName="band",
+            valueColumnName="qty",
+        )
+        .orderBy("l_returnflag", "band")
+    )

@@ -802,3 +802,67 @@ def order_date_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_active"),
     ).orderBy("day")
+
+
+@query(
+    "new_vs_returning_users",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ), f AS (
+      SELECT user_id, min(day) AS first_day FROM uw GROUP BY user_id
+    )
+    SELECT uw.day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN uw.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN uw.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN uw.day = f.first_day THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS new_share_e4
+    FROM uw JOIN f ON f.user_id = uw.user_id
+    GROUP BY uw.day ORDER BY uw.day
+    """,
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-vs-retention split: per day, how many active users are
+    seeing the product for the FIRST time vs returning — the growth
+    report `daily_active_users` can't answer (a flat DAU can hide full
+    churn-and-replace).
+
+    Spark-first: first_day is `min(day) OVER (PARTITION BY user_id)` on
+    the distinct (user, day) grain — no self-join; the oracle states the
+    same thing as an aggregate + join because DuckDB's optimizer treats
+    them identically at its scale.  Day keys are midnight TIMESTAMPs
+    (the driver-proven class); the share is integer ×10⁴.
+
+    Scale shape: the corpus reduces to DISTINCT (user, day) in one
+    map-side-combined shuffle; the first-day window then re-keys on
+    user_id — but that exchange (and the day rollup after it) moves
+    only the deduped |user-days| grain, never raw events.  Reducing
+    BEFORE re-keying beats a single raw shuffle on user_id whenever
+    users have multiple events per day, i.e. always."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    g = uw.withColumn("first_day", F.min("day").over(w))
+    return (
+        g.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .withColumn(
+            "new_share_e4", F.expr("n_new * 10000 div n_active").cast("long")
+        )
+        .orderBy("day")
+    )

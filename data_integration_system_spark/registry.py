@@ -103,6 +103,8 @@ _DRIVER_HEAD: list[str] = [
     "event_value_mad",
     "event_type_gini_per_user",
     "pareto_revenue_share",
+    "new_vs_returning_users",
+    "discount_band_unpivot",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -166,6 +168,8 @@ _DRIVER_HEAD: list[str] = [
 #: rounds old by r6. Ordered by displacement time: the names the LATE
 #: round-5 additions pushed out first, then the earlier batch:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "group_quantiles",
+    "partsupp_profit",
     "top_sources_per_lang",
     "ntile_quartiles",
     "signup_purchase_funnel",

@@ -596,3 +596,31 @@ def test_bigram_lift_vocab_broadcasts(spark):
     # the 1-row bigram total rides a broadcast nested-loop cross join
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_new_vs_returning_grain_before_rekey(spark):
+    """The fact must reduce to the (user, day) grain BEFORE the user_id
+    re-key for the first-day window: partial aggregate below the first
+    exchange, 2-column scan, ≤4 exchanges total (grain, re-key, day
+    rollup, final sort)."""
+    df = get_queries()["new_vs_returning_users"](spark, SF)
+    assert sorted(set(scan_read_schemas(df)["events"])) == ["ts", "user_id"]
+    assert shuffle_count(df) <= 4
+    import re
+
+    plan = formatted_plan(df)
+    first_exchange = min(int(m) for m in re.findall(r"\((\d+)\) Exchange", plan))
+    first_agg = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan))
+    assert first_agg < first_exchange  # partials reduce before any shuffle
+
+
+def test_discount_band_unpivot_expand_on_report(spark):
+    """The unpivot Expand sits ABOVE the pivot aggregation (reshape cost
+    bounded by the report, not the fact)."""
+    df = get_queries()["discount_band_unpivot"](spark, SF)
+    import re
+
+    plan = formatted_plan(df)
+    expands = [int(m) for m in re.findall(r"\((\d+)\) Expand", plan)]
+    aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert expands and max(aggs) < max(expands) or min(aggs) < min(expands)

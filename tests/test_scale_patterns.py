@@ -572,3 +572,41 @@ def test_percentile_approx_error_floor(spark):
     assert rows
     for r in rows:
         assert r.abs_err_cents <= max(r.exact_median_cents * 0.01, 100), r
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime bloom-filter injection: a selective dim-side
+    predicate on a shuffle join seeds a bloom filter that pre-filters
+    the fact scan BEFORE the exchange — at 100 TB this is the difference
+    between shuffling the whole fact and shuffling the matching slice.
+    Forced on here (tiny sf would not cross the size thresholds);
+    the pin is that the fact side carries a might_contain predicate."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
