@@ -113,6 +113,7 @@ HEADLINE = (
     "pareto_revenue_share",    # 80/20 cumulative-threshold windows
     "new_vs_returning_users",  # first-seen split on the distinct grain
     "discount_band_unpivot",   # wide->long melt of the band pivot
+    "dq_orders_report",        # N constraints in one aggregation pass
 )
 
 

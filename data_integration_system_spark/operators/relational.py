@@ -1117,3 +1117,65 @@ def discount_band_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "band")
     )
+
+
+@query(
+    "dq_orders_report",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT 'not_null_o_custkey' AS check_name, n.n_rows,
+           (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM orders) AS n_violations FROM n
+    UNION ALL
+    SELECT 'range_o_totalprice', n.n_rows,
+           (SELECT CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM orders) FROM n
+    UNION ALL
+    SELECT 'set_o_orderstatus', n.n_rows,
+           (SELECT CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM orders) FROM n
+    UNION ALL
+    SELECT 'regex_o_orderpriority', n.n_rows,
+           (SELECT CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
+                                                     '^[1-5]-')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM orders) FROM n
+    ORDER BY check_name
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders: null, range, enum,
+    and format constraints — the batch form of the reference's per-row
+    write-time validation (postgres_store.py try/except per record;
+    api/main.py pydantic models), as a gateable table-level report.
+
+    All four checks evaluate in ONE aggregation over ONE scan
+    (pipeline/checks.py: each constraint is a conditional sum; N checks
+    cost one pass), then reshape to long form via unpivot.  NULL
+    predicate results count as violations — three-valued logic must not
+    let unknowns through a gate.
+
+    Scale shape: single scan, single-row aggregate, report-sized
+    Expand.  `pipeline.checks.gate` turns this exact report into a hard
+    pipeline stop."""
+    from data_integration_system_spark.pipeline.checks import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        run_checks,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    report = run_checks(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1000000),
+            in_set("o_orderstatus", ("O", "F", "P")),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    return report.orderBy("check_name")

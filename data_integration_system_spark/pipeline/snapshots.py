@@ -170,3 +170,63 @@ def prune_snapshots(spark: SparkSession, root: str, keep: int = 2) -> list[str]:
         delete_tree(spark, f"{root}/{name}")
         removed.append(name)
     return removed
+
+
+def list_versions(spark: SparkSession, root: str) -> list[str]:
+    """All retained snapshot names, oldest first — the time-travel
+    surface: anything listed here is readable via `read_version` until
+    `prune_snapshots` drops it."""
+    return [f"v{v:06d}" for v in _versions(spark, root)]
+
+
+def read_version(spark: SparkSession, root: str, version: str | int) -> DataFrame:
+    """Time-travel read: a specific retained snapshot, by name
+    ("v000003") or ordinal (3).  Copy-on-write versions are immutable,
+    so this is a plain pruned-path parquet scan — no log replay, no
+    reconstruction (the same property that makes `prune_snapshots` a
+    pure storage knob)."""
+    name = f"v{version:06d}" if isinstance(version, int) else version
+    if name not in list_versions(spark, root):
+        raise FileNotFoundError(
+            f"snapshot {name} not retained at {root} "
+            f"(have: {list_versions(spark, root)})"
+        )
+    return spark.read.parquet(f"{root}/{name}")
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    old: str | int,
+    new: str | int,
+    key: str,
+    hash_col: str,
+) -> DataFrame:
+    """Audit diff between two retained versions: per key, ADDED /
+    DELETED / CHANGED / UNCHANGED — the library form of the
+    `snapshot_reconcile` query (reference D5 read-compare semantics,
+    db/postgres_store.py:126-184), run between any two points in the
+    store's history instead of two external tables.
+
+    Scale shape: both sides are (key, hash) projections — a full outer
+    join on the key, co-partitioned, carrying two columns; payloads are
+    never moved to compute the diff."""
+    from pyspark.sql import functions as F
+
+    a = read_version(spark, root, old).select(
+        F.col(key).alias("_k"), F.col(hash_col).alias("_old_hash")
+    )
+    b = read_version(spark, root, new).select(
+        F.col(key).alias(key), F.col(hash_col).alias("_new_hash")
+    )
+    j = a.join(b, a["_k"] == b[key], "full_outer")
+    status = (
+        F.when(F.col("_k").isNull(), "ADDED")
+        .when(F.col(key).isNull(), "DELETED")
+        .when(F.col("_old_hash") == F.col("_new_hash"), "UNCHANGED")
+        .otherwise("CHANGED")
+    )
+    return j.select(
+        F.coalesce(F.col(key), F.col("_k")).alias(key),
+        status.alias("status"),
+    )
