@@ -624,3 +624,44 @@ def retention_sink(
     return incremental_report_sink(
         spark, ledger_path, report_root, retention_grain, retention_report
     )
+
+
+def dq_sink(
+    spark: SparkSession,
+    ledger_path: str,
+    report_root: str,
+    checks,
+):
+    """Incremental data-quality monitoring: each batch evaluates the
+    declarative constraint list (pipeline/checks.run_checks — N checks,
+    one aggregation) into a summable (check_name, n_rows, n_violations)
+    grain; the report re-sums the ledger per check and derives an
+    integer violation rate — the live "is the ingest getting dirtier"
+    dashboard, and the streaming twin of the batch `dq_orders_report`.
+    An incremental_report_sink instance — the count grain makes both
+    the exactly-once ledger and compact_ledger apply unchanged."""
+    from data_integration_system_spark.pipeline.checks import run_checks
+
+    def grain(batch: DataFrame) -> DataFrame:
+        return run_checks(batch, checks)
+
+    return incremental_report_sink(
+        spark, ledger_path, report_root, grain, dq_report
+    )
+
+
+def dq_report(ledger: DataFrame) -> DataFrame:
+    """The rollup from a (possibly multi-batch) check-count grain:
+    per-check totals + integer violation rate."""
+    return (
+        ledger.groupBy("check_name")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+        .withColumn(
+            "violation_rate_e6",
+            F.expr("n_violations * 1000000 div n_rows").cast("long"),
+        )
+        .orderBy("check_name")
+    )

@@ -667,3 +667,59 @@ def test_retention_sink_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in read_current(spark, report_root).collect()}
     want = {tuple(r) for r in get_queries()["weekly_retention"](spark, SF).collect()}
     assert got == want and len(want) > 0
+
+
+def test_dq_sink_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming data-quality monitor: after the stream drains, the
+    snapshot equals the same checks run in ONE batch pass over the full
+    input; redelivering a batch id must not double-count (the
+    exactly-once count-ledger contract)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline import checks as dq
+    from data_integration_system_spark.pipeline.snapshots import read_current
+    from data_integration_system_spark.streaming.jobs import dq_report, dq_sink
+
+    checks = [
+        dq.not_null("o_custkey"),
+        dq.in_range("o_totalprice", 0, 1000000),
+        dq.in_set("o_orderstatus", ("O", "F", "P")),
+    ]
+    o = table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    d = str(tmp_path / "orders_stream")
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(d)
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    report_root = str(tmp_path / "report")
+    sink = dq_sink(spark, str(tmp_path / "ledger"), report_root, checks)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_current(spark, report_root).collect()}
+    want = {
+        tuple(r)
+        for r in dq_report(
+            dq.run_checks(o, checks)
+        ).collect()
+    }
+    assert got == want and len(want) == 3
+
+    # redeliver batch 0's half: deterministic batch-id dir overwrites,
+    # the report must not change
+    sink(o.filter(F.col("o_orderkey") % 2 == 0), 0)
+    again = {tuple(r) for r in read_current(spark, report_root).collect()}
+    assert again == got
