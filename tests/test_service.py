@@ -290,3 +290,22 @@ def test_http_post_content_length_validation(spark, tmp_path):
         conn.close()
     finally:
         srv.stop()
+
+
+def test_query_cli_list_and_oracle(capsys):
+    """The __main__ query CLI: --list names every registered query with
+    its oracle kind; --oracle prints SQL without a Spark session."""
+    from data_integration_system_spark.__main__ import main
+    from data_integration_system_spark.registry import get_queries
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == len(get_queries())
+    assert "multiway_star_join\tsql-oracle" in out
+    assert "percentile_approx_check\trows-only" in out
+
+    assert main(["pricing_summary", "--oracle"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "SELECT" in out
+
+    assert main(["no_such_query"]) == 2
