@@ -114,6 +114,7 @@ HEADLINE = (
     "new_vs_returning_users",  # first-seen split on the distinct grain
     "discount_band_unpivot",   # wide->long melt of the band pivot
     "dq_orders_report",        # N constraints in one aggregation pass
+    "purchase_streak_islands",  # gaps-and-islands, one co-keyed shuffle
 )
 
 

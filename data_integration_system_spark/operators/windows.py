@@ -866,3 +866,66 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "purchase_streak_islands",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM events
+    ), isl AS (
+      SELECT user_id, island,
+             CAST(SUM(1 - isp) AS BIGINT) AS n_between
+      FROM e GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(island) AS BIGINT) AS n_purchases,
+           CAST(max(n_between) AS BIGINT) AS max_streak,
+           CAST(arg_max(n_between, island) AS BIGINT) AS current_streak
+    FROM isl GROUP BY user_id ORDER BY user_id
+    """,
+)
+def purchase_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each purchase closes an "island" of intervening
+    non-purchase events (cumulative-marker island ids), reported per
+    user as purchase count, longest between-purchase streak, and the
+    current open streak — the classic islands shape the suite's
+    TIME-gap sessionization (`session_windows`) doesn't cover: here the
+    boundary is a data-defined marker, not a clock gap.
+
+    All integers: the island id is a running conditional sum under a
+    total order, streaks are counts, and the "current" pick is
+    max_by/arg_max on the island id — exact on both engines.
+
+    Scale shape: one user-keyed shuffle for the running-sum window; the
+    island rollup and the per-user rollup are both co-keyed with it
+    (map-side combinable, no further wide exchange)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    e = ev.select(
+        "user_id",
+        isp.alias("isp"),
+        F.sum(isp).over(w).cast("long").alias("island"),
+    )
+    isl = e.groupBy("user_id", "island").agg(
+        F.sum(1 - F.col("isp")).cast("long").alias("n_between")
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.max("island").cast("long").alias("n_purchases"),
+            F.max("n_between").cast("long").alias("max_streak"),
+            F.expr("max_by(n_between, island)").cast("long").alias("current_streak"),
+        )
+        .orderBy("user_id")
+    )

@@ -624,3 +624,15 @@ def test_discount_band_unpivot_expand_on_report(spark):
     expands = [int(m) for m in re.findall(r"\((\d+)\) Expand", plan)]
     aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
     assert expands and max(aggs) < max(expands) or min(aggs) < min(expands)
+
+
+def test_purchase_streak_one_wide_shuffle(spark):
+    """The islands pipeline must be one user-keyed shuffle end-to-end:
+    the running-sum window, the island rollup, and the user rollup all
+    share the user_id clustering (≤2 exchanges incl. the final sort);
+    the scan reads exactly the 4 needed columns."""
+    df = get_queries()["purchase_streak_islands"](spark, SF)
+    assert shuffle_count(df) <= 2
+    assert sorted(set(scan_read_schemas(df)["events"])) == [
+        "event_id", "event_type", "ts", "user_id",
+    ]
