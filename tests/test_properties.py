@@ -180,3 +180,103 @@ def test_dup_rate_report_property(spark, rows):
         (s, n_docs[s], n_dup[s], n_dup[s] * 10000 // n_docs[s]) for s in n_docs
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),           # user id
+            st.integers(min_value=0, max_value=100),         # ts offset (s)
+            st.booleans(),                                   # is purchase
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_purchase_streak_property(spark, rows):
+    """The islands query over RANDOM event sequences matches a direct
+    Python fold: purchases close islands; max/current streak count the
+    non-purchase events between (ties in ts broken by event_id, exactly
+    as the window orders)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from data_integration_system_spark.registry import QUERIES, get_queries
+
+    get_queries()
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            base + dt.timedelta(seconds=off),
+            u,
+            "purchase" if isp else "view",
+            1.0,
+            "{}",
+        )
+        for i, (u, off, isp) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r.user_id, r.n_purchases, r.max_streak, r.current_streak)
+            for r in QUERIES["purchase_streak_islands"].fn(spark, d).collect()
+        }
+
+    seq = defaultdict(list)
+    for i, (u, off, isp) in enumerate(rows):
+        seq[u].append((off, i, isp))
+    want = set()
+    for u, evs in seq.items():
+        evs.sort()
+        streaks = [0]
+        purchases = 0
+        for _off, _i, isp in evs:
+            if isp:
+                purchases += 1
+                streaks.append(0)
+            else:
+                streaks[-1] += 1
+        want.add((u, purchases, max(streaks), streaks[-1]))
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=150)),
+            st.sampled_from(["A", "B", "Z"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_run_checks_property(spark, vals):
+    """run_checks over random data (with NULLs) matches a direct Python
+    count: NULL predicate results are violations, and n_rows is the
+    full input size for every check."""
+    from data_integration_system_spark.pipeline import checks as dq
+
+    df = spark.createDataFrame(vals, "v int, s string")
+    got = {
+        r.check_name: (r.n_rows, r.n_violations)
+        for r in dq.run_checks(
+            df, [dq.not_null("v"), dq.in_range("v", 0, 100), dq.in_set("s", ("A", "B"))]
+        ).collect()
+    }
+    n = len(vals)
+    want = {
+        "not_null_v": (n, sum(1 for v, _ in vals if v is None)),
+        "range_v": (n, sum(1 for v, _ in vals if v is None or not (0 <= v <= 100))),
+        "set_s": (n, sum(1 for _, s in vals if s not in ("A", "B"))),
+    }
+    assert got == want
