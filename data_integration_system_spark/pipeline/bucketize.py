@@ -85,3 +85,32 @@ def cobucket(
             n_buckets=n_buckets,
             sort_cols=bucket_cols,
         )
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Re-attach an existing bucketed layout to a (fresh) session's
+    catalog.  The parquet files carry no bucket metadata — the catalog
+    does — so after a restart the layout is just files until this DDL
+    re-registers it; skip it and every join silently degrades back to a
+    full shuffle.  Schema is read from the files; the bucket spec MUST
+    match what `write_bucketed` used (same cols, same count) — Spark
+    trusts the DDL, so a mismatched re-registration silently mis-reads
+    bucket membership.  Idempotent: an existing entry is replaced."""
+    schema = spark.read.parquet(path).schema
+    cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    sort = sort_cols or bucket_cols
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+        f"SORTED BY ({', '.join(sort)}) "
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )

@@ -610,3 +610,46 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_register_bucketed_survives_catalog_loss(spark, tmp_path):
+    """A bucketed layout must be re-attachable after the (in-memory)
+    catalog forgets it: drop the entries, re-register from the files
+    with the same bucket spec, and the join is STILL Exchange-free."""
+    from data_integration_system_spark.pipeline.bucketize import (
+        cobucket,
+        register_bucketed,
+    )
+
+    for t in ("li_rb", "o_rb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    n = 8
+    cobucket(
+        spark,
+        [
+            (table(spark, SF, "lineitem"), "li_rb", "lineitem", ["l_orderkey"]),
+            (table(spark, SF, "orders"), "o_rb", "orders", ["o_orderkey"]),
+        ],
+        n_buckets=n,
+        base_path=str(tmp_path),
+    )
+    # simulate a fresh session: the catalog entries are gone, files stay
+    spark.sql("DROP TABLE li_rb")
+    spark.sql("DROP TABLE o_rb")
+    register_bucketed(
+        spark, "li_rb", f"{tmp_path}/lineitem", ["l_orderkey"], n
+    )
+    register_bucketed(spark, "o_rb", f"{tmp_path}/orders", ["o_orderkey"], n)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, o = spark.table("li_rb"), spark.table("o_rb")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        assert sortmerge_join_count(j) == 1
+        assert shuffle_count(j) == 0
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
