@@ -45,6 +45,7 @@ HEADLINE = (
     "token_count_bpe",         # regex tokenization
     "dedup_minhash_near",      # MinHash+LSH near-dup
     "dedup_ngram_jaccard",     # exact blocked n-gram Jaccard
+    "dedup_simhash",           # 16-bit-chunk Hamming LSH (width = scale knob)
     "contamination_check",     # inverted-index shingle join
     "similarity_topk",         # brute-force cosine top-k
     "approx_distinct",         # HLL sketch agg

@@ -501,15 +501,26 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star SimHash: 64-bit signature by per-bit token voting,
-    candidate pairs via 8-bit chunk LSH (Hamming-distance blocking),
-    verified by exact Hamming distance <= 7.
+    candidate pairs via 16-bit chunk LSH (Hamming-distance blocking),
+    verified by exact Hamming distance <= 3.
 
     All signature math is JVM higher-order expressions over the token
-    array; the chunk join is the standard pigeonhole trick, and here the
-    accept threshold matches the blocking guarantee EXACTLY: 8 chunks of
-    8 bits mean any pair at distance <= 7 shares at least one identical
+    array; the chunk join is the standard pigeonhole trick, and the
+    accept threshold matches the blocking guarantee EXACTLY: 4 chunks of
+    16 bits mean any pair at distance <= 3 shares at least one identical
     chunk, so recall within the accepted distance is 1.0 (no silent
-    blocking/verification mismatch)."""
+    blocking/verification mismatch).
+
+    Chunk width is the scale lever: random signatures fill chunk buckets
+    UNIFORMLY, so per-lane bucket size is ~n/2^width and candidate pairs
+    grow as n²/2^width — 8-bit chunks (256 buckets) went quadratic by
+    10⁵ docs (measured 64 s at sf0.1), while 16-bit chunks (65 536
+    buckets) keep candidates near-linear far past it.  Capping hot
+    buckets can't rescue narrow chunks here (unlike MinHash, where only
+    boilerplate clusters — simhash buckets are ALL equally full); width
+    is the knob.  The distance budget shrinks with the chunk count
+    (pigeonhole), which suits simhash: near-dup texts differ in a few
+    token votes, landing well under distance 4."""
     docs = table(spark, sf_dir, "documents")
     # hash each token ONCE; the 64 bit-lanes then read bits of the long
     # (inlining xxhash64 into the per-bit aggregate would hash every
@@ -535,11 +546,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bits",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
+                F.sequence(F.lit(0), F.lit(3)),
                 lambda cch: F.struct(
                     cch.alias("chunk_id"),
                     F.aggregate(
-                        F.slice(F.col("bits"), cch * 8 + 1, 8),
+                        F.slice(F.col("bits"), cch * 16 + 1, 16),
                         F.lit(0),
                         lambda acc, x: acc * 2 + x,
                     ).alias("chunk_val"),
@@ -567,7 +578,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("long").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 7)
+        .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
 
