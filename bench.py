@@ -116,6 +116,8 @@ HEADLINE = (
     "discount_band_unpivot",   # wide->long melt of the band pivot
     "dq_orders_report",        # N constraints in one aggregation pass
     "purchase_streak_islands",  # gaps-and-islands, one co-keyed shuffle
+    "transition_triangles",    # graph-motif two-hop self-join
+    "lang_source_rollcall",    # sorted string_agg collection aggregate
 )
 
 

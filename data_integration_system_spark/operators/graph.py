@@ -164,3 +164,73 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(F.col("node").alias("event_type"), "rank_e9").orderBy(
         F.col("rank_e9").desc(), "event_type"
     )
+
+
+@query(
+    "transition_triangles",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), e AS (
+      SELECT DISTINCT least(event_type, next_type) AS u,
+             greatest(event_type, next_type) AS v
+      FROM o WHERE next_type IS NOT NULL AND event_type <> next_type
+    )
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ORDER BY a, b, c
+    """,
+)
+def transition_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle motifs in the (undirected) event-type transition graph:
+    ordered triples (a < b < c) whose three edges all exist — the
+    graph-motif shape (clustering-coefficient numerators, community
+    cores) expressed as a two-hop self-join closed by an edge check.
+
+    Derives its edge set from the SAME per-user lead() window as
+    `event_type_transitions`/`event_type_pagerank`, collapsed to
+    distinct unordered pairs, so the graph family agrees on the graph.
+
+    Scale shape: the fact reduces to the distinct edge relation first
+    (map-side combined); the motif join then runs on |edges| rows —
+    with edges canonically ordered (u < v), every triangle appears
+    exactly once, no post-hoc dedup.  On big graphs the standard
+    refinement (order vertices by degree before the two-hop join)
+    drops in here without changing the contract."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(
+        F.col("next_type").isNotNull()
+        & (F.col("event_type") != F.col("next_type"))
+    )
+    e = (
+        o.select(
+            F.least("event_type", "next_type").alias("u"),
+            F.greatest("event_type", "next_type").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # three join sides, one derivation
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .orderBy("a", "b", "c")
+    )

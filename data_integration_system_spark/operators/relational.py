@@ -1179,3 +1179,38 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report.orderBy("check_name")
+
+
+@query(
+    "lang_source_rollcall",
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_source_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate: the sorted, comma-joined roster of sources
+    per language — the "which feeds contribute here" report, and the
+    registry's one STRING-valued aggregate (list outputs must leave as
+    joined strings: array columns crash the driver's canonicalizer, the
+    round-1 lesson).
+
+    Spark spells it array_join(array_sort(collect_set())); DuckDB
+    string_agg(DISTINCT ... ORDER BY) — identical strings because both
+    sort the distinct set before joining.
+
+    Scale shape: one lang-keyed shuffle; collect_set partials merge
+    map-side and the set is bounded by |sources|, not rows."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -107,6 +107,8 @@ _DRIVER_HEAD: list[str] = [
     "discount_band_unpivot",
     "dq_orders_report",
     "purchase_streak_islands",
+    "transition_triangles",
+    "lang_source_rollcall",
     # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
     # round" #2) — §2B heart first:
     "dedup_exact",
@@ -164,11 +166,13 @@ _DRIVER_HEAD: list[str] = [
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The 30 queries added in round 5
+#: of _DRIVER_HEAD when updating it). The 32 queries added in round 5
 #: displaced these from the 50-slot window (the §2C exact tier's tail,
 #: then the rows-only r3 tier), so their latest driver row will be 3
 #: rounds old by r6. Ordered by displacement time, most recent first:
 _NEXT_ROTATION_FIRST: list[str] = [
+    "dedup_ngram_jaccard",
+    "contamination_check",
     "sample_stratified",
     "text_normalize",
     "group_quantiles",

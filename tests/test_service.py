@@ -309,3 +309,23 @@ def test_query_cli_list_and_oracle(capsys):
     assert "l_returnflag" in out and "SELECT" in out
 
     assert main(["no_such_query"]) == 2
+
+
+def test_driver_rotation_bookkeeping_consistent():
+    """Rotation invariants: every registered rotation name resolves (the
+    registry already raises on typos), every _NEXT_ROTATION_FIRST entry
+    is genuinely OUTSIDE the 50-slot driver window (an in-window entry
+    means the queue is stale), and the window is exactly full."""
+    from data_integration_system_spark.registry import (
+        _DRIVER_HEAD,
+        _NEXT_ROTATION_FIRST,
+        get_queries,
+    )
+
+    names = list(get_queries())
+    window = set(names[:50])
+    assert len(names) >= 50
+    inside = [n for n in _NEXT_ROTATION_FIRST if n in window]
+    assert not inside, f"queued for next round but still sampled now: {inside}"
+    assert len(set(_DRIVER_HEAD)) == len(_DRIVER_HEAD)  # no duplicate pins
+    assert len(set(_NEXT_ROTATION_FIRST)) == len(_NEXT_ROTATION_FIRST)
