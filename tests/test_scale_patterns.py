@@ -653,3 +653,47 @@ def test_register_bucketed_survives_catalog_loss(spark, tmp_path):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_semi_join_chain_shuffle_free(spark, tmp_path):
+    """The curate.py 100 TB claim, executed: with the corpus and the
+    per-stage survivor id-relations all bucketed on doc_id, the chained
+    LEFT SEMI intersection plans ZERO Exchange — the whole curation
+    composition rides the layout."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.pipeline.bucketize import cobucket
+
+    for t in ("docs_cb", "q_ids_cb", "d_ids_cb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = table(spark, SF, "documents")
+    quality_ids = docs.filter(F.col("n_chars") > 100).select("doc_id")
+    dedup_ids = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id")
+    cobucket(
+        spark,
+        [
+            (docs, "docs_cb", "docs", ["doc_id"]),
+            (quality_ids, "q_ids_cb", "q_ids", ["doc_id"]),
+            (dedup_ids, "d_ids_cb", "d_ids", ["doc_id"]),
+        ],
+        n_buckets=8,
+        base_path=str(tmp_path),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        curated = (
+            spark.table("docs_cb")
+            .join(spark.table("q_ids_cb"), "doc_id", "left_semi")
+            .join(spark.table("d_ids_cb"), "doc_id", "left_semi")
+        )
+        assert shuffle_count(curated) == 0
+        assert sortmerge_join_count(curated) == 2
+        want = (
+            docs.join(quality_ids, "doc_id", "left_semi")
+            .join(dedup_ids, "doc_id", "left_semi")
+            .count()
+        )
+        assert curated.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
