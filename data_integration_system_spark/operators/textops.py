@@ -1284,13 +1284,17 @@ def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("co"))
     ).localCheckpoint(eager=False)  # feeds both the total and the report
     nb = bc.agg(F.sum("co").cast("long").alias("nb"))
-    a = uc.select(F.col("tok").alias("_w1"), F.col("c").alias("c1"))
-    b = uc.select(F.col("tok").alias("_w2"), F.col("c").alias("c2"))
+    # apply the support floor BEFORE broadcasting: the hapax tail is
+    # most of any vocabulary (Heaps' law) and every one of those rows
+    # would be shipped to all executors twice just to be discarded;
+    # the inner joins then enforce c >= 5 by construction
+    uc5 = uc.filter(F.col("c") >= 5)
+    a = uc5.select(F.col("tok").alias("_w1"), F.col("c").alias("c1"))
+    b = uc5.select(F.col("tok").alias("_w2"), F.col("c").alias("c2"))
     return (
         bc.filter(F.col("co") >= 3)
         .join(F.broadcast(a), F.col("w1") == F.col("_w1"))
         .join(F.broadcast(b), F.col("w2") == F.col("_w2"))
-        .filter((F.col("c1") >= 5) & (F.col("c2") >= 5))
         .crossJoin(F.broadcast(nb))
         .select(
             "w1",

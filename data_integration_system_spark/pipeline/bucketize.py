@@ -61,7 +61,6 @@ def write_bucketed(
 
 
 def cobucket(
-    spark: SparkSession,
     tables: list[tuple[DataFrame, str, str, list[str]]],
     n_buckets: int,
     base_path: str,
@@ -103,6 +102,10 @@ def register_bucketed(
     match what `write_bucketed` used (same cols, same count) — Spark
     trusts the DDL, so a mismatched re-registration silently mis-reads
     bucket membership.  Idempotent: an existing entry is replaced."""
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+        # same invariant write_bucketed enforces — Spark trusts this DDL,
+        # so a drifted spec silently mis-reads bucket membership
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     schema = spark.read.parquet(path).schema
     cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     sort = sort_cols or bucket_cols

@@ -55,8 +55,9 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     Returns long-form (check_name, n_rows, n_violations) — a NULL
     predicate result counts as a violation."""
     aggs = [
-        F.sum(
-            F.when(c.passes.isNull() | ~c.passes, 1).otherwise(0)
+        F.coalesce(  # empty input: 0 violations, not NULL (gate() compares)
+            F.sum(F.when(c.passes.isNull() | ~c.passes, 1).otherwise(0)),
+            F.lit(0),
         ).cast("long").alias(c.name)
         for c in checks
     ]
@@ -87,11 +88,17 @@ def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 def foreign_key_violations(
     child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    """Orphaned child keys: DISTINCT child keys with no parent — the
-    referential-integrity check as a left-anti join on the reduced
-    child-key grain (dedup BEFORE the join: the anti-join moves
-    |distinct keys|, not |child rows|)."""
-    ck = child.select(F.col(child_key).alias(child_key)).distinct()
+    """Orphaned child keys: DISTINCT non-NULL child keys with no parent
+    — the referential-integrity check as a left-anti join on the
+    reduced child-key grain (dedup BEFORE the join: the anti-join moves
+    |distinct keys|, not |child rows|).  NULL child keys are NOT
+    orphans (SQL FK semantics ignore them — flagging NULLs is
+    `not_null`'s job)."""
+    ck = (
+        child.select(F.col(child_key).alias(child_key))
+        .filter(F.col(child_key).isNotNull())
+        .distinct()
+    )
     pk = parent.select(F.col(parent_key).alias(parent_key))
     return ck.join(pk, ck[child_key] == pk[parent_key], "left_anti")
 

@@ -223,7 +223,9 @@ def snapshot_diff(
     status = (
         F.when(F.col("_k").isNull(), "ADDED")
         .when(F.col(key).isNull(), "DELETED")
-        .when(F.col("_old_hash") == F.col("_new_hash"), "UNCHANGED")
+        # null-safe: a key whose hash is NULL in BOTH versions is
+        # unchanged, not CHANGED (plain == yields NULL there)
+        .when(F.col("_old_hash").eqNullSafe(F.col("_new_hash")), "UNCHANGED")
         .otherwise("CHANGED")
     )
     return j.select(

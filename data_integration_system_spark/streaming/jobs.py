@@ -615,7 +615,15 @@ def retention_sink(
     the same user landing in multiple batches of one week collapses).
     An incremental_report_sink instance — note the ledger here is
     distinct-keyed rather than summed, which the generic pattern admits
-    because the report's first step is itself the de-duplicator."""
+    because the report's first step is itself the de-duplicator.
+
+    Schema note: the ``week`` grain column became TIMESTAMP in round 5
+    (was DATE — timestamps are the driver-proven time-grain class).  A
+    ledger written before that change mixes the two types across
+    batch dirs and fails parquet schema merge on the next trigger:
+    migrate by rewriting old batch dirs with ``week`` cast to
+    TIMESTAMP (or start a fresh ledger; the grain is re-derivable from
+    the raw stream)."""
     from data_integration_system_spark.operators.windows import (
         retention_grain,
         retention_report,

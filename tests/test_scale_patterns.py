@@ -518,7 +518,6 @@ def test_cobucket_api_join_and_agg_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     n = 8
     cobucket(
-        spark,
         [
             (table(spark, SF, "lineitem"), "li_cb", "lineitem", ["l_orderkey"]),
             (table(spark, SF, "orders"), "o_cb", "orders", ["o_orderkey"]),
@@ -625,7 +624,6 @@ def test_register_bucketed_survives_catalog_loss(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     n = 8
     cobucket(
-        spark,
         [
             (table(spark, SF, "lineitem"), "li_rb", "lineitem", ["l_orderkey"]),
             (table(spark, SF, "orders"), "o_rb", "orders", ["o_orderkey"]),
@@ -670,7 +668,6 @@ def test_bucketed_semi_join_chain_shuffle_free(spark, tmp_path):
     quality_ids = docs.filter(F.col("n_chars") > 100).select("doc_id")
     dedup_ids = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id")
     cobucket(
-        spark,
         [
             (docs, "docs_cb", "docs", ["doc_id"]),
             (quality_ids, "q_ids_cb", "q_ids", ["doc_id"]),
