@@ -621,9 +621,9 @@ def retention_sink(
     (was DATE — timestamps are the driver-proven time-grain class).  A
     ledger written before that change mixes the two types across
     batch dirs and fails parquet schema merge on the next trigger:
-    migrate by rewriting old batch dirs with ``week`` cast to
-    TIMESTAMP (or start a fresh ledger; the grain is re-derivable from
-    the raw stream)."""
+    migrate with ``migrate_ledger_column(spark, ledger_path, "week",
+    "timestamp")`` (or start a fresh ledger; the grain is re-derivable
+    from the raw stream)."""
     from data_integration_system_spark.operators.windows import (
         retention_grain,
         retention_report,
@@ -673,3 +673,37 @@ def dq_report(ledger: DataFrame) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+def migrate_ledger_column(
+    spark: SparkSession, ledger_path: str, col: str, to_type: str
+) -> int:
+    """Rewrite every batch dir of an incremental_report_sink ledger with
+    ``col`` cast to ``to_type``; returns the number of dirs rewritten.
+
+    The upgrade path for grain-schema type changes (concretely: the
+    retention grain's ``week`` DATE→TIMESTAMP move in round 5): a mixed
+    ledger fails parquet schema merge on the next trigger, and
+    compact_ledger can't run because IT reads the mixed ledger too.
+    Per-dir rewrite sidesteps the merge: each batch dir is
+    self-consistent, so read→cast→overwrite works dir by dir.  Run at a
+    stream checkpoint boundary (stopped stream), like compact_ledger."""
+    from data_integration_system_spark.pipeline.fsutil import hadoop_path
+
+    p, fs = hadoop_path(spark, ledger_path)
+    if not fs.exists(p):
+        return 0
+    rewritten = 0
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        d = f"{ledger_path}/{name}"
+        batch = spark.read.parquet(d)
+        if dict(batch.dtypes).get(col) == to_type:
+            continue  # already migrated — idempotent
+        migrated = batch.withColumn(col, F.col(col).cast(to_type)).localCheckpoint()
+        # materialize BEFORE overwriting the dir being read
+        migrated.write.mode("overwrite").parquet(d)
+        rewritten += 1
+    return rewritten

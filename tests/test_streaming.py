@@ -723,3 +723,37 @@ def test_dq_sink_matches_batch_and_is_idempotent(spark, tmp_path):
     sink(o.filter(F.col("o_orderkey") % 2 == 0), 0)
     again = {tuple(r) for r in read_current(spark, report_root).collect()}
     assert again == got
+
+
+def test_migrate_ledger_column_unifies_mixed_types(spark, tmp_path):
+    """A ledger whose batch dirs disagree on a grain column's type (the
+    round-5 week DATE→TIMESTAMP upgrade) must be readable again after
+    migrate_ledger_column, with the report unchanged modulo the cast;
+    the migration is idempotent."""
+    from data_integration_system_spark.operators.windows import retention_report
+    from data_integration_system_spark.streaming.jobs import migrate_ledger_column
+
+    ledger = str(tmp_path / "ledger")
+    old = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01")], "user_id long, week string"
+    ).select("user_id", F.col("week").cast("date").alias("week"))
+    new = spark.createDataFrame(
+        [(1, "2024-01-08")], "user_id long, week string"
+    ).select("user_id", F.col("week").cast("timestamp").alias("week"))
+    old.write.parquet(f"{ledger}/batch_id=0")
+    new.write.parquet(f"{ledger}/batch_id=1")
+
+    n = migrate_ledger_column(spark, ledger, "week", "timestamp")
+    assert n == 1  # only the DATE dir rewrote
+    assert migrate_ledger_column(spark, ledger, "week", "timestamp") == 0
+
+    merged = (
+        spark.read.option("basePath", ledger)
+        .parquet(ledger)
+        .select("user_id", "week")
+    )
+    rows = {tuple(r) for r in retention_report(merged).collect()}
+    # week1: 2 active, 1 retained into week2
+    import datetime as dt
+
+    assert (dt.datetime(2024, 1, 1), 2, 1, 5000) in rows
