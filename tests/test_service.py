@@ -337,6 +337,8 @@ def test_survey_lists_every_registered_query():
     ship undocumented."""
     from data_integration_system_spark.registry import get_queries
 
-    survey = open("SURVEY.md").read()
+    import pathlib
+
+    survey = (pathlib.Path(__file__).parent.parent / "SURVEY.md").read_text()
     missing = [n for n in get_queries() if n not in survey]
     assert not missing, f"registered but not in SURVEY.md: {missing}"
