@@ -234,3 +234,71 @@ def transition_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b", "c")
     )
+
+
+@query(
+    "transition_degrees",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ), edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outs AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+             CAST(SUM(n) AS BIGINT) AS out_weight
+      FROM edges GROUP BY src
+    ), ins AS (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg,
+             CAST(SUM(n) AS BIGINT) AS in_weight
+      FROM edges GROUP BY dst
+    )
+    SELECT COALESCE(o.node, i.node) AS event_type,
+           COALESCE(out_deg, 0) AS out_deg,
+           COALESCE(out_weight, 0) AS out_weight,
+           COALESCE(in_deg, 0) AS in_deg,
+           COALESCE(in_weight, 0) AS in_weight
+    FROM outs o FULL JOIN ins i ON o.node = i.node
+    ORDER BY event_type
+    """,
+)
+def transition_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the event-type transition graph: distinct
+    out/in neighbors plus weighted out/in flow per node — the first
+    thing a graph audit reads (hubs, sinks, dangling nodes) and the
+    out-weight relation PageRank normalizes by, now surfaced as its
+    own report.
+
+    Derives edges from the canonical `event_type_transitions` window
+    (same derivation as pagerank/triangles, so the graph family can't
+    disagree about the graph), then two tiny |types|-grain aggregations
+    stitched with a FULL join so pure sources (in_deg=0) and pure sinks
+    (out_deg=0) both appear.
+
+    Scale shape: the one real shuffle is the per-user sequence window
+    already inside the shared derivation; everything after runs on the
+    |types|**2-bounded edge relation."""
+    edges = _transition_edges(spark, sf_dir).localCheckpoint(eager=False)
+    outs = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_deg"),
+        F.sum("n").cast("long").alias("out_weight"),
+    )
+    ins = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg"),
+        F.sum("n").cast("long").alias("in_weight"),
+    )
+    return (
+        outs.join(ins, "node", "full")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("out_weight", F.lit(0)).cast("long").alias("out_weight"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("in_weight", F.lit(0)).cast("long").alias("in_weight"),
+        )
+        .orderBy("event_type")
+    )

@@ -1214,3 +1214,46 @@ def lang_source_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "user_modal_event_type",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), m AS (
+      SELECT user_id, max({'n': n, 't': event_type}) AS m
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, m.t AS modal_type, m.n AS n_modal
+    FROM m ORDER BY user_id
+    """,
+)
+def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (the MODE() aggregate, which Spark
+    lacks for grouped tie-controlled use) via the struct-max trick: the
+    max of (n, event_type) pairs is the highest count with ties broken
+    to the lexicographically LARGEST type — one deterministic contract
+    both engines share, no per-group sort.
+
+    Scale shape: two stacked hash aggregations on narrowing grains
+    ((user, type) → user), both map-side combined; compare a window
+    row_number() formulation, which would sort every user's rows.  The
+    same shape is the keep-latest pattern (dedup_keep_latest) applied
+    to a derived count instead of a version column."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    m = F.max(F.struct(F.col("n"), F.col("event_type")))
+    return (
+        counts.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_type").alias("modal_type"),
+            F.col("m.n").alias("n_modal"),
+        )
+        .orderBy("user_id")
+    )

@@ -336,3 +336,149 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact clustering family: quantize once (floor(v * 1e6) as BIGINT),
+# then every downstream sum/mean/distance is associative integer math —
+# engine-identical, so even centroid fitting and cluster assignment get a
+# full value-hash oracle instead of the usual rows-only concession.
+# ---------------------------------------------------------------------------
+
+#: Shared CTE pair: per-(vector, position) quantized elements and the
+#: per-label integer centroids over them.  DuckDB zips parallel unnest()
+#: calls in the same SELECT, which pairs each element with its position
+#: without needing WITH ORDINALITY.
+_CENT_E6_CTES = """
+    ex AS (
+      SELECT label, vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             CAST(FLOOR(CAST(SUM(v_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_e6,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM ex GROUP BY label, pos
+    )
+"""
+
+
+def _centroids_e6(emb: DataFrame) -> DataFrame:
+    """(label, pos, mean_e6, n_vecs): per-label integer centroids.
+
+    Elements quantize to floor(v·1e6) BIGINTs in the scan projection, so
+    the per-(label, pos) SUM is order-independent (unlike a double sum —
+    Spark's partial-agg order differs from DuckDB's morsel order).  The
+    mean divides two exact integers in double precision (both < 2^53, so
+    the IEEE quotient is engine-identical) and floors back to BIGINT."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("v_e6", F.floor(F.col("v").cast("double") * 1000000).cast("long"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v_e6").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("mean_e6"),
+            F.col("n").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "embedding_centroid_per_label",
+    oracle=f"""
+    WITH {_CENT_E6_CTES}
+    SELECT label, CAST(pos AS BIGINT) AS pos, mean_e6, n_vecs
+    FROM cent ORDER BY label, pos
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in quantized integer space — the
+    class-prototype pass behind IVF init (similarity_ivf_topk seeds from
+    label means) and embedding-drift monitoring, emitted at (label, pos)
+    grain because array columns crash the driver's canonicalizer.
+
+    Scale shape: posexplode multiplies rows by dim (64×) BEFORE the
+    shuffle, but the (label, pos) aggregation map-side-combines to
+    |labels|×dim partials per task, so the exchange carries centroids,
+    not elements.  Exact because quantized: see _centroids_e6."""
+    emb = table(spark, sf_dir, "embeddings")
+    return _centroids_e6(emb).orderBy("label", "pos")
+
+
+@query(
+    "kmeans_assign_int",
+    oracle=f"""
+    WITH {_CENT_E6_CTES},
+    dists AS (
+      SELECT e.vec_id, c.label,
+             CAST(SUM((e.v_e6 - c.mean_e6) * (e.v_e6 - c.mean_e6)) AS BIGINT) AS d
+      FROM ex e JOIN cent c USING (pos)
+      GROUP BY e.vec_id, c.label
+    ), best AS (
+      SELECT vec_id, label, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+      FROM dists
+    )
+    SELECT vec_id, label AS assigned_label, d AS sq_dist_e12
+    FROM best WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def kmeans_assign_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd half-step: assign every vector to its nearest
+    per-label integer centroid (squared L2 in e6-quantized space, so the
+    distance is a BIGINT sum — associative, engine-identical, fully
+    oracle-checked where float k-means must settle for rows-only).
+
+    Scale shape: the centroid relation is |labels|×dim — it collapses to
+    ONE broadcast row of (label, centroid-array) structs, and the argmin
+    is an inline zip_with/aggregate expression evaluated inside the scan
+    stage: the corpus is never reshuffled and never exploded (the oracle's
+    ex-join-cent formulation would shuffle rows×dim×k at scale; the plan
+    here is the one you'd run at 100 TB).  Ties break to the lowest
+    label on both engines ((d, label) lexicographic min)."""
+    emb = table(spark, sf_dir, "embeddings")
+    carr = (
+        _centroids_e6(emb)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_e6"))).alias("pm"))
+        .select(
+            "label",
+            F.transform("pm", lambda s: s.getField("mean_e6")).alias("cvec"),
+        )
+    )
+    cents_one = carr.agg(
+        F.collect_list(F.struct("label", "cvec")).alias("cents")
+    )
+    ve = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("ve"),
+                    c.getField("cvec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c.getField("label").alias("label"),
+        ),
+    )
+    best = F.array_min(scored)
+    return (
+        emb.select("vec_id", ve.alias("ve"))
+        .crossJoin(F.broadcast(cents_one))
+        .select(
+            "vec_id",
+            best.getField("label").alias("assigned_label"),
+            best.getField("d").alias("sq_dist_e12"),
+        )
+        .orderBy("vec_id")
+    )

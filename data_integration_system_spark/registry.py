@@ -171,6 +171,14 @@ _DRIVER_HEAD: list[str] = [
 #: then the rows-only r3 tier), so their latest driver row will be 3
 #: rounds old by r6. Ordered by displacement time, most recent first:
 _NEXT_ROTATION_FIRST: list[str] = [
+    # NEW late in round 5, after the 50-slot window was already full of
+    # never-sampled round-5 queries — never driver-checked, so they lead
+    # round 6 ahead of every refresh:
+    "transition_degrees",
+    "embedding_centroid_per_label",
+    "kmeans_assign_int",
+    "user_modal_event_type",
+    # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
     "sample_stratified",
