@@ -1,0 +1,125 @@
+"""Executed-plan metrics (plans/metrics.py) and physical layout
+(pipeline/layout.py): pin the scale facts only execution can show —
+exchange reuse, map-side combine, stats-based row-group skipping, and
+small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.catalog import table
+from data_integration_system_spark.pipeline.layout import (
+    compact_snapshot,
+    write_clustered,
+)
+from data_integration_system_spark.pipeline.snapshots import (
+    list_versions,
+    read_current,
+    write_snapshot,
+)
+from data_integration_system_spark.plans.metrics import (
+    collect_with_metrics,
+    executed_nodes,
+    metric_sum,
+    node_count,
+    scan_output_rows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_broadcast_join_zero_shuffle_records(spark):
+    """A dim-broadcast join must move ZERO rows over the shuffle wire —
+    the executed `shuffleRecordsWritten` proves the broadcast actually
+    happened at runtime (the formatted plan only promises it)."""
+    orders = table(spark, SF, "orders")
+    cust = table(spark, SF, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    _, nodes = collect_with_metrics(j)
+    assert metric_sum(nodes, "ShuffleExchangeExec", "shuffleRecordsWritten") == 0
+    assert node_count(nodes, "BroadcastHashJoinExec") == 1
+
+
+def test_map_side_combine_shrinks_shuffle(spark):
+    """Partial aggregation must collapse the stream BEFORE the exchange:
+    rows written to the shuffle = |groups × map tasks| partials, orders
+    of magnitude below the scanned row count.  This is the executed-plan
+    proof behind every 'map-side combined' claim in the operator
+    docstrings."""
+    ev = table(spark, SF, "events")
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    _, nodes = collect_with_metrics(agg)
+    scanned = scan_output_rows(nodes, "events.parquet")
+    shuffled = metric_sum(nodes, "ShuffleExchangeExec", "shuffleRecordsWritten")
+    assert scanned >= 1000
+    assert 0 < shuffled < scanned / 5
+
+
+def test_dup_rate_reuses_grain_exchange(spark):
+    """dup_rate_by_source consumes the (hash, source) grain twice (per-
+    hash counts + join-back).  The formatted plan shows two scans; the
+    EXECUTED plan must show AQE materializing the exchange once and
+    reusing it — the single-computation claim from the round-5 notes,
+    pinned where it is actually visible."""
+    from data_integration_system_spark.operators.dedup import dup_rate_by_source
+
+    df = dup_rate_by_source(spark, SF)
+    df.collect()
+    nodes = executed_nodes(df)
+    assert node_count(nodes, "ReusedExchangeExec") >= 1
+
+
+def test_clustered_write_skips_row_groups(spark, tmp_path):
+    """write_clustered = range files + sorted row groups + bounded
+    row-group size: a selective range filter must read a small fraction
+    of the table (parquet min/max stats skipping), while the same filter
+    over an unclustered copy reads everything.  THE layout lever at
+    100 TB: same query, same plan shape, ~10x less IO."""
+    ev = table(spark, SF, "events")
+    total = ev.count()
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(ev, clustered, ["user_id"], n_files=4, rowgroup_bytes=64 * 1024)
+    ev.repartition(4).write.option("parquet.block.size", 64 * 1024).parquet(plain)
+
+    pred = (F.col("user_id") >= 10) & (F.col("user_id") <= 20)
+
+    q = spark.read.parquet(clustered).filter(pred)
+    q.collect()
+    clustered_rows = scan_output_rows(executed_nodes(q), "clustered")
+
+    p = spark.read.parquet(plain).filter(pred)
+    p.collect()
+    plain_rows = scan_output_rows(executed_nodes(p), "plain")
+
+    assert plain_rows == total  # no clustering -> stats too wide to skip
+    assert clustered_rows < total * 0.5
+    assert clustered_rows < plain_rows
+    # correctness unchanged by layout
+    assert q.count() == p.count() == ev.filter(pred).count()
+
+
+def test_compact_snapshot_merges_small_files(spark, tmp_path):
+    """A fragmented snapshot (one file per shuffle partition) compacts
+    into ~target-sized files as a NEW manifest-committed version: same
+    rows, fewer files, old version still time-travelable, second run a
+    no-op."""
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").repartition(32)
+    write_snapshot(ev, root)
+    n_before = len(glob.glob(f"{root}/v000001/*.parquet"))
+    assert n_before >= 30
+
+    report = compact_snapshot(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert report["compacted"] is True
+    assert report["n_files_after"] < n_before
+    assert read_current(spark, root).count() == ev.count()
+    assert list_versions(spark, root) == ["v000001", "v000002"]
+
+    again = compact_snapshot(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert again["compacted"] is False  # idempotent: already at target
