@@ -1087,3 +1087,80 @@ def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count("*").cast("long").alias("n_shared_hashes"))
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t
+    ), fs AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS novelty_e4
+    FROM sh JOIN fs USING (s)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty yield: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    doc — the marginal-contribution curve dedup pipelines use to decide
+    what an ingest batch actually added (a doc with novelty_e4 ~ 0 is
+    pure boilerplate/duplication even if no single pair-wise match
+    fires).
+
+    Same token/shingle derivation as dedup_ngram_jaccard; Spark-side
+    set keys are xxhash64 longs (cheap equality; collisions perturb
+    counts with p ~ n²/2⁻⁶⁴ — negligible), the oracle groups the raw
+    strings.
+
+    Scale shape: explode to the (doc, shingle) grain, one shuffle on
+    the shingle key for the min-doc aggregation, and AQE reuses that
+    exchange for the join-back (the dup_rate_by_source pattern); the
+    final per-doc rollup map-side-combines.  No pair-wise anything —
+    this is linear in corpus shingles where the Jaccard family is
+    blocked-quadratic."""
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_shingles(_tokens(F.col("text"))))
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=False)  # one derivation, two consumers
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 10000 div n_shingles").cast("long").alias("novelty_e4"),
+        )
+        .orderBy("doc_id")
+    )

@@ -302,3 +302,104 @@ def transition_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BFS_MAX_HOPS = 4
+
+
+def _reachability_oracle() -> str:
+    """The same min-plus BFS, unrolled into chained CTEs — like the
+    PageRank oracle, iterative yet fully value-hash-checked (hop counts
+    are integers; min is associative)."""
+    parts = [
+        """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), d0 AS (
+      SELECT src, dst, MIN(hops) AS hops FROM (
+        SELECT node AS src, node AS dst, CAST(0 AS BIGINT) AS hops FROM nodes
+        UNION ALL
+        SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+      ) GROUP BY src, dst
+    )"""
+    ]
+    for k in range(1, _BFS_MAX_HOPS):
+        parts.append(
+            """,
+    d{k} AS (
+      SELECT src, dst, MIN(hops) AS hops FROM (
+        SELECT src, dst, hops FROM d{prev}
+        UNION ALL
+        SELECT d.src, e.dst, d.hops + 1
+        FROM d{prev} d JOIN edges e ON e.src = d.dst
+      ) GROUP BY src, dst
+    )""".format(k=k, prev=k - 1)
+        )
+    parts.append(
+        f"""
+    SELECT src, dst, hops FROM d{_BFS_MAX_HOPS - 1} ORDER BY src, dst
+    """
+    )
+    return "".join(parts)
+
+
+@query("transition_reachability", oracle=_reachability_oracle())
+def transition_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS reachability: minimum hop count (<= 4) between
+    every reachable (src, dst) pair of event types — the crawler's BFS
+    frontier expansion (reference crawler_core.py:149-294, depth-capped
+    fan-out) restated as a query over the transition graph, and the
+    third iterative operator with a FULL value-hash oracle (integer
+    min-plus unrolls into chained CTEs exactly like PageRank's
+    power method).
+
+    Scale shape: each round is one self-sized join on the frontier
+    relation plus a min-combine keyed on (src, dst) — the relation is
+    bounded by |types|² here and by reachable-pairs in general; the
+    depth cap bounds rounds the way max_depth bounds the crawl.
+    localCheckpoint cuts the iterative lineage per round."""
+    edges = (
+        _transition_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    d = (
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .unionByName(edges.select("src", "dst", F.lit(1).cast("long").alias("hops")))
+        .groupBy("src", "dst")
+        .agg(F.min("hops").alias("hops"))
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_MAX_HOPS - 1):
+        dd, ee = d.alias("d"), edges.alias("e")
+        step = dd.join(ee, F.col("d.dst") == F.col("e.src")).select(
+            F.col("d.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            (F.col("d.hops") + 1).alias("hops"),
+        )
+        d = (
+            d.unionByName(step)
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return d.orderBy("src", "dst")

@@ -178,6 +178,8 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "embedding_centroid_per_label",
     "kmeans_assign_int",
     "user_modal_event_type",
+    "doc_ngram_novelty",
+    "transition_reachability",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
