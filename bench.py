@@ -118,6 +118,10 @@ HEADLINE = (
     "purchase_streak_islands",  # gaps-and-islands, one co-keyed shuffle
     "transition_triangles",    # graph-motif two-hop self-join
     "lang_source_rollcall",    # sorted string_agg collection aggregate
+    # round-5 late additions
+    "kmeans_assign_int",       # broadcast-centroid inline argmin assignment
+    "doc_ngram_novelty",       # linear shingle first-seen yield curve
+    "transition_reachability",  # min-plus BFS rounds on the type graph
 )
 
 

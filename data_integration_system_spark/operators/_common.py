@@ -60,3 +60,17 @@ def drop_hot_keys(df, key_cols: list[str], cap: int):
         .select(*key_cols)
     )
     return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def parallelize_scan(df):
+    """CPU-bound small-input guard: if the scan yields fewer partitions
+    than the cluster has cores (tiny/unsplittable files — a parquet file
+    is splittable only at row-group boundaries), round-robin repartition
+    so heavy per-row expression work (shingling, hashing, regex) uses
+    every core.  The shuffled payload is the SMALL input itself, paid
+    once, before the expensive projection multiplies it.  At corpus
+    scale the scan already arrives in many splits and this no-ops."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -222,7 +222,12 @@ def _minhash_sig(base_hash_col):
     )
 
 
-def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = False,
+) -> DataFrame:
     """(doc_id, shingles: array<long>) — distinct k-word shingles as
     64-bit xxhash64 values, hashed in the SAME pass that forms them.
 
@@ -238,7 +243,19 @@ def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     aliases (CollapseProject), so feeding it the raw `split(text)`
     expression re-splits the document per reference — O(n²) per doc.
     The localCheckpoint is the evaluation barrier that keeps each stage
-    once-per-row (measured 7 s -> <1 s at sf0.1 for this stage alone)."""
+    once-per-row (measured 7 s -> <1 s at sf0.1 for this stage alone).
+
+    ``spread=True`` repartitions the input across cores first
+    (parallelize_scan) — worth it only when the downstream consumer is
+    heavy per-row (the index builds opt in); with the barriers in place
+    the derivation itself is light, and for ordinary callers 32-way
+    task scheduling costs MORE than it saves (measured: contamination
+    0.65 s -> 1.2 s, index probes 1.9 s -> 3.8 s with an unconditional
+    spread)."""
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    if spread:
+        docs = parallelize_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
     ).localCheckpoint()
@@ -358,13 +375,20 @@ def build_minhash_index(
     quadratic bucket.  ``{index}/meta`` records n_buckets so build and
     query can't silently disagree on the partitioning."""
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs)
+    # spread=True: the 32-lane signature pass over the full corpus is
+    # the build's CPU bill — worth the one small-input repartition
+    sh = shingle_sets(docs, spread=True)
     bands = minhash_bands(docs, shingles_df=sh)
     if max_bucket is not None:
         bands = drop_hot_keys(bands, ["band_id", "band_hash"], max_bucket)
     (
         bands.join(sh, "doc_id")
         .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
+        # cluster by the partition column before the partitioned write:
+        # without it every upstream task writes a sliver into every
+        # bucket dir (tasks × buckets files) and probe latency pays the
+        # file-count tax — one bucket-keyed shuffle buys 1 file/bucket
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/bands")
@@ -521,7 +545,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the knob.  The distance budget shrinks with the chunk count
     (pigeonhole), which suits simhash: near-dup texts differ in a few
     token votes, landing well under distance 4."""
-    docs = table(spark, sf_dir, "documents")
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    # 64-lane bit voting is CPU-bound: spread the unsplittable small scan
+    # across cores before it (serial otherwise — documents is one file)
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     # hash each token ONCE; the 64 bit-lanes then read bits of the long
     # (inlining xxhash64 into the per-bit aggregate would hash every
     # token 64 times — same trap as the naive minhash, see _minhash_sig)
@@ -1135,14 +1163,13 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is linear in corpus shingles where the Jaccard family is
     blocked-quadratic."""
     docs = table(spark, sf_dir, "documents")
+    # shingle_sets, not a raw explode projection: its token-stage
+    # barrier is what keeps shingling O(n) per doc (CollapseProject
+    # would re-split the text per shingle reference — measured 8 s vs
+    # 0.7 s at sf0.1); spread=True parallelizes the corpus-wide pass
     sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(_shingles(_tokens(F.col("text"))))
-            ).alias("s"),
-        )
-        .select("doc_id", F.xxhash64("s").alias("h"))
+        shingle_sets(docs, spread=True)
+        .select("doc_id", F.explode("shingles").alias("h"))
         .localCheckpoint(eager=False)  # one derivation, two consumers
     )
     first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))

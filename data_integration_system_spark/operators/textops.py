@@ -195,7 +195,10 @@ def doc_fingerprints_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnow_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
 ) -> DataFrame:
     """Winnowing fingerprint relation of ANY document DataFrame:
     (doc_id, fp_hash), k=5-token shingle hashes, min per w=4 window."""
@@ -203,7 +206,14 @@ def winnow_fingerprints(
     # tokens staged first: `element_at(tokens_of(text), …)` would re-split
     # the document per shingle position after CollapseProject inlining —
     # O(n²) per doc (same trap as dedup.shingle_sets; localCheckpoint is
-    # the evaluation barrier).
+    # the evaluation barrier).  parallelize_scan first (unless the
+    # caller passes spread=False for tiny probe sets): the rolling
+    # hash+min windows are CPU-bound and a small corpus file is one
+    # unsplittable partition.
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    if spread:
+        docs = parallelize_scan(docs)
     td = docs.select(
         F.col(id_col).alias("doc_id"), tokens_of(text_col).alias("toks")
     ).localCheckpoint()
@@ -372,6 +382,9 @@ def build_fingerprint_index(
         fp.withColumn(
             "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
         )
+        # cluster by the partition column first: 1 file per bucket, not
+        # tasks × buckets slivers (the probe-side file-count tax)
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/fps")
@@ -400,7 +413,7 @@ def query_fingerprint_index(
     tests)."""
     n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
     qfp = (
-        winnow_fingerprints(query_docs, text_col, id_col)
+        winnow_fingerprints(query_docs, text_col, id_col, spread=False)
         .withColumn("bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int"))
         .localCheckpoint()  # freezes the probe list for the collect
     )

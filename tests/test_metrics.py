@@ -123,3 +123,49 @@ def test_compact_snapshot_merges_small_files(spark, tmp_path):
 
     again = compact_snapshot(spark, root, target_file_bytes=64 * 1024 * 1024)
     assert again["compacted"] is False  # idempotent: already at target
+
+
+def test_kmeans_assignment_no_corpus_shuffle(spark):
+    """kmeans_assign_int's scale claim: the corpus side is never
+    shuffle-joined — centroids collapse to one broadcast row and the
+    argmin is inline.  Pin: the only join is the broadcast nested-loop
+    attach, no SortMergeJoin, and the exchanges belong to the
+    |labels|x|dim| centroid derivation (+ the final presentation sort),
+    never the corpus."""
+    from data_integration_system_spark.operators.similarity import (
+        kmeans_assign_int,
+    )
+    from data_integration_system_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+        sortmerge_join_count,
+    )
+
+    df = kmeans_assign_int(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert sortmerge_join_count(df) == 0
+    assert shuffle_count(df) <= 4
+
+
+def test_novelty_shuffle_volume_stays_linear(spark):
+    """doc_ngram_novelty's scale claim is linearity: nothing pair-wise.
+    Executed pin: the TOTAL rows crossing any shuffle wire stay below
+    TWO passes over the exploded shingle grain (the theoretical shape is
+    one combined agg pass + one join-back pass; any pair blowup would be
+    orders of magnitude above it).  Scale-invariant where an
+    exchange-reuse pin is not — at sf0.001 AQE legitimately broadcasts
+    the checkpointed shingle side instead of reusing its exchange."""
+    from data_integration_system_spark.operators.dedup import doc_ngram_novelty
+
+    df = doc_ngram_novelty(spark, SF)
+    df.collect()
+    nodes = executed_nodes(df)
+    shingle_grain = max(
+        n.metrics.get("numOutputRows", 0)
+        for n in nodes
+        if n.cls == "RDDScanExec"  # the checkpointed (doc, hash) relation
+    )
+    total_shuffled = metric_sum(nodes, "ShuffleExchangeExec", "shuffleRecordsWritten")
+    assert shingle_grain > 10_000
+    assert 0 < total_shuffled < 2 * shingle_grain
