@@ -1191,3 +1191,64 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("minhash_jaccard_error", oracle=None)
+def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-calibration harness: for every LSH candidate
+    pair, the signature-agreement estimate of Jaccard (matching lanes /
+    32) next to the EXACT shingle Jaccard — the evaluation loop that
+    justifies the near-dup threshold before anyone trusts the index at
+    corpus scale (sibling of similarity_recall_at_k for ANN and
+    percentile_approx_check for sketches).
+
+    Emits (doc_a, doc_b, est_e4, exact_e4, abs_err_e4) as e4-scaled
+    integers.  Rows-only: the estimator operand is xxhash64-derived.
+    Tests pin the mean absolute error under the binomial bound
+    (sigma = sqrt(J(1-J)/32) <= 0.088), so a signature-pipeline
+    regression that decalibrates the estimator fails CI.
+
+    Scale shape: candidates come from the capped banded self-join
+    (never all pairs); signatures and shingle sets are computed once
+    (shared shingle_sets relation) and joined back by doc id — two
+    broadcast-or-shuffle joins on the candidate relation, which is
+    near-linear in docs by the LSH design."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, spread=True)
+    sig = sh.select(
+        "doc_id", _minhash_sig(F.col("shingles")).alias("sig")
+    ).localCheckpoint()
+    pairs = lsh_candidate_pairs(minhash_bands(docs, shingles_df=sh))
+    payload = sh.join(sig, "doc_id")
+    pa = payload.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    pb = payload.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    est = F.expr(f"m * 10000 div {_N_HASHES}")
+    exact = F.expr("i * 10000 div u")
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("m"), inter.alias("i"), union.alias("u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_e4"),
+            exact.alias("exact_e4"),
+            F.abs(est - exact).cast("long").alias("abs_err_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -929,3 +929,61 @@ def purchase_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_type_daily_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '1970-01-01',
+                       CAST(date_trunc('day', ts) AS TIMESTAMP)) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                ELSE (n_days * sxy - sx * sy) * 1000000
+                     // (n_days * sxx - sx * sx) END AS BIGINT) AS slope_e6
+    FROM s ORDER BY event_type
+    """,
+)
+def event_type_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend: the least-squares slope of daily event
+    counts over day index, in pure BIGINT arithmetic — the monitoring
+    primitive behind "is this event type growing or dying", exactly
+    oracle-checked because every sum is integer (slope_e6 =
+    (n·Σxy − ΣxΣy)·10⁶ // (n·Σxx − Σx²); single-day types yield NULL
+    on both engines via the zero denominator guard).
+
+    Scale shape: two stacked map-side-combined aggregations on
+    narrowing grains ((type, day) → type) — the user_modal shape with
+    regression sums instead of a struct-max; no window, no sort."""
+    ev = table(spark, sf_dir, "events")
+    x = F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp")).cast("long")
+    d = ev.groupBy("event_type", x.alias("x")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n_days",
+        F.when(den != 0, F.expr(
+            "(n_days * sxy - sx * sy) * 1000000 div (n_days * sxx - sx * sx)"
+        )).cast("long").alias("slope_e6"),
+    ).orderBy("event_type")

@@ -180,6 +180,8 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "user_modal_event_type",
     "doc_ngram_novelty",
     "transition_reachability",
+    "minhash_jaccard_error",
+    "event_type_daily_trend",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",

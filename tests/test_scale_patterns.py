@@ -694,3 +694,21 @@ def test_bucketed_semi_join_chain_shuffle_free(spark, tmp_path):
         assert curated.count() == want > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_minhash_estimator_calibration(spark):
+    """minhash_jaccard_error's reason to exist: the 32-lane signature
+    estimate must track exact Jaccard within the binomial error bound.
+    Pin mean |err| <= 2 sigma_max (sigma_max = sqrt(0.25/32) ~ 0.088,
+    e4-scaled 884 -> 1768) and every estimate in [0, 1] — a signature-
+    pipeline regression (wrong lane count, broken remix) decalibrates
+    and fails this long before a correctness test notices."""
+    from data_integration_system_spark.operators.dedup import (
+        minhash_jaccard_error,
+    )
+
+    rows = minhash_jaccard_error(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 5  # the synthetic corpus has near-dup pairs
+    assert all(0 <= r.est_e4 <= 10_000 and 0 <= r.exact_e4 <= 10_000 for r in rows)
+    mean_err = sum(r.abs_err_e4 for r in rows) / len(rows)
+    assert mean_err <= 1768, f"estimator decalibrated: mean |err| {mean_err}"
