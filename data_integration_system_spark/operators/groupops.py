@@ -75,3 +75,68 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_totalprice", "o_orderkey"
     )
     return o.groupBy("o_orderpriority").applyInPandas(_disc_quantiles, _OUT_SCHEMA)
+
+
+_EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_e2 bigint"
+
+
+def _ewma_int(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential integer EWMA (alpha = 1/2): s_1 = v_1, s_t =
+    (s_{t-1} + v_t) // 2 over the (ts, event_id)-ordered group.  Values
+    are e2-quantized non-negative ints, so Python's floor division and
+    SQL's truncating // agree and the recurrence is engine-exact."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    s = 0
+    for i, v in enumerate(pdf["v_e2"]):
+        s = int(v) if i == 0 else (s + int(v)) // 2
+    return pd.DataFrame(
+        [{"user_id": pdf["user_id"].iloc[0], "n_events": len(pdf), "ewma_e2": s}]
+    )
+
+
+@query(
+    "user_value_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v_e2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, v_e2 AS s_e2 FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (w.s_e2 + s.v_e2) // 2
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+           max_by(s_e2, rn) AS ewma_e2
+    FROM walk GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted value average — an inherently
+    SEQUENTIAL recurrence (each step depends on the previous state), the
+    class of per-key stateful logic built-in aggregates can't express:
+    the batch twin of applyInPandasWithState.  applyInPandas hands each
+    user's Arrow batch to a Python loop; determinism comes from integer
+    arithmetic (e2-quantized, alpha = 1/2 as floor-halving), which lets
+    even a recurrence carry a FULL value-hash oracle — the DuckDB twin
+    replays it as a RECURSIVE CTE over row_number.
+
+    Scale shape: one shuffle on user_id, then embarrassingly parallel
+    per-group loops over Arrow batches; each group is one user's events
+    (bounded), the documented applyInPandas contract.  The recursion
+    depth lives per executor — the oracle's recursive join is the
+    engine-exactness witness, not the scale plan."""
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    return (
+        rows.groupBy("user_id")
+        .applyInPandas(_ewma_int, _EWMA_SCHEMA)
+        .orderBy("user_id")
+    )

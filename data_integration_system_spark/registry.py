@@ -182,6 +182,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "transition_reachability",
     "minhash_jaccard_error",
     "event_type_daily_trend",
+    "user_value_ewma",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
