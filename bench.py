@@ -122,6 +122,7 @@ HEADLINE = (
     "kmeans_assign_int",       # broadcast-centroid inline argmin assignment
     "doc_ngram_novelty",       # linear shingle first-seen yield curve
     "transition_reachability",  # min-plus BFS rounds on the type graph
+    "dedup_embedding_near",    # sign-LSH tables + narrow-pair spread verify
 )
 
 

@@ -640,8 +640,12 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     import hashlib
 
     from data_integration_system_spark.functions.vectors import cosine
+    from data_integration_system_spark.operators._common import parallelize_scan
 
-    emb = table(spark, sf_dir, "embeddings")
+    # spread the unsplittable small scan: the 36-plane projection, the
+    # bucket self-join, and the per-pair cosine verify all inherit the
+    # checkpoint's partitioning — serial end-to-end without this
+    emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
     # Fail FAST on a dim misconfiguration: zip_with pads the shorter
     # array with nulls, so a wrong `dim` would silently yield zero
     # candidates.  The guard lives INSIDE the embedding projection (a
@@ -718,6 +722,14 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+        # Spread the verify while the rows are still NARROW (two longs):
+        # the candidate relation is byte-small, so AQE's size-based
+        # coalescing runs the downstream joins + per-pair cosine on ~1
+        # partition — a CPU-bound/byte-cheap mismatch it cannot see.
+        # Repartitioning AFTER the embedding joins would ship the wide
+        # (pair + 2x64 floats) rows through a serial exchange instead
+        # (measured: 4.7 s there vs 1.3 s here, sf0.1).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ea = bits_df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
     eb = bits_df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
