@@ -135,8 +135,15 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
     )
+    # Pre-hash-partition on the group key: applyInPandas groups are
+    # byte-small but CPU-heavy (a Python loop per user), and AQE's
+    # size-based coalescing would run them on ~2 partitions.  The
+    # explicit hash partitioning IS the grouping distribution, so no
+    # second exchange appears (measured 3.1 s -> 1.2 s at sf0.1).
+    par = spark.sparkContext.defaultParallelism
     return (
-        rows.groupBy("user_id")
+        rows.repartition(par, "user_id")
+        .groupBy("user_id")
         .applyInPandas(_ewma_int, _EWMA_SCHEMA)
         .orderBy("user_id")
     )
