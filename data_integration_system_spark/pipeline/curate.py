@@ -34,7 +34,10 @@ from data_integration_system_spark.pipeline.snapshots import write_snapshot
 
 
 def curate_corpus(
-    spark: SparkSession, sf_dir: str, out_root: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    min_novelty_e4: int | None = None,
 ) -> DataFrame:
     """Run the full curation chain over ``sf_dir``'s documents, commit
     the curated corpus as the next snapshot of ``out_root``, and return
@@ -50,6 +53,9 @@ def curate_corpus(
       → connected components → keep min doc_id).
     * ``decontaminated``— documents clear of benchmark shingle overlap
       (the held-out set itself is excluded by contract).
+    * ``novel``         — (only when ``min_novelty_e4`` is set) documents
+      whose first-seen shingle fraction clears the threshold — drops
+      boilerplate-dominated docs no pairwise dedup stage fires on.
     * ``curated``       — the intersection, i.e. what ships.
     """
     from data_integration_system_spark.operators.dedup import (
@@ -76,6 +82,19 @@ def curate_corpus(
             decontaminate_filter(spark, sf_dir).select("doc_id"),
         ),
     ]
+    if min_novelty_e4 is not None:
+        from data_integration_system_spark.operators.dedup import (
+            doc_ngram_novelty,
+        )
+
+        stages.append(
+            (
+                "novel",
+                doc_ngram_novelty(spark, sf_dir)
+                .filter(F.col("novelty_e4") >= min_novelty_e4)
+                .select("doc_id"),
+            )
+        )
 
     curated = docs
     for _name, ids in stages:
@@ -100,3 +119,25 @@ def curate_corpus(
         )
         report = row if report is None else report.unionByName(row)
     return report.orderBy("stage_idx")
+
+
+def export_jsonl(
+    spark: SparkSession,
+    snapshot_root: str,
+    out_path: str,
+    compression: str = "gzip",
+) -> int:
+    """Hand off the curated snapshot as compressed JSON Lines — the
+    interchange format tokenizer/training jobs actually consume —
+    and return the exported row count.
+
+    One distributed write, one file per partition (the snapshot's
+    partitioning carries through, so a compacted snapshot exports as
+    ~target-size .json.gz parts).  The export is a COPY: the parquet
+    snapshot stays the queryable source of truth; re-exports after a
+    new snapshot version see the new `_CURRENT` automatically."""
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    df = read_current(spark, snapshot_root)
+    df.write.mode("errorifexists").option("compression", compression).json(out_path)
+    return df.count()

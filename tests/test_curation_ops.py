@@ -131,3 +131,33 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert set(read_current(spark, out).columns) == {
         "doc_id", "text", "lang", "source", "n_chars",
     }
+
+
+def test_curate_with_novelty_stage_and_jsonl_export(spark, tmp_path):
+    """The optional novelty stage tightens the curation intersection
+    (monotone: adding a stage can only shrink the output), its count
+    lands in the audit report, and the curated snapshot exports as
+    readable compressed JSONL with the same row count."""
+    from data_integration_system_spark.pipeline.curate import (
+        curate_corpus,
+        export_jsonl,
+    )
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    base = str(tmp_path / "base")
+    strict = str(tmp_path / "strict")
+    plain = {r.stage: r.n_docs for r in curate_corpus(spark, SF, base).collect()}
+    report = {
+        r.stage: r.n_docs
+        for r in curate_corpus(spark, SF, strict, min_novelty_e4=100).collect()
+    }
+    assert "novel" in report and "novel" not in plain
+    assert report["novel"] <= report["corpus"]
+    assert report["curated"] <= plain["curated"]
+
+    out = str(tmp_path / "export")
+    n = export_jsonl(spark, strict, out)
+    assert n == report["curated"]
+    back = spark.read.json(out)
+    assert back.count() == n
+    assert "doc_id" in back.columns and "text" in back.columns
