@@ -85,3 +85,41 @@ def test_http_datasource_fetches_and_reports_errors(spark, file_urls):
     # errors-as-data (http_fetcher.py:55-56): failed fetch is a row
     bad = rows["file:///nonexistent/x.html"]
     assert bad.content is None and bad.error == "fetch_failed"
+
+
+def test_jdbc_partitioned_read_embedded_derby(spark):
+    """Stride-partitioned JDBC ingestion against the Derby DB Spark
+    ships: bounds auto-probed with one aggregate round-trip, the scan
+    splits into numPartitions parallel cursors, and rows outside the
+    given bounds are still read (bounds are a parallelism hint, not a
+    filter)."""
+    from data_integration_system_spark.sources.jdbc_source import (
+        read_jdbc_bounds,
+        read_jdbc_partitioned,
+    )
+
+    jvm = spark._jvm
+    url = "jdbc:derby:memory:jdbcsrc;create=true"
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE jobs (id BIGINT PRIMARY KEY, payload VARCHAR(50))")
+    for i in range(100):
+        st.execute(f"INSERT INTO jobs VALUES ({i}, 'p{i}')")
+
+    assert read_jdbc_bounds(spark, url, "jobs", "id") == (0, 99)
+
+    df = read_jdbc_partitioned(spark, url, "jobs", "id", num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+
+    # explicit narrow bounds: parallelism strides change, row coverage
+    # must NOT (Spark widens the first/last stride to +-infinity)
+    df2 = read_jdbc_partitioned(
+        spark, url, "jobs", "id", num_partitions=4, lower=40, upper=60
+    )
+    assert df2.count() == 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_jdbc_partitioned(spark, url, "jobs; DROP TABLE x", "id")
