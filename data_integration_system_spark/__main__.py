@@ -2,6 +2,7 @@
 
     python -m data_integration_system_spark <query> [more queries ...]
         [--sf-dir DIR] [--limit N] [--json] [--explain] [--oracle]
+    python -m data_integration_system_spark --sql "SELECT ... FROM documents ..."
     python -m data_integration_system_spark --list
 
 The switch-from-the-reference front door for ad-hoc use (the reference's
@@ -31,9 +32,29 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--explain", action="store_true", help="plan audit, no rows")
     ap.add_argument("--oracle", action="store_true", help="print oracle SQL only")
     ap.add_argument("--list", action="store_true", help="list registered queries")
+    ap.add_argument(
+        "--sql",
+        metavar="STATEMENT",
+        help="run an ad-hoc SQL statement over the catalog views instead "
+        "of a registered query (the psql-replacement path)",
+    )
     args = ap.parse_args(argv)
 
     from data_integration_system_spark.registry import get_oracle_sql, get_queries
+
+    if args.sql:
+        from data_integration_system_spark.catalog import sql as catalog_sql
+        from data_integration_system_spark.session import get_spark
+
+        spark = get_spark("query-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = catalog_sql(spark, args.sf_dir, args.sql)
+        if args.json:
+            for line in df.limit(args.limit).toJSON().collect():
+                print(line)
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
 
     queries = get_queries()
     if args.list:

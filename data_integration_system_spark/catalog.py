@@ -70,3 +70,28 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every catalog table as a temp view and return the view
+    names — the psql-replacement surface: reference users queried their
+    Postgres store with raw SQL (db/postgres_store.py issues it
+    programmatically); after this call the same habit works as
+    ``spark.sql("SELECT ... FROM documents JOIN ...")``.
+
+    Views are lazy aliases over the plain parquet reads, so predicate
+    pushdown, column pruning, and every session conf (UTC, AQE, the
+    events-ts normalization) apply exactly as through `table()` — a SQL
+    user and a DataFrame user get the SAME plans."""
+    names = []
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)
+        names.append(name + suffix)
+    return names
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """One-call ad-hoc SQL over the catalog: register views, run the
+    statement.  Registration is idempotent (createOrReplaceTempView)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

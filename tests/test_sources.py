@@ -123,3 +123,28 @@ def test_jdbc_partitioned_read_embedded_derby(spark):
 
     with _pytest.raises(ValueError):
         read_jdbc_partitioned(spark, url, "jobs; DROP TABLE x", "id")
+
+
+def test_catalog_sql_front_door(spark):
+    """register_views + catalog.sql: raw-SQL users get the same data and
+    the same scan-level pushdown as DataFrame users (the view is a lazy
+    alias, not a materialization)."""
+    from data_integration_system_spark.catalog import register_views, sql
+    from data_integration_system_spark.plans.analyze import pushed_filters
+
+    sf = "/root/testdata/sf0.001"
+    names = register_views(spark, sf)
+    assert "documents" in names and "lineitem" in names
+    df = sql(
+        spark, sf,
+        "SELECT lang, count(*) AS n FROM documents "
+        "WHERE n_chars > 100 GROUP BY lang",
+    )
+    assert df.count() > 0
+    flt = pushed_filters(
+        spark.sql("SELECT doc_id FROM documents WHERE n_chars > 100"),
+        "documents",
+    )
+    assert any("n_chars" in f for f in flt)  # pushdown survives the view
+    # events view carries the ts normalization: a timestamp function works
+    assert sql(spark, sf, "SELECT max(date_trunc('day', ts)) AS d FROM events").head()["d"] is not None
