@@ -1734,3 +1734,61 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "order_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag,
+           CAST(SUM(lag_days) * 100 // count(*) AS BIGINT) AS avg_lag_e2
+    FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile: days from order date to the LAST
+    line shipment, rolled up per priority class — the SLA report every
+    order pipeline runs (and the latency-distribution query shape the
+    suite lacked: per-entity completion time, then class-level stats).
+
+    Integer day differences make min/max/mean exact (mean as a
+    ×100-scaled integer division).
+
+    Scale shape: the fact joins the order dim on the fact's natural key
+    — one shuffle pair co-keyed on orderkey, the per-order max
+    aggregates on the SAME key (no second exchange: the join output is
+    already hash-partitioned on it), and the priority rollup is a tiny
+    second agg."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("lag_days").cast("long").alias("min_lag"),
+            F.max("lag_days").cast("long").alias("max_lag"),
+            F.expr("sum(lag_days) * 100 div count(*)").cast("long").alias("avg_lag_e2"),
+        )
+        .orderBy("o_orderpriority")
+    )

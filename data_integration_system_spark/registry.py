@@ -183,6 +183,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "minhash_jaccard_error",
     "event_type_daily_trend",
     "user_value_ewma",
+    "order_fulfillment_lag",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
