@@ -636,3 +636,32 @@ def test_purchase_streak_one_wide_shuffle(spark):
     assert sorted(set(scan_read_schemas(df)["events"])) == [
         "event_id", "event_type", "ts", "user_id",
     ]
+
+
+def test_fulfillment_lag_reuses_join_partitioning(spark):
+    """order_fulfillment_lag's per-order max must aggregate on the
+    orderkey partitioning the join already produced — exchanges are the
+    join's co-keyed pair plus at most the tiny rollup/sort, and the
+    scans read only the needed columns."""
+    df = get_queries()["order_fulfillment_lag"](spark, SF)
+    assert shuffle_count(df) <= 4  # join pair + priority rollup + sort
+    schemas = scan_read_schemas(df)
+    assert sorted(set(schemas["lineitem"])) == ["l_orderkey", "l_shipdate"]
+    assert sorted(set(schemas["orders"])) == [
+        "o_orderdate", "o_orderkey", "o_orderpriority",
+    ]
+
+
+def test_daily_trend_two_stacked_aggs(spark):
+    """event_type_daily_trend is two map-side-combined aggregations on
+    narrowing grains plus the presentation sort — no window, no join,
+    and the events scan reads only (event_type, ts)."""
+    from data_integration_system_spark.plans.analyze import (
+        sortmerge_join_count,
+    )
+
+    df = get_queries()["event_type_daily_trend"](spark, SF)
+    assert shuffle_count(df) <= 3  # (type,day) agg + type agg + sort
+    assert sortmerge_join_count(df) == 0
+    assert broadcast_join_count(df) == 0
+    assert sorted(set(scan_read_schemas(df)["events"])) == ["event_type", "ts"]
