@@ -707,3 +707,50 @@ def migrate_ledger_column(
         migrated.write.mode("overwrite").parquet(d)
         rewritten += 1
     return rewritten
+
+
+def _ewma_fold(key, pdfs, state):
+    """Per-user EWMA state transition (module-level so unit tests can
+    drive it batch by batch with a fake GroupState).  State =
+    (n_events, s_e2); each batch folds its rows IN (ts, event_id)
+    order.  v_e2 = floor(value·100) in double precision — bit-identical
+    to the batch op's Spark-side F.floor(value * 100)."""
+    import math
+
+    import pandas as pd  # local import: runs on workers
+
+    n, s = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            v_e2 = int(math.floor(float(v) * 100))
+            s = v_e2 if n == 0 else (s + v_e2) // 2
+            n += 1
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_e2": [s]}
+    )
+
+
+def ewma_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming sibling of user_value_ewma (operators/groupops.py):
+    the per-user EWMA recurrence maintained incrementally across
+    micro-batches — the stateful-recurrence class where the state IS
+    the answer (one (n, s) pair per user, updated in order).
+
+    Ordering contract: the recurrence is order-sensitive, so exactness
+    requires per-key in-order delivery ACROSS batches — precisely what
+    a Kafka topic keyed by user_id guarantees per partition.  Within a
+    batch the fold sorts by (ts, event_id); the unit test pins that two
+    ordered batches equal one combined batch, and the bounded-replay
+    test pins equality with the batch operator.  The batch form remains
+    the Kappa backfill for out-of-order history."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fold,
+        outputStructType="user_id bigint, n_events bigint, ewma_e2 bigint",
+        stateStructType="n bigint, s_e2 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

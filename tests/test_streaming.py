@@ -757,3 +757,64 @@ def test_migrate_ledger_column_unifies_mixed_types(spark, tmp_path):
     import datetime as dt
 
     assert (dt.datetime(2024, 1, 1), 2, 1, 5000) in rows
+
+
+def test_ewma_stream_matches_batch(spark, events_stream_dir):
+    """Streaming EWMA == batch user_value_ewma on a bounded in-order
+    replay (last update-mode snapshot per user)."""
+    from data_integration_system_spark.operators.groupops import (
+        user_value_ewma,
+    )
+    from data_integration_system_spark.streaming.jobs import ewma_state_stream
+
+    stream = _read_stream(spark, events_stream_dir)
+    got_df = _run_to_memory(spark, ewma_state_stream(stream), "ewma_s", mode="update")
+    got = {r.user_id: (r.n_events, r.ewma_e2) for r in got_df.collect()}
+    want = {
+        r.user_id: (r.n_events, r.ewma_e2)
+        for r in user_value_ewma(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ewma_fold_batch_split_invariant(spark):
+    """The recurrence continues across batches: folding rows as two
+    ordered micro-batches must land on the same state as one combined
+    batch (the in-order-delivery contract made checkable)."""
+    import pandas as pd
+
+    from data_integration_system_spark.streaming.jobs import _ewma_fold
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": list(range(len(rows))),
+                "ts": [pd.Timestamp(i, unit="s") for i in range(len(rows))],
+                "value": [v for v in rows],
+            }
+        )
+
+    vals = [1.0, 2.5, 0.3, 7.7, 4.2]
+    one = FakeState()
+    list(_ewma_fold((1,), iter([batch(vals)]), one))
+    split = FakeState()
+    list(_ewma_fold((1,), iter([batch(vals[:2])]), split))
+    # second batch must carry correct event-time ordering AFTER batch 1
+    b2 = batch(vals[2:])
+    b2["ts"] = [pd.Timestamp(i + 2, unit="s") for i in range(len(b2))]
+    list(_ewma_fold((1,), iter([b2]), split))
+    assert one._v == split._v
