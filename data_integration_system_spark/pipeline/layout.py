@@ -88,6 +88,19 @@ def _dir_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
     return total, n
 
 
+def _partition_layout(spark: SparkSession, path: str) -> tuple[str | None, int]:
+    """(partition column, number of partition dirs) of a hive-style
+    layout (``col=value`` child dirs), or (None, 0) for a flat table."""
+    p, fs = hadoop_path(spark, path)
+    col, n = None, 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            col = name.split("=", 1)[0]
+            n += 1
+    return col, n
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,
@@ -96,28 +109,42 @@ def compact_snapshot(
     """Rewrite the current snapshot of ``root`` into ~target-sized files
     as a new committed version; returns a report dict.
 
-    coalesce (not repartition) does the merge without a shuffle — each
-    output task reads several input files sequentially.  Skips (no-op
-    report) when the table is already at or under the target file count,
-    so a scheduled compactor is idempotent."""
+    Flat tables merge with coalesce — no shuffle, each output task reads
+    several input files sequentially.  A hive-partitioned snapshot keeps
+    its layout: the rewrite detects the ``col=value`` dirs, clusters by
+    the partition column, and partitionBy-writes the new version — a
+    naive coalesce would flatten the table and silently destroy every
+    reader's partition pruning.  Skips (no-op report) when already at or
+    under the target file count, so a scheduled compactor is idempotent."""
     version = current_version(spark, root)
     if version is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     total, n_files = _dir_bytes(spark, f"{root}/{version}")
-    target = max(1, math.ceil(total / target_file_bytes))
+    part_col, n_parts = _partition_layout(spark, f"{root}/{version}")
+    # a partitioned table can never go below one file per partition dir
+    target = max(1, n_parts, math.ceil(total / target_file_bytes))
     if n_files <= target:
         return {
             "compacted": False,
             "version": version,
+            "partition_by": part_col,
             "n_files": n_files,
             "target_files": target,
         }
-    new_version = write_snapshot(read_current(spark, root).coalesce(target), root)
+    df = read_current(spark, root)
+    if part_col is not None:
+        # 1 file per partition value (hash-clustered); preserves pruning
+        new_version = write_snapshot(
+            df.repartition(part_col), root, partition_by=part_col
+        )
+    else:
+        new_version = write_snapshot(df.coalesce(target), root)
     _, n_after = _dir_bytes(spark, f"{root}/{new_version}")
     return {
         "compacted": True,
         "version": new_version,
         "previous_version": version,
+        "partition_by": part_col,
         "n_files_before": n_files,
         "n_files_after": n_after,
         "bytes": total,

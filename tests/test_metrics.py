@@ -169,3 +169,44 @@ def test_novelty_shuffle_volume_stays_linear(spark):
     total_shuffled = metric_sum(nodes, "ShuffleExchangeExec", "shuffleRecordsWritten")
     assert shingle_grain > 10_000
     assert 0 < total_shuffled < 2 * shingle_grain
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned snapshot must KEEP the layout:
+    the new version carries the same col=value dirs (~1 file each) and
+    partition pruning still reaches the scan — a naive coalesce rewrite
+    would flatten the table and silently destroy every reader's
+    pruning.  Second run is a no-op (never below 1 file/partition)."""
+    import re
+
+    from data_integration_system_spark.pipeline.snapshots import (
+        current_version,
+    )
+    from data_integration_system_spark.plans.analyze import partition_filters
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").withColumn(
+        "bucket", (F.col("user_id") % 4).cast("int")
+    )
+    write_snapshot(ev.repartition(8), root, partition_by="bucket")
+    v1 = current_version(spark, root)
+    files_before = glob.glob(f"{root}/{v1}/bucket=*/*.parquet")
+    assert len(files_before) > 8  # fragmented: ~8 files per bucket
+
+    report = compact_snapshot(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert report["compacted"] is True and report["partition_by"] == "bucket"
+    v2 = current_version(spark, root)
+    dirs = {
+        re.search(r"bucket=(\d+)", d).group(1)
+        for d in glob.glob(f"{root}/{v2}/bucket=*")
+    }
+    assert dirs == {"0", "1", "2", "3"}
+    assert len(glob.glob(f"{root}/{v2}/bucket=*/*.parquet")) <= 8
+    got = read_current(spark, root)
+    assert got.count() == ev.count()
+    pruned = got.filter(F.col("bucket") == 2)
+    assert partition_filters(pruned, root) != []  # pruning survives
+    assert pruned.count() == ev.filter(F.col("bucket") == 2).count()
+
+    again = compact_snapshot(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert again["compacted"] is False
