@@ -74,3 +74,13 @@ def parallelize_scan(df):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def halve_trunc(x: int) -> int:
+    """x // 2 truncating TOWARD ZERO — SQL integer-division semantics
+    (DuckDB `//`, Spark `div`), which Python's floor-dividing `//`
+    breaks for negative operands.  Every Python-side replay of an
+    integer recurrence (EWMA fold, pandas UDAFs) must use this so the
+    recurrence stays engine-exact over the FULL integer domain, not
+    just the non-negative values the synthetic data happens to have."""
+    return x // 2 if x >= 0 else -((-x) // 2)

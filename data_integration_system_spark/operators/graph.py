@@ -352,27 +352,13 @@ def _reachability_oracle() -> str:
     return "".join(parts)
 
 
-@query("transition_reachability", oracle=_reachability_oracle())
-def transition_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-depth BFS reachability: minimum hop count (<= 4) between
-    every reachable (src, dst) pair of event types — the crawler's BFS
-    frontier expansion (reference crawler_core.py:149-294, depth-capped
-    fan-out) restated as a query over the transition graph, and the
-    third iterative operator with a FULL value-hash oracle (integer
-    min-plus unrolls into chained CTEs exactly like PageRank's
-    power method).
-
-    Scale shape: each round is one self-sized join on the frontier
-    relation plus a min-combine keyed on (src, dst) — the relation is
-    bounded by |types|² here and by reachable-pairs in general; the
-    depth cap bounds rounds the way max_depth bounds the crawl.
-    localCheckpoint cuts the iterative lineage per round."""
-    edges = (
-        _transition_edges(spark, sf_dir)
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint()
-    )
+def bounded_reachability(edges: DataFrame, max_hops: int = _BFS_MAX_HOPS) -> DataFrame:
+    """``(src, dst, hops)`` minimum hop counts (<= max_hops) over a
+    directed edge relation ``(src, dst)`` — the library form of the
+    BFS min-plus loop, property-tested against a Python BFS on random
+    graphs.  Each round: one frontier-edge join + a min combine keyed
+    on (src, dst); localCheckpoint cuts the iterative lineage."""
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -389,7 +375,7 @@ def transition_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hops").alias("hops"))
         .localCheckpoint()
     )
-    for _ in range(_BFS_MAX_HOPS - 1):
+    for _ in range(max_hops - 1):
         dd, ee = d.alias("d"), edges.alias("e")
         step = dd.join(ee, F.col("d.dst") == F.col("e.src")).select(
             F.col("d.src").alias("src"),
@@ -402,4 +388,24 @@ def transition_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint()
         )
-    return d.orderBy("src", "dst")
+    return d
+
+
+@query("transition_reachability", oracle=_reachability_oracle())
+def transition_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS reachability: minimum hop count (<= 4) between
+    every reachable (src, dst) pair of event types — the crawler's BFS
+    frontier expansion (reference crawler_core.py:149-294, depth-capped
+    fan-out) restated as a query over the transition graph, and the
+    third iterative operator with a FULL value-hash oracle (integer
+    min-plus unrolls into chained CTEs exactly like PageRank's
+    power method).
+
+    Scale shape: each round is one self-sized join on the frontier
+    relation plus a min-combine keyed on (src, dst) — the relation is
+    bounded by |types|² here and by reachable-pairs in general; the
+    depth cap bounds rounds the way max_depth bounds the crawl.
+    localCheckpoint cuts the iterative lineage per round."""
+    return bounded_reachability(
+        _transition_edges(spark, sf_dir), _BFS_MAX_HOPS
+    ).orderBy("src", "dst")

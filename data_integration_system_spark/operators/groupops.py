@@ -82,13 +82,16 @@ _EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_e2 bigint"
 
 def _ewma_int(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sequential integer EWMA (alpha = 1/2): s_1 = v_1, s_t =
-    (s_{t-1} + v_t) // 2 over the (ts, event_id)-ordered group.  Values
-    are e2-quantized non-negative ints, so Python's floor division and
-    SQL's truncating // agree and the recurrence is engine-exact."""
+    trunc((s_{t-1} + v_t) / 2) over the (ts, event_id)-ordered group.
+    halve_trunc matches SQL integer-division semantics for NEGATIVE
+    sums too (Python's // floors), so the recurrence is engine-exact
+    over the full integer domain."""
+    from data_integration_system_spark.operators._common import halve_trunc
+
     pdf = pdf.sort_values(["ts", "event_id"])
     s = 0
     for i, v in enumerate(pdf["v_e2"]):
-        s = int(v) if i == 0 else (s + int(v)) // 2
+        s = int(v) if i == 0 else halve_trunc(s + int(v))
     return pd.DataFrame(
         [{"user_id": pdf["user_id"].iloc[0], "n_events": len(pdf), "ewma_e2": s}]
     )

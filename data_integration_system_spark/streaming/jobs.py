@@ -719,12 +719,14 @@ def _ewma_fold(key, pdfs, state):
 
     import pandas as pd  # local import: runs on workers
 
+    from data_integration_system_spark.operators._common import halve_trunc
+
     n, s = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for v in pdf["value"]:
             v_e2 = int(math.floor(float(v) * 100))
-            s = v_e2 if n == 0 else (s + v_e2) // 2
+            s = v_e2 if n == 0 else halve_trunc(s + v_e2)
             n += 1
     state.update((n, s))
     yield pd.DataFrame(

@@ -280,3 +280,52 @@ def test_run_checks_property(spark, vals):
         "set_s": (n, sum(1 for _, s in vals if s not in ("A", "B"))),
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bounded_reachability_property(spark, edge_list):
+    """bounded_reachability == a plain Python BFS (hop counts capped at
+    max_hops) on random small digraphs — the correctness witness for the
+    library form the registered query reuses."""
+    from data_integration_system_spark.operators.graph import (
+        bounded_reachability,
+    )
+
+    max_hops = 3
+    edges = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edge_list], "src string, dst string"
+    )
+    got = {
+        (r.src, r.dst): r.hops
+        for r in bounded_reachability(edges, max_hops).collect()
+    }
+
+    # reference: BFS from every node over the distinct edge set
+    adj: dict[str, set[str]] = {}
+    nodes = set()
+    for a, b in set(edge_list):
+        sa, sb = f"n{a}", f"n{b}"
+        adj.setdefault(sa, set()).add(sb)
+        nodes.update((sa, sb))
+    want = {}
+    for start in nodes:
+        dist = {start: 0}
+        frontier = [start]
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        for dst, h in dist.items():
+            want[(start, dst)] = h
+    assert got == want
