@@ -987,3 +987,81 @@ def event_type_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_days * sxy - sx * sy) * 1000000 div (n_days * sxx - sx * sx)"
         )).cast("long").alias("slope_e6"),
     ).orderBy("event_type")
+
+
+@query(
+    "session_opening_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS NULL
+                        OR date_diff('second', prev, ts) >= 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+      FROM o
+    ), r AS (
+      SELECT user_id, sess_id, event_type,
+             row_number() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ), p AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_opening_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the top 20 session-OPENING event sequences (first
+    three event types of each 30-minute-gap session) — the "how do
+    sessions start" analysis product teams run after sessionization,
+    and the sequence-pattern shape the suite lacked.
+
+    Sessionization uses the lag+cumsum convention (new session at
+    gap >= 30 min) spelled identically on both engines; the opening
+    path is the (ts, event_id)-ordered prefix joined with '>', so
+    DuckDB's ordered string_agg and Spark's
+    array_sort(collect_list(struct))->slice->join build the same
+    string.
+
+    Scale shape: ONE user-keyed shuffle carries the lag window, the
+    running session-id sum, and (unchanged key prefix) the per-session
+    collect; the path rollup then aggregates |sessions| rows and the
+    top-20 moves |distinct paths|.  collect_list per session is bounded
+    by session length — the same contract as session_windows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    )
+    new_s = (
+        F.when(gap_s.isNull() | (gap_s >= 1800), 1).otherwise(0)
+    )
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_s).over(w).alias("sess_id"),
+    )
+    evs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice(F.col("evs"), 1, 3), lambda s: s.getField("event_type")
+        ),
+        ">",
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(evs.alias("evs"))
+        .select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -184,6 +184,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "event_type_daily_trend",
     "user_value_ewma",
     "order_fulfillment_lag",
+    "session_opening_paths",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
