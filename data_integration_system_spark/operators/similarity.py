@@ -450,6 +450,13 @@ def kmeans_assign_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the one you'd run at 100 TB).  Ties break to the lowest
     label on both engines ((d, label) lexicographic min)."""
     emb = table(spark, sf_dir, "embeddings")
+    return assign_to_centroids_e6(emb).orderBy("vec_id")
+
+
+def assign_to_centroids_e6(emb: DataFrame) -> DataFrame:
+    """Library form of the exact assignment (property-tested against a
+    NumPy replay on random vectors): ``(vec_id, assigned_label,
+    sq_dist_e12)`` for any ``(vec_id, embedding, label)`` relation."""
     carr = (
         _centroids_e6(emb)
         .groupBy("label")
@@ -490,5 +497,4 @@ def kmeans_assign_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             best.getField("label").alias("assigned_label"),
             best.getField("d").alias("sq_dist_e12"),
         )
-        .orderBy("vec_id")
     )

@@ -329,3 +329,62 @@ def test_bounded_reachability_property(spark, edge_list):
         for dst, h in dist.items():
             want[(start, dst)] = h
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_kmeans_assignment_property(spark, rows):
+    """The inline broadcast-argmin assignment == a NumPy replay of the
+    same integer recurrence (e6 quantization, per-label integer
+    centroids, BIGINT squared-L2, ties to lowest label) on random
+    vectors — the engine plan and the reference disagree only if the
+    Spark expression tree is wrong."""
+    import math
+
+    import numpy as np
+
+    from data_integration_system_spark.operators.similarity import (
+        assign_to_centroids_e6,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, vec, lab) for i, (lab, vec) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.vec_id: (r.assigned_label, r.sq_dist_e12)
+        for r in assign_to_centroids_e6(emb).collect()
+    }
+
+    # Python replay: same quantization, centroid formula, argmin
+    by_label: dict[int, list[list[int]]] = {}
+    quant = {}
+    for i, (lab, vec) in enumerate(rows):
+        q = [math.floor(float(np.float32(x)) * 1000000) for x in vec]
+        quant[i] = q
+        by_label.setdefault(lab, []).append(q)
+    cents = {
+        lab: [math.floor(sum(col) / len(vs)) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+    want = {}
+    for i, q in quant.items():
+        d, lab = min(
+            (sum((a - b) ** 2 for a, b in zip(q, c)), lab)
+            for lab, c in cents.items()
+        )
+        want[i] = (lab, d)
+    assert got == want
