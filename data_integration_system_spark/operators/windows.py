@@ -1065,3 +1065,76 @@ def session_opening_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "conversion_by_signup_week",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.signup_ts,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.user_id = s.user_id
+                 AND p.event_type = 'purchase'
+                 AND p.ts >= s.signup_ts
+             ) THEN 1 ELSE 0 END AS converted
+      FROM su s
+    )
+    SELECT CAST(date_trunc('week', signup_ts) AS TIMESTAMP) AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) * 10000 // count(*) AS BIGINT) AS conversion_e4
+    FROM conv GROUP BY cohort_week ORDER BY cohort_week
+    """,
+)
+def conversion_by_signup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort conversion: per signup week, the share of users whose
+    first signup is followed (at or after it) by any purchase — the
+    funnel rate rolled to the acquisition cohort, the growth-team
+    companion of weekly_retention.
+
+    Week keys are midnight TIMESTAMPs on both sides (the driver-proven
+    time-grain class); the rate is an e4-scaled integer.
+
+    Scale shape: both branches reduce to the user grain FIRST (min
+    signup; purchase existence as a semi-join on the user key), so the
+    join moves |users| rows, not events; the week rollup is tiny.  The
+    EXISTS-with-inequality runs as one user-keyed aggregation below
+    (min signup vs min qualifying purchase), not a correlated probe."""
+    ev = table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_purchase_ts"))
+    )
+    conv = (
+        su.join(pu, "user_id", "left")
+        .select(
+            "signup_ts",
+            F.when(
+                F.col("last_purchase_ts") >= F.col("signup_ts"), 1
+            ).otherwise(0).alias("converted"),
+        )
+    )
+    return (
+        conv.groupBy(F.date_trunc("week", "signup_ts").alias("cohort_week"))
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "cohort_week",
+            "n_signups",
+            "n_converted",
+            F.expr("n_converted * 10000 div n_signups").cast("long").alias("conversion_e4"),
+        )
+        .orderBy("cohort_week")
+    )

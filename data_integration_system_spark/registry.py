@@ -185,6 +185,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "user_value_ewma",
     "order_fulfillment_lag",
     "session_opening_paths",
+    "conversion_by_signup_week",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
