@@ -1792,3 +1792,56 @@ def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "part_copurchase_pairs",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top 20 part pairs bought together
+    in the same order (support >= 2 orders) — the association-mining
+    shape on the retail side (the text twin is bigram_lift_top).
+
+    Scale shape: the self-join is keyed on the ORDER, so the pair
+    explosion is bounded by lines-per-order² (a small constant) times
+    |orders| — linear in the fact, never |parts|².  The distinct
+    collapses multi-line part repeats first; the pair rollup map-side
+    combines; top-20 is a TakeOrdered, not a global sort.  For skewed
+    carts (one order with 10⁵ lines) the drop_hot_keys cap is the
+    defense, same as the LSH buckets — not needed at this data's
+    bounded cart size."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )

@@ -186,6 +186,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "order_fulfillment_lag",
     "session_opening_paths",
     "conversion_by_signup_week",
+    "part_copurchase_pairs",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
