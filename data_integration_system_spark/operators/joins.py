@@ -1845,3 +1845,58 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "part_name_near_matches",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY part_a, part_b
+    """,
+)
+def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: part pairs whose names are within edit
+    distance 2, blocked by brand — the dirty-catalog matching task
+    (typo'd product names, OCR'd records) the dedup family's
+    set-similarity ops don't cover; Levenshtein is character-level
+    where shingles are token-level.
+
+    Both engines implement the standard edit distance, so the pair
+    relation carries a full value-hash oracle — rare for a fuzzy op.
+
+    Scale shape: the self-join is blocked on the brand key (the
+    classic ER blocking discipline — never all pairs); within a block
+    the quadratic is bounded by block size, and for skewed blocks the
+    length-band conjunct (|len_a - len_b| <= 2, implied by the
+    distance bound) splits further — the same exactness argument as
+    _banded_block_candidates."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # length-band prune implied by the distance bound: evaluate
+            # the cheap length check BEFORE the O(len²) edit distance
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 2
+            ),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("part_a", "part_b")
+    )

@@ -187,6 +187,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "session_opening_paths",
     "conversion_by_signup_week",
     "part_copurchase_pairs",
+    "part_name_near_matches",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
