@@ -39,3 +39,56 @@ def compact_parquet(
     n = max(1, math.ceil(tree_bytes(spark, path) / target_file_bytes))
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def maintain_snapshot_store(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    keep_versions: int = 2,
+) -> dict:
+    """The scheduled maintenance pass for one snapshot store: compact
+    the CURRENT version to ~target-size files (layout- and
+    partition-preserving), then prune old versions beyond the time-travel
+    budget.  Idempotent end to end — the compactor no-ops at target and
+    the pruner never touches the active version — so a cron can run it
+    blindly.  Returns the combined report."""
+    from data_integration_system_spark.pipeline.layout import compact_snapshot
+    from data_integration_system_spark.pipeline.snapshots import prune_snapshots
+
+    report = compact_snapshot(spark, root, target_file_bytes=target_file_bytes)
+    removed = prune_snapshots(spark, root, keep=keep_versions)
+    return {**report, "pruned_versions": removed}
+
+
+def _main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m data_integration_system_spark.pipeline.maintenance",
+        description="Compact + prune a snapshot store (idempotent).",
+    )
+    ap.add_argument("roots", nargs="+", help="snapshot store roots")
+    ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument("--keep", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    from data_integration_system_spark.session import get_spark
+
+    spark = get_spark("maintenance")
+    spark.sparkContext.setLogLevel("ERROR")
+    for root in args.roots:
+        rep = maintain_snapshot_store(
+            spark,
+            root,
+            target_file_bytes=args.target_mb << 20,
+            keep_versions=args.keep,
+        )
+        print(root, rep)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_main(sys.argv[1:]))

@@ -210,3 +210,27 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
 
     again = compact_snapshot(spark, root, target_file_bytes=64 * 1024 * 1024)
     assert again["compacted"] is False
+
+
+def test_maintain_snapshot_store_end_to_end(spark, tmp_path):
+    """The scheduled maintenance pass: compacts the fragmented current
+    version AND prunes history beyond the keep budget, in one idempotent
+    call (the cron entry point)."""
+    from data_integration_system_spark.pipeline.maintenance import (
+        maintain_snapshot_store,
+    )
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events")
+    write_snapshot(ev.repartition(16), root)   # v1 (fragmented)
+    write_snapshot(ev.repartition(16), root)   # v2 (fragmented, current)
+
+    rep = maintain_snapshot_store(spark, root, keep_versions=2)
+    # compaction committed v3; prune(keep=2) then dropped v1
+    assert rep["compacted"] is True
+    assert rep["pruned_versions"] == ["v000001"]
+    assert list_versions(spark, root) == ["v000002", "v000003"]
+    assert read_current(spark, root).count() == ev.count()
+
+    again = maintain_snapshot_store(spark, root, keep_versions=2)
+    assert again["compacted"] is False and again["pruned_versions"] == []
