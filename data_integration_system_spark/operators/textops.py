@@ -740,7 +740,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     you pack per (lang, shard) — the partition key IS the packing
     domain, so no global order is ever required; lang here stands in for
     that shard key."""
-    docs = table(spark, sf_dir, "documents")
+    return pack_relation(table(spark, sf_dir, "documents"))
+
+
+def pack_relation(docs: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Library form of the packing manifest: ``(doc_id, lang, n_tokens,
+    seq_id, seq_off)`` for ANY ``(doc_id, lang, text)`` relation — the
+    release pipeline packs the CURATED survivors through this, the
+    registered query packs the raw corpus."""
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -754,8 +761,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        F.floor(F.col("start_off") / 512).cast("long").alias("seq_id"),
-        (F.col("start_off") % 512).cast("long").alias("seq_off"),
+        F.floor(F.col("start_off") / seq_len).cast("long").alias("seq_id"),
+        (F.col("start_off") % seq_len).cast("long").alias("seq_off"),
     )
 
 

@@ -141,3 +141,56 @@ def export_jsonl(
     df = read_current(spark, snapshot_root)
     df.write.mode("errorifexists").option("compression", compression).json(out_path)
     return df.count()
+
+
+def release_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    export_path: str | None = None,
+    min_novelty_e4: int | None = None,
+    seq_len: int = 512,
+) -> DataFrame:
+    """The full training-data release: curate -> committed snapshot ->
+    packing manifest over the SURVIVORS -> optional compressed-JSONL
+    hand-off, returning the audit report extended with a ``sequences``
+    row (how many fixed-length sequences the release yields).
+
+    This is the deliverable composition: curation decides WHAT ships,
+    packing decides HOW the dataloader reads it, and both facts land in
+    one report a release review signs off on.  The manifest is committed
+    as its own snapshot beside the corpus (`{out_root}_manifest`) so a
+    release is the PAIR of versions; the export joins text with its
+    packing assignment, one JSONL row per document.
+
+    Scale shape: curation is the audited stage chain; packing adds one
+    lang-keyed shuffle over survivors (pack_relation); the export is a
+    distributed write.  Nothing here re-reads the raw corpus after the
+    curation pass."""
+    from data_integration_system_spark.operators.textops import pack_relation
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    report = curate_corpus(
+        spark, sf_dir, out_root, min_novelty_e4=min_novelty_e4
+    ).localCheckpoint()
+    curated = read_current(spark, out_root)
+    manifest = pack_relation(
+        curated.select("doc_id", "lang", "text"), seq_len
+    ).localCheckpoint(eager=False)
+    write_snapshot(manifest, f"{out_root}_manifest")
+    n_seqs = (
+        manifest.select("lang", "seq_id").distinct().count()
+    )
+    if export_path is not None:
+        (
+            curated.join(manifest, ["doc_id", "lang"])
+            .write.mode("errorifexists")
+            .option("compression", "gzip")
+            .json(export_path)
+        )
+    next_idx = report.agg(F.max("stage_idx")).head()[0] + 1
+    seq_row = spark.createDataFrame(
+        [(int(next_idx), "sequences", int(n_seqs))],
+        "stage_idx long, stage string, n_docs long",
+    )
+    return report.unionByName(seq_row).orderBy("stage_idx")

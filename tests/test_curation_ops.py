@@ -161,3 +161,34 @@ def test_curate_with_novelty_stage_and_jsonl_export(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == n
     assert "doc_id" in back.columns and "text" in back.columns
+
+
+def test_release_corpus_end_to_end(spark, tmp_path):
+    """The release composition: curated snapshot + packing-manifest
+    snapshot + JSONL export agree with each other — every curated doc
+    has exactly one packing assignment, the export carries both text
+    and assignment, and the report gains the sequences row."""
+    from data_integration_system_spark.operators.textops import pack_relation
+    from data_integration_system_spark.pipeline.curate import release_corpus
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    root = str(tmp_path / "corpus")
+    export = str(tmp_path / "export")
+    report = {
+        r.stage: r.n_docs
+        for r in release_corpus(spark, SF, root, export_path=export).collect()
+    }
+    curated = read_current(spark, root)
+    manifest = read_current(spark, root + "_manifest")
+    assert manifest.count() == curated.count() == report["curated"]
+    assert report["sequences"] >= 1
+    # manifest is exactly pack_relation over the survivors
+    want = {
+        (r.doc_id, r.seq_id, r.seq_off)
+        for r in pack_relation(curated.select("doc_id", "lang", "text")).collect()
+    }
+    got = {(r.doc_id, r.seq_id, r.seq_off) for r in manifest.collect()}
+    assert got == want
+    back = spark.read.json(export)
+    assert back.count() == report["curated"]
+    assert {"text", "seq_id", "seq_off", "n_tokens"} <= set(back.columns)
