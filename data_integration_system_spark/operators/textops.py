@@ -394,6 +394,41 @@ def build_fingerprint_index(
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
+def append_fingerprint_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = _FP_INDEX_BUCKETS,
+) -> None:
+    """Incrementally index new documents' winnowing fingerprints —
+    the append sibling of build_fingerprint_index (API symmetry with
+    append_minhash_index).  Creates the index (meta included) when none
+    exists, so a stream can start cold.
+
+    Stop-hash pruning is deliberately NOT applied per append: a batch
+    can't see global document frequencies — rebuild periodically (the
+    compaction analog) to re-apply the prune over the full corpus."""
+    from data_integration_system_spark.pipeline.fsutil import exists
+
+    if exists(spark, f"{index_path}/meta"):
+        n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
+    else:
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    fp = winnow_fingerprints(new_docs, text_col, id_col, spread=False)
+    (
+        fp.withColumn(
+            "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/fps")
+    )
+
+
 def query_fingerprint_index(
     spark: SparkSession,
     index_path: str,

@@ -192,3 +192,39 @@ def test_release_corpus_end_to_end(spark, tmp_path):
     back = spark.read.json(export)
     assert back.count() == report["curated"]
     assert {"text", "seq_id", "seq_off", "n_tokens"} <= set(back.columns)
+
+
+def test_append_fingerprint_index_matches_rebuild(spark, tmp_path):
+    """Incremental fingerprint indexing: cold-start append of two halves
+    equals one full build WITHOUT the stop-hash prune (appends can't see
+    global document frequencies) — probing both indexes with the same
+    query set returns identical overlap pairs when no fingerprint
+    crosses the prune threshold."""
+    from data_integration_system_spark.catalog import table as cat_table
+    from data_integration_system_spark.operators.textops import (
+        append_fingerprint_index,
+        build_fingerprint_index,
+        query_fingerprint_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = cat_table(spark, SF, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    queries = docs.filter(F.col("doc_id") < 20)
+
+    built = str(tmp_path / "built")
+    appended = str(tmp_path / "appended")
+    build_fingerprint_index(spark, SF, built, stop_docs=None)
+    append_fingerprint_index(spark, appended, half_a)
+    append_fingerprint_index(spark, appended, half_b)
+
+    want = {
+        (r.q_id, r.c_id, r.shared_fps)
+        for r in query_fingerprint_index(spark, built, queries).collect()
+    }
+    got = {
+        (r.q_id, r.c_id, r.shared_fps)
+        for r in query_fingerprint_index(spark, appended, queries).collect()
+    }
+    assert got == want and len(want) > 0
