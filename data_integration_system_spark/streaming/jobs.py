@@ -389,6 +389,50 @@ def near_dup_sink(
     return apply
 
 
+def fingerprint_overlap_sink(
+    spark: SparkSession,
+    index_path: str,
+    pairs_path: str,
+    min_shared: int = 2,
+):
+    """Incremental fingerprint-overlap detection — the winnowing sibling
+    of near_dup_sink: each micro-batch appends its fingerprints to the
+    inverted index (operators/textops.append_fingerprint_index), then
+    probes it, so every batch surfaces overlap pairs against the corpus
+    seen so far AND within itself at pruned-probe cost.  Canonicalized
+    (doc_a < doc_b, shared_fps) pairs append to ``pairs_path``.
+
+    Same at-least-once contract as near_dup_sink: redelivery duplicates
+    index storage (compacted by the periodic build_fingerprint_index
+    rebuild, which also re-applies stop-hash pruning) and re-emits
+    pairs (consumers dedup on the pair key).  Expects (doc_id, text)."""
+    from data_integration_system_spark.operators.textops import (
+        append_fingerprint_index,
+        query_fingerprint_index,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint()  # one stable view for index + probe
+        append_fingerprint_index(spark, index_path, batch)
+        pairs = query_fingerprint_index(
+            spark, index_path, batch, min_shared=min_shared
+        )
+        (
+            pairs.select(
+                F.least("q_id", "c_id").alias("doc_a"),
+                F.greatest("q_id", "c_id").alias("doc_b"),
+                "shared_fps",
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .write.mode("append")
+            .parquet(pairs_path)
+        )
+
+    return apply
+
+
 def ann_probe_sink(
     spark: SparkSession,
     index_path: str,

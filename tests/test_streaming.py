@@ -818,3 +818,54 @@ def test_ewma_fold_batch_split_invariant(spark):
     b2["ts"] = [pd.Timestamp(i + 2, unit="s") for i in range(len(b2))]
     list(_ewma_fold((1,), iter([b2]), split))
     assert one._v == split._v
+
+
+def test_fingerprint_overlap_sink_matches_batch(spark, tmp_path):
+    """Streaming incremental fingerprint overlap (append + probe per
+    micro-batch) must surface exactly the pairs the batch
+    fingerprint_overlap_pairs query finds on the full corpus — the
+    winnowing sibling of the near-dup sink's Kappa contract.  No
+    fingerprint at this SF crosses the stop-hash threshold, so the
+    append path's deferred pruning cannot diverge."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.textops import (
+        fingerprint_overlap_pairs,
+    )
+    from data_integration_system_spark.streaming.jobs import (
+        fingerprint_overlap_sink,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    d = str(tmp_path / "doc_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    pairs_path = str(tmp_path / "pairs")
+    sink = fingerprint_overlap_sink(
+        spark, str(tmp_path / "fp_idx"), pairs_path, min_shared=5
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.shared_fps)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.shared_fps)
+        for r in fingerprint_overlap_pairs(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
