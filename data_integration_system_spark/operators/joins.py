@@ -1900,3 +1900,63 @@ def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .orderBy("part_a", "part_b")
     )
+
+
+@query(
+    "nation_supplier_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_suppkey
+    ), rs AS (
+      SELECT s.s_nationkey, r.rev_e4,
+             SUM(r.rev_e4) OVER (PARTITION BY s.s_nationkey) AS tot
+      FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ), sh AS (
+      SELECT s_nationkey, rev_e4 * 10000 // tot AS share_e4 FROM rs
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(max(share_e4) AS BIGINT) AS top_share_e4,
+           CAST(SUM(share_e4 * share_e4) AS BIGINT) AS hhi_e8
+    FROM sh JOIN nation n ON n.n_nationkey = sh.s_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def nation_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report: per nation, the Herfindahl index of
+    supplier revenue shares (e8-scaled: 10^8 = monopoly), the top
+    supplier's share, and the supplier count — the antitrust/market-
+    structure metric family, exactly oracle-checked because shares are
+    integer e4 fractions of an exact e4-cent revenue sum (the decimal
+    x 10^4 integral-scaling rule; x 100 would leave fractional digits
+    where the engines' casts disagree).
+
+    Scale shape: one fact aggregation to the supplier grain, a
+    broadcast dim attach, ONE nation-keyed window computing totals and
+    shares in the same pass, and a tiny |nations| rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r = li.groupBy("l_suppkey").agg(
+        (F.sum(dec(rev)) * 10000).cast("long").alias("rev_e4")
+    )
+    w = Window.partitionBy("s_nationkey")
+    sh = (
+        r.join(F.broadcast(s), r.l_suppkey == s.s_suppkey)
+        .select("s_nationkey", "rev_e4", F.sum("rev_e4").over(w).alias("tot"))
+        .select("s_nationkey", F.expr("rev_e4 * 10000 div tot").alias("share_e4"))
+    )
+    return (
+        sh.join(F.broadcast(n), sh.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.max("share_e4").cast("long").alias("top_share_e4"),
+            F.sum(F.col("share_e4") * F.col("share_e4")).cast("long").alias("hhi_e8"),
+        )
+        .orderBy("n_name")
+    )

@@ -188,6 +188,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "conversion_by_signup_week",
     "part_copurchase_pairs",
     "part_name_near_matches",
+    "nation_supplier_concentration",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
