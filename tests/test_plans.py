@@ -665,3 +665,17 @@ def test_daily_trend_two_stacked_aggs(spark):
     assert sortmerge_join_count(df) == 0
     assert broadcast_join_count(df) == 0
     assert sorted(set(scan_read_schemas(df)["events"])) == ["event_type", "ts"]
+
+
+def test_concentration_one_fact_aggregation(spark):
+    """nation_supplier_concentration: the fact is aggregated to the
+    supplier grain ONCE; dims attach as broadcasts; totals+shares ride
+    one nation-keyed window.  Exchanges: fact agg + window + rollup +
+    presentation sort <= 4, and the lineitem scan reads only the three
+    needed columns."""
+    df = get_queries()["nation_supplier_concentration"](spark, SF)
+    assert shuffle_count(df) <= 4
+    assert broadcast_join_count(df) == 2  # supplier + nation dims
+    assert sorted(set(scan_read_schemas(df)["lineitem"])) == [
+        "l_discount", "l_extendedprice", "l_suppkey",
+    ]

@@ -388,3 +388,18 @@ def test_kmeans_assignment_property(spark, rows):
         )
         want[i] = (lab, d)
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(-10**15, 10**15))
+def test_halve_trunc_matches_sql_division(x):
+    """halve_trunc == SQL integer division by 2 (truncation toward
+    zero) over the full BIGINT-ish domain — checked directly against
+    DuckDB, the oracle engine whose semantics the Python replays of
+    integer recurrences must match."""
+    import duckdb
+
+    from data_integration_system_spark.operators._common import halve_trunc
+
+    want = duckdb.connect().execute(f"SELECT CAST({x} AS BIGINT) // 2").fetchone()[0]
+    assert halve_trunc(x) == want
