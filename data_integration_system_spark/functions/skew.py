@@ -72,3 +72,41 @@ def salted_join(
     small_r = small.select("*", salts)
     out = big_s.join(small_r, on=[key, "_salt"]).drop("_salt")
     return out
+
+
+def skew_report(df: DataFrame, keys: list[str], top_n: int = 5) -> dict:
+    """Diagnose key skew before choosing a mitigation: per-key row-count
+    distribution (p50/p90/p99/max), key cardinality, and the heaviest
+    keys with their share of all rows.
+
+    The decision rule this feeds: max/p50 under ~10 → AQE alone is
+    fine; a handful of heavy keys → drop_hot_keys or broadcast them
+    separately; a heavy TAIL (p99 ≫ p50) → salted_agg/salted_join with
+    fan-out ≈ max/p50.  One aggregation pass to the key grain plus a
+    tiny stats pass — run it on a sample at 100 TB.
+
+    Returns a plain dict (driver-side scalars) — this is a diagnostic,
+    not a dataset."""
+    counts = df.groupBy(*keys).count()
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.expr("percentile_approx(count, 0.5)").alias("p50"),
+        F.expr("percentile_approx(count, 0.9)").alias("p90"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.max("count").alias("mx"),
+        F.sum("count").alias("total"),
+    ).head()
+    top = [
+        {"key": {k: r[k] for k in keys}, "rows": r["count"],
+         "share_e4": int(r["count"] * 10000 // stats["total"])}
+        for r in counts.orderBy(F.col("count").desc(), *keys).limit(top_n).collect()
+    ]
+    return {
+        "n_keys": stats["n_keys"],
+        "p50": stats["p50"],
+        "p90": stats["p90"],
+        "p99": stats["p99"],
+        "max": stats["mx"],
+        "skew_ratio": (stats["mx"] / max(stats["p50"], 1)),
+        "top_keys": top,
+    }

@@ -712,3 +712,21 @@ def test_minhash_estimator_calibration(spark):
     assert all(0 <= r.est_e4 <= 10_000 and 0 <= r.exact_e4 <= 10_000 for r in rows)
     mean_err = sum(r.abs_err_e4 for r in rows) / len(rows)
     assert mean_err <= 1768, f"estimator decalibrated: mean |err| {mean_err}"
+
+
+def test_skew_report_diagnoses_hot_key(spark):
+    """skew_report must surface the planted hot key with its share and a
+    skew ratio that says 'mitigate' — the diagnostic that picks between
+    AQE, hot-key drop, and salting."""
+    from data_integration_system_spark.functions.skew import skew_report
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{j}", j) for j in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    rep = skew_report(df, ["k"], top_n=3)
+    assert rep["n_keys"] == 101
+    assert rep["max"] == 900
+    assert rep["skew_ratio"] >= 100
+    assert rep["top_keys"][0]["key"] == {"k": "hot"}
+    assert rep["top_keys"][0]["share_e4"] == 9000
