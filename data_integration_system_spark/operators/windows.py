@@ -1138,3 +1138,68 @@ def conversion_by_signup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+@query(
+    "daily_volume_anomalies",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ), m AS (
+      SELECT CAST(FLOOR(quantile_cont(n, 0.5)) AS BIGINT) AS med FROM d
+    ), md AS (
+      SELECT m.med,
+             CAST(FLOOR(quantile_cont(abs(d.n - m.med), 0.5)) AS BIGINT) AS mad
+      FROM d, m GROUP BY m.med
+    )
+    SELECT d.day, d.n,
+           CAST(abs(d.n - md.med) AS BIGINT) AS dev,
+           md.med AS median_daily, md.mad AS mad_daily
+    FROM d, md
+    WHERE abs(d.n - md.med) > 3 * md.mad
+    ORDER BY d.day
+    """,
+)
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops anomaly detection: days whose event volume deviates more
+    than 3 MADs from the median daily volume — the robust ingestion
+    monitor (a broken feed or a double-delivery shows up here before
+    any downstream metric moves).  event_value_mad's dispersion recipe
+    applied to the DAY grain: floored integer median → integer
+    deviations → exact second percentile.
+
+    Scale shape: the fact collapses to |days| rows first; both
+    percentile passes and the flag filter run on that tiny relation
+    (the two scalar stats ride along as one broadcast row)."""
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # |days| rows, three consumers
+    )
+    m = d.agg(
+        F.floor(F.expr("percentile(n, 0.5)")).cast("long").alias("med")
+    )
+    md = (
+        d.crossJoin(F.broadcast(m))
+        .agg(
+            F.first("med").alias("med"),
+            F.floor(F.expr("percentile(abs(n - med), 0.5)"))
+            .cast("long")
+            .alias("mad"),
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(md))
+        .filter(F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "day",
+            "n",
+            F.abs(F.col("n") - F.col("med")).cast("long").alias("dev"),
+            F.col("med").alias("median_daily"),
+            F.col("mad").alias("mad_daily"),
+        )
+        .orderBy("day")
+    )

@@ -189,6 +189,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "part_copurchase_pairs",
     "part_name_near_matches",
     "nation_supplier_concentration",
+    "daily_volume_anomalies",
     # displaced r3-green tier, displacement order:
     "dedup_ngram_jaccard",
     "contamination_check",
