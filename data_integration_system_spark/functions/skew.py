@@ -88,6 +88,11 @@ def skew_report(df: DataFrame, keys: list[str], top_n: int = 5) -> dict:
     Returns a plain dict (driver-side scalars) — this is a diagnostic,
     not a dataset."""
     counts = df.groupBy(*keys).count()
+    if counts.isEmpty():  # empty input: report zeros, not a TypeError
+        return {
+            "n_keys": 0, "p50": 0, "p90": 0, "p99": 0, "max": 0,
+            "skew_ratio": 0.0, "top_keys": [],
+        }
     stats = counts.agg(
         F.count("*").alias("n_keys"),
         F.expr("percentile_approx(count, 0.5)").alias("p50"),

@@ -730,3 +730,15 @@ def test_skew_report_diagnoses_hot_key(spark):
     assert rep["skew_ratio"] >= 100
     assert rep["top_keys"][0]["key"] == {"k": "hot"}
     assert rep["top_keys"][0]["share_e4"] == 9000
+
+
+def test_skew_report_empty_input(spark):
+    """An empty relation reports zeros instead of dying on None stats."""
+    from data_integration_system_spark.functions.skew import skew_report
+
+    df = spark.createDataFrame([], "k string, v long")
+    rep = skew_report(df, ["k"])
+    assert rep == {
+        "n_keys": 0, "p50": 0, "p90": 0, "p99": 0, "max": 0,
+        "skew_ratio": 0.0, "top_keys": [],
+    }
