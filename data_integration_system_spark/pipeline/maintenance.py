@@ -56,7 +56,12 @@ def maintain_snapshot_store(
     from data_integration_system_spark.pipeline.layout import compact_snapshot
     from data_integration_system_spark.pipeline.snapshots import prune_snapshots
 
-    report = compact_snapshot(spark, root, target_file_bytes=target_file_bytes)
+    try:
+        report = compact_snapshot(spark, root, target_file_bytes=target_file_bytes)
+    except FileNotFoundError:
+        # a root with no committed snapshot yet (sink not started): skip,
+        # don't kill the cron's loop over its OTHER roots
+        return {"compacted": False, "missing": True, "pruned_versions": []}
     removed = prune_snapshots(spark, root, keep=keep_versions)
     return {**report, "pruned_versions": removed}
 

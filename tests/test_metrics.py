@@ -234,3 +234,15 @@ def test_maintain_snapshot_store_end_to_end(spark, tmp_path):
 
     again = maintain_snapshot_store(spark, root, keep_versions=2)
     assert again["compacted"] is False and again["pruned_versions"] == []
+
+
+def test_maintain_missing_root_is_skipped(spark, tmp_path):
+    """A root with no committed snapshot reports missing instead of
+    raising — one unstarted sink must not kill the cron's pass over its
+    other roots."""
+    from data_integration_system_spark.pipeline.maintenance import (
+        maintain_snapshot_store,
+    )
+
+    rep = maintain_snapshot_store(spark, str(tmp_path / "never_written"))
+    assert rep == {"compacted": False, "missing": True, "pruned_versions": []}
