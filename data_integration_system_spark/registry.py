@@ -71,109 +71,13 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # (1) never driver-sampled: built late in round 4, outside the r4
-    # window (VERDICT r4 "Next round" #1) — must get their first row:
-    "quantity_price_correlation",
-    "dup_rate_by_source",
-    "daily_active_users",
-    # (1b) NEW in round 5 — never driver-checked:
-    "shipmode_priority_counts",
-    "excess_stock_suppliers",
-    "shipping_priority",
-    "order_priority_check",
-    "local_supplier_volume",
-    "monthly_revenue_growth",
-    "customer_spend_percentile",
-    "doc_length_histogram",
-    "similarity_recall_at_k",
-    "salted_event_type_rollup",
-    "weekly_retention",
-    "lang_source_grouping_sets",
-    "rolling_7day_event_volume",
-    "customer_rfm_scores",
-    "order_gap_percentiles",
-    "supplier_share_of_nation",
-    "discount_band_pivot",
-    "cross_source_duplicate_matrix",
-    "lang_confusion_matrix",
-    "source_quality_report",
-    "order_date_gap_fill",
-    "percentile_approx_check",
-    "bigram_lift_top",
-    "event_value_mad",
-    "event_type_gini_per_user",
-    "pareto_revenue_share",
-    "new_vs_returning_users",
-    "discount_band_unpivot",
-    "dq_orders_report",
-    "purchase_streak_islands",
-    "transition_triangles",
-    "lang_source_rollcall",
-    # (2) queries whose latest driver row is round 3 (VERDICT r4 "Next
-    # round" #2) — §2B heart first:
-    "dedup_exact",
-    "dedup_keep_latest",
-    "upsert_changed_rows",
-    "join_broadcast_dim",
-    "join_sortmerge_fact",
-    "semi_join_existing",
-    "anti_join_unvisited",
-    "multiway_star_join",
-    "range_join_events",
-    "asof_latest_event_per_order",
-    "window_rank_frames",
-    "tumbling_window_counts",
-    "sliding_window_avg",
-    "session_windows",
-    # — §2C exact-oracle tier, also last checked in round 3:
-    "dedup_exact_full",
-    "dedup_ngram_jaccard",
-    "contamination_check",
-    "sample_stratified",
-    "text_normalize",
-    "group_quantiles",
-    "partsupp_profit",
-    "top_sources_per_lang",
-    "ntile_quartiles",
-    "signup_purchase_funnel",
-    "event_type_transitions",
-    "quality_filter_gopher",
-    "token_top_vocab",
-    "domain_mix_weights",
-    "decontaminate_filter",
-    "returned_item_report",
-    "top_revenue_supplier",
-    "segment_top_orders",
-    "snapshot_reconcile",
-    "pii_redact",
-    "large_volume_orders",
-    "brand_supplier_counts",
-    "event_zscore_outliers",
-    "weighted_resample",
-    "regional_nation_volume",
-    "idle_rich_customers",
-    # (3) rows-only r3 tier LAST — their driver check is the weaker
-    # rows-only compare and each is pinned by in-repo tests, so they are
-    # the right entries to fall out of the 50-slot window as new queries
-    # land this round:
-    "dedup_minhash_near",
-    "dedup_simhash",
-    "dedup_embedding_near",
-    "dedup_clusters",
-    "dedup_corpus_keep_reps",
-    "doc_fingerprint",
-    "fingerprint_overlap_pairs",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The 32 queries added in round 5
-#: displaced these from the 50-slot window (the §2C exact tier's tail,
-#: then the rows-only r3 tier), so their latest driver row will be 3
-#: rounds old by r6. Ordered by displacement time, most recent first:
-_NEXT_ROTATION_FIRST: list[str] = [
-    # NEW late in round 5, after the 50-slot window was already full of
-    # never-sampled round-5 queries — never driver-checked, so they lead
-    # round 6 ahead of every refresh:
+    # Round 6 window = 16 + 32 + 2 = exactly 50 (VERDICT r5 "Next round"
+    # #2/#3). Registry growth is FROZEN this round so verification debt
+    # hits zero: after r6 every query has ≥1 driver row and none is >2
+    # rounds stale.
+    #
+    # (1) never driver-sampled (registered late in round 5, after the r5
+    # window was already full) — must get their first row:
     "transition_degrees",
     "embedding_centroid_per_label",
     "kmeans_assign_int",
@@ -190,7 +94,8 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "part_name_near_matches",
     "nation_supplier_concentration",
     "daily_volume_anomalies",
-    # displaced r3-green tier, displacement order:
+    # (2) latest driver row is round 3 — the §2C exact tier displaced by
+    # the r5 additions, §2B north-star dedup heart included:
     "dedup_ngram_jaccard",
     "contamination_check",
     "sample_stratified",
@@ -223,6 +128,69 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "dedup_corpus_keep_reps",
     "doc_fingerprint",
     "fingerprint_overlap_pairs",
+    # (3) r4-stale queries whose implementation CHANGED this round (the
+    # multimodal decode stage gained a real JPEG/PNG byte parser) — they
+    # need a fresh row against the new code path:
+    "multimodal_decode_meta",
+    "multimodal_resize_meta",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). After round 6 lands, the oldest
+#: rows belong to the r4-checked tier (everything below), then the
+#: r5-checked tier. Regenerate the plan from data with
+#: ``python rehearse.py --coverage`` (writes CORRECTNESS_COVERAGE.json)
+#: instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    # r4-stale after this round (driver row from round 4):
+    "scan_project",
+    "filter_blocklist",
+    "filter_scope",
+    "filter_size_cap",
+    "project_domain",
+    "project_content_hash",
+    "agg_counts_by_group",
+    "agg_rollup",
+    "agg_distinct",
+    "topk_oldest_pending",
+    "stale_timeout_filter",
+    "union_pages_files",
+    "set_ops",
+    "json_config_extract",
+    "string_metrics",
+    "text_stats",
+    "similarity_topk",
+    "approx_distinct",
+    "agg_cube_events",
+    "cheapest_supplier_per_part",
+    "column_stats_lineitem",
+    "customer_order_distribution",
+    "disjunctive_discount_revenue",
+    "embedding_norms",
+    "event_type_pagerank",
+    "exact_substring_dup_spans",
+    "forecast_revenue",
+    "lone_returned_supplier_orders",
+    "multimodal_frame_sample",
+    "national_market_share",
+    "orders_above_customer_avg",
+    "pack_sequences",
+    "part_value_concentration",
+    "pivot_lang_counts",
+    "pricing_summary",
+    "priority_counts_with_lineitem",
+    "promo_revenue_share",
+    "rare_token_score",
+    "repetition_top_bigram",
+    "segment_median_order",
+    "similarity_ivf_topk",
+    "small_qty_revenue",
+    "text_lang_id",
+    "text_quality_score",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "volume_shipping",
+    "weekday_order_stats",
 ]
 
 
