@@ -87,7 +87,10 @@ def skew_report(df: DataFrame, keys: list[str], top_n: int = 5) -> dict:
 
     Returns a plain dict (driver-side scalars) — this is a diagnostic,
     not a dataset."""
-    counts = df.groupBy(*keys).count()
+    # materialize the key grain ONCE: three actions follow (isEmpty,
+    # stats agg, top-N collect) and the full input aggregation is the
+    # expensive part on the very large/skewed inputs this targets
+    counts = df.groupBy(*keys).count().localCheckpoint()
     if counts.isEmpty():  # empty input: report zeros, not a TypeError
         return {
             "n_keys": 0, "p50": 0, "p90": 0, "p99": 0, "max": 0,

@@ -272,10 +272,14 @@ def minhash_bands(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """doc -> (band_id, band_hash) rows; the LSH bucketing relation.
     Pass a precomputed `shingle_sets` result to share it with the
-    verification stage.
+    verification stage, or a precomputed (doc_id, sig) signature
+    relation (``sig_df``) when the caller already derived the 32 lanes —
+    the signature is the expensive stage and must run once (the
+    duplicated-derivation trap _minhash_sig's docstring warns about).
 
     Each stage (hashed shingles -> signature -> bands) is materialized
     with localCheckpoint: Catalyst's CollapseProject would otherwise
@@ -285,13 +289,14 @@ def minhash_bands(
     checkpointed intermediates are tiny (id + one small array per doc).
     At 100 TB signatures are computed once at write time and stored —
     this is the batch analog."""
-    if shingles_df is None:
-        shingles_df = shingle_sets(docs, text_col, id_col)
-    # shingle_sets already emits 64-bit hashes — the signature lanes
-    # remix those longs directly
-    sig_df = shingles_df.select(
-        "doc_id", _minhash_sig(F.col("shingles")).alias("sig")
-    ).localCheckpoint()
+    if sig_df is None:
+        if shingles_df is None:
+            shingles_df = shingle_sets(docs, text_col, id_col)
+        # shingle_sets already emits 64-bit hashes — the signature lanes
+        # remix those longs directly
+        sig_df = shingles_df.select(
+            "doc_id", _minhash_sig(F.col("shingles")).alias("sig")
+        ).localCheckpoint()
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(_BANDS - 1)),
         lambda b: F.struct(
@@ -1233,7 +1238,9 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.select(
         "doc_id", _minhash_sig(F.col("shingles")).alias("sig")
     ).localCheckpoint()
-    pairs = lsh_candidate_pairs(minhash_bands(docs, shingles_df=sh))
+    # the checkpointed sig relation feeds BOTH the banding and the
+    # estimator join — the 32-lane remix runs exactly once
+    pairs = lsh_candidate_pairs(minhash_bands(docs, sig_df=sig))
     payload = sh.join(sig, "doc_id")
     pa = payload.select(
         F.col("doc_id").alias("doc_a"),

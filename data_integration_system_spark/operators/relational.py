@@ -1193,9 +1193,15 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_source_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregate: the sorted, comma-joined roster of sources
     per language — the "which feeds contribute here" report, and the
-    registry's one STRING-valued aggregate (list outputs must leave as
-    joined strings: array columns crash the driver's canonicalizer, the
-    round-1 lesson).
+    registry's one STRING-valued aggregate.
+
+    DRIVER LIMITATION, not a semantic choice: the natural output type is
+    array<string>, but the external driver canonicalizes results with
+    pandas ``sort_values`` over every column, which dies on array cells
+    (``unhashable type: numpy.ndarray`` — the round-1 failure mode of
+    dedup_clusters/doc_fingerprint).  The joined-string form is the
+    lossless scalar encoding of the same sorted set; a consumer wanting
+    the array applies ``split(sources, ',')``.
 
     Spark spells it array_join(array_sort(collect_set())); DuckDB
     string_agg(DISTINCT ... ORDER BY) — identical strings because both

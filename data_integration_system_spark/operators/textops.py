@@ -445,7 +445,13 @@ def query_fingerprint_index(
     literals -> PartitionFilters on the index scan; a lookup reads only
     the probed posting-list partitions.  Querying the corpus against
     itself reproduces fingerprint_overlap_pairs exactly (pinned in
-    tests)."""
+    tests).
+
+    shared_fps counts DISTINCT fp_hash per pair: winnow_fingerprints
+    already emits distinct (doc_id, fp_hash), so on a clean index this
+    equals count(*), but an index holding redelivered rows (the
+    streaming sink's at-least-once appends) would otherwise inflate the
+    count and push sub-threshold pairs over min_shared."""
     n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
     qfp = (
         winnow_fingerprints(query_docs, text_col, id_col, spread=False)
@@ -462,7 +468,7 @@ def query_fingerprint_index(
               ["bucket", "fp_hash"])
         .filter(F.col("q_id") != F.col("c_id"))
         .groupBy("q_id", "c_id")
-        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .agg(F.count_distinct("fp_hash").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
 

@@ -126,21 +126,40 @@ def export_jsonl(
     snapshot_root: str,
     out_path: str,
     compression: str = "gzip",
-) -> int:
+) -> dict:
     """Hand off the curated snapshot as compressed JSON Lines — the
-    interchange format tokenizer/training jobs actually consume —
-    and return the exported row count.
+    interchange format tokenizer/training jobs actually consume.
+    Returns ``{"path", "version", "rows", "written"}``.
+
+    The export lands under ``{out_path}/{snapshot_version}`` so the
+    re-export contract actually holds: after a new snapshot version is
+    committed, exporting to the SAME out_path writes the new version's
+    rows to a fresh subdir (a flat errorifexists write would raise on
+    the second call).  Re-exporting an already-exported version is an
+    idempotent no-op (``written=False``) — version dirs are write-once,
+    like the snapshots they mirror.
 
     One distributed write, one file per partition (the snapshot's
     partitioning carries through, so a compacted snapshot exports as
     ~target-size .json.gz parts).  The export is a COPY: the parquet
-    snapshot stays the queryable source of truth; re-exports after a
-    new snapshot version see the new `_CURRENT` automatically."""
-    from data_integration_system_spark.pipeline.snapshots import read_current
+    snapshot stays the queryable source of truth."""
+    from data_integration_system_spark.pipeline.fsutil import hadoop_path
+    from data_integration_system_spark.pipeline.snapshots import (
+        current_version,
+        read_current,
+    )
 
+    version = current_version(spark, snapshot_root)
+    if version is None:
+        raise FileNotFoundError(f"no committed snapshot at {snapshot_root}")
+    target = f"{out_path}/{version}"
+    p, fs = hadoop_path(spark, target)
+    if fs.exists(p):
+        rows = spark.read.json(target).count()
+        return {"path": target, "version": version, "rows": rows, "written": False}
     df = read_current(spark, snapshot_root)
-    df.write.mode("errorifexists").option("compression", compression).json(out_path)
-    return df.count()
+    df.write.mode("errorifexists").option("compression", compression).json(target)
+    return {"path": target, "version": version, "rows": df.count(), "written": True}
 
 
 def release_corpus(
@@ -182,11 +201,17 @@ def release_corpus(
         manifest.select("lang", "seq_id").distinct().count()
     )
     if export_path is not None:
+        # versioned like export_jsonl: the export dir mirrors the corpus
+        # snapshot version, so re-releasing to the same path works and a
+        # release's JSONL is traceable to its snapshot pair
+        from data_integration_system_spark.pipeline.snapshots import current_version
+
+        version = current_version(spark, out_root)
         (
             curated.join(manifest, ["doc_id", "lang"])
             .write.mode("errorifexists")
             .option("compression", "gzip")
-            .json(export_path)
+            .json(f"{export_path}/{version}")
         )
     next_idx = report.agg(F.max("stage_idx")).head()[0] + 1
     seq_row = spark.createDataFrame(

@@ -31,6 +31,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_integration_system_spark.pipeline.fsutil import hadoop_path
 from data_integration_system_spark.pipeline.snapshots import (
@@ -101,6 +102,18 @@ def _partition_layout(spark: SparkSession, path: str) -> tuple[str | None, int]:
     return col, n
 
 
+def _partition_bytes(spark: SparkSession, path: str) -> dict[str, int]:
+    """Bytes per hive partition, keyed by the dir's value string."""
+    p, fs = hadoop_path(spark, path)
+    out: dict[str, int] = {}
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            b, _ = _dir_bytes(spark, f"{path}/{name}")
+            out[name.split("=", 1)[1]] = b
+    return out
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,
@@ -111,18 +124,31 @@ def compact_snapshot(
 
     Flat tables merge with coalesce — no shuffle, each output task reads
     several input files sequentially.  A hive-partitioned snapshot keeps
-    its layout: the rewrite detects the ``col=value`` dirs, clusters by
-    the partition column, and partitionBy-writes the new version — a
-    naive coalesce would flatten the table and silently destroy every
-    reader's partition pruning.  Skips (no-op report) when already at or
-    under the target file count, so a scheduled compactor is idempotent."""
+    its layout: the rewrite detects the ``col=value`` dirs, sizes each
+    partition's file count from its BYTES (ceil(bytes/target)), and
+    salt-splits the rows so a large partition compacts across that many
+    tasks — ``repartition(part_col)`` alone would route every row of a
+    partition value through ONE task (maximal key skew, a serial
+    hot-task at 100 TB) and ignore ``target_file_bytes`` entirely.  A
+    naive coalesce would instead flatten the table and silently destroy
+    every reader's partition pruning.  Skips (no-op report) when already
+    at or under the target file count, so a scheduled compactor is
+    idempotent."""
     version = current_version(spark, root)
     if version is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     total, n_files = _dir_bytes(spark, f"{root}/{version}")
     part_col, n_parts = _partition_layout(spark, f"{root}/{version}")
-    # a partitioned table can never go below one file per partition dir
-    target = max(1, n_parts, math.ceil(total / target_file_bytes))
+    if part_col is not None:
+        # per-partition file plan: a partition never goes below 1 file,
+        # an oversized one gets ceil(bytes/target) files (and tasks)
+        files_per = {
+            v: max(1, math.ceil(b / target_file_bytes))
+            for v, b in _partition_bytes(spark, f"{root}/{version}").items()
+        }
+        target = max(1, sum(files_per.values()))
+    else:
+        target = max(1, math.ceil(total / target_file_bytes))
     if n_files <= target:
         return {
             "compacted": False,
@@ -133,10 +159,29 @@ def compact_snapshot(
         }
     df = read_current(spark, root)
     if part_col is not None:
-        # 1 file per partition value (hash-clustered); preserves pruning
-        new_version = write_snapshot(
-            df.repartition(part_col), root, partition_by=part_col
+        # deterministic salt in [0, files_per[value]): hash of the data
+        # columns, modulo the partition's planned file count.  The
+        # (part_col, salt) repartition spreads a big partition over its
+        # planned number of tasks; partitionBy then lands each task's
+        # rows in the right dir, ~target_file_bytes per file.
+        plan = spark.createDataFrame(
+            list(files_per.items()), schema="__part_val string, __n_files int"
         )
+        data_cols = [c for c in df.columns if c != part_col]
+        salted = (
+            df.join(
+                F.broadcast(plan),
+                F.col(part_col).cast("string") == F.col("__part_val"),
+                "left",
+            )
+            .withColumn(
+                "__salt",
+                F.pmod(F.hash(*data_cols), F.coalesce(F.col("__n_files"), F.lit(1))),
+            )
+            .repartition(target, F.col(part_col), F.col("__salt"))
+            .drop("__part_val", "__n_files", "__salt")
+        )
+        new_version = write_snapshot(salted, root, partition_by=part_col)
     else:
         new_version = write_snapshot(df.coalesce(target), root)
     _, n_after = _dir_bytes(spark, f"{root}/{new_version}")

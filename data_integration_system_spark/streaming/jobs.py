@@ -405,7 +405,11 @@ def fingerprint_overlap_sink(
     Same at-least-once contract as near_dup_sink: redelivery duplicates
     index storage (compacted by the periodic build_fingerprint_index
     rebuild, which also re-applies stop-hash pruning) and re-emits
-    pairs (consumers dedup on the pair key).  Expects (doc_id, text)."""
+    pairs (consumers dedup on the pair key).  Duplicated index rows
+    cannot inflate the overlap counts: query_fingerprint_index counts
+    DISTINCT fp_hash per pair, so a redelivered batch re-emits pairs
+    with IDENTICAL shared_fps and no sub-threshold pair ever crosses
+    min_shared.  Expects (doc_id, text)."""
     from data_integration_system_spark.operators.textops import (
         append_fingerprint_index,
         query_fingerprint_index,

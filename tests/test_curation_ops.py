@@ -156,11 +156,28 @@ def test_curate_with_novelty_stage_and_jsonl_export(spark, tmp_path):
     assert report["curated"] <= plain["curated"]
 
     out = str(tmp_path / "export")
-    n = export_jsonl(spark, strict, out)
-    assert n == report["curated"]
-    back = spark.read.json(out)
-    assert back.count() == n
+    res = export_jsonl(spark, strict, out)
+    assert res["written"] is True and res["rows"] == report["curated"]
+    back = spark.read.json(res["path"])
+    assert back.count() == res["rows"]
     assert "doc_id" in back.columns and "text" in back.columns
+
+    # same-version re-export: idempotent no-op, not an error
+    again = export_jsonl(spark, strict, out)
+    assert again["written"] is False and again["path"] == res["path"]
+    assert again["rows"] == res["rows"]
+
+    # new snapshot version -> re-export to the SAME out_path lands in a
+    # fresh versioned subdir (the advertised re-export contract)
+    from data_integration_system_spark.pipeline.snapshots import (
+        read_current,
+        write_snapshot,
+    )
+
+    write_snapshot(read_current(spark, strict).limit(5), strict)
+    res2 = export_jsonl(spark, strict, out)
+    assert res2["written"] is True and res2["path"] != res["path"]
+    assert res2["rows"] == 5
 
 
 def test_release_corpus_end_to_end(spark, tmp_path):
@@ -189,7 +206,9 @@ def test_release_corpus_end_to_end(spark, tmp_path):
     }
     got = {(r.doc_id, r.seq_id, r.seq_off) for r in manifest.collect()}
     assert got == want
-    back = spark.read.json(export)
+    from data_integration_system_spark.pipeline.snapshots import current_version
+
+    back = spark.read.json(f"{export}/{current_version(spark, root)}")
     assert back.count() == report["curated"]
     assert {"text", "seq_id", "seq_off", "n_tokens"} <= set(back.columns)
 

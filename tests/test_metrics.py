@@ -212,6 +212,41 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     assert again["compacted"] is False
 
 
+def test_compact_splits_skewed_partition(spark, tmp_path):
+    """A hive partition larger than target_file_bytes must compact into
+    MULTIPLE files (≈ ceil(bytes/target) of them, i.e. multiple tasks),
+    not funnel through one task into one oversized file — the key-skew
+    hot-task trap of a bare repartition(part_col)."""
+    import re
+
+    from data_integration_system_spark.pipeline.snapshots import current_version
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").withColumn(
+        # ~95% of rows land in bucket 0: one fat partition, one thin one
+        "bucket",
+        F.when(F.col("user_id") % 20 == 0, 1).otherwise(0).cast("int"),
+    )
+    write_snapshot(ev.repartition(16), root, partition_by="bucket")
+    v1 = current_version(spark, root)
+    fat_bytes = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{root}/{v1}/bucket=0/*.parquet")
+    )
+    target = max(fat_bytes // 3, 1)  # plan ≥3 files for the fat partition
+    report = compact_snapshot(spark, root, target_file_bytes=target)
+    assert report["compacted"] is True
+    v2 = current_version(spark, root)
+    fat_files = glob.glob(f"{root}/{v2}/bucket=0/*.parquet")
+    assert len(fat_files) >= 2  # the skewed partition split across tasks
+    # no file grossly above target (2x slack for row-group granularity)
+    assert all(__import__("os").path.getsize(f) < 2.5 * target for f in fat_files)
+    # layout + data survive
+    dirs = {re.search(r"bucket=(\d+)", d).group(1) for d in glob.glob(f"{root}/{v2}/bucket=*")}
+    assert dirs == {"0", "1"}
+    assert read_current(spark, root).count() == ev.count()
+
+
 def test_maintain_snapshot_store_end_to_end(spark, tmp_path):
     """The scheduled maintenance pass: compacts the fragmented current
     version AND prunes history beyond the keep budget, in one idempotent

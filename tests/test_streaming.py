@@ -869,3 +869,36 @@ def test_fingerprint_overlap_sink_matches_batch(spark, tmp_path):
         for r in fingerprint_overlap_pairs(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_fingerprint_overlap_sink_redelivery_counts_stable(spark, tmp_path):
+    """At-least-once redelivery appends duplicate (doc, fp) rows to the
+    index; shared_fps is a DISTINCT fp_hash count, so a replayed batch
+    must re-emit pairs with IDENTICAL counts (downstream pair-key dedup
+    keeps consistent rows) and must not push sub-threshold pairs over
+    min_shared."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.streaming.jobs import fingerprint_overlap_sink
+
+    batch = (
+        table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    pairs_path = str(tmp_path / "pairs")
+    sink = fingerprint_overlap_sink(
+        spark, str(tmp_path / "fp_idx"), pairs_path, min_shared=5
+    )
+    sink(batch, 0)
+    first = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    sink(batch, 0)  # redelivered micro-batch: index now holds dup rows
+    replay = [
+        ((r.doc_a, r.doc_b), r.shared_fps)
+        for r in spark.read.parquet(pairs_path).collect()
+    ]
+    assert len(first) > 0
+    assert {k for k, _ in replay} == set(first)  # no new (inflated) pairs
+    assert all(v == first[k] for k, v in replay)  # identical counts
