@@ -3,13 +3,16 @@
 Images/audio/video are opaque `binary` columns with typed metadata; the
 decode / feature-extract step is a Pandas-UDF stage over `mapInPandas`
 (Arrow batches — the only sane way to move binary blobs through Python).
-The codec binding is import-gated (`_resolve_decode`): real PIL when the
-library is present in the worker, else a clearly-marked deterministic
-STUB (`_fake_decode`) — this container has no codec libs, so the stub
-runs here.  Everything Spark-side — schema, batch shape, partitioning,
-the mapInPandas contract — is real and oracle-checked: the stub's
-outputs are pure functions of the payload bytes, which DuckDB can
-recompute from the source text.
+Decode is a three-tier dispatch (`_resolve_decode`): a REAL pure-Python
+container-header parser (PNG IHDR / JPEG SOFn / GIF — genuine
+width/height/channels from genuine bytes, zero dependencies), then PIL
+when importable in the worker, then a clearly-marked deterministic STUB
+(`_fake_decode`) for non-image payloads.  Everything Spark-side —
+schema, batch shape, partitioning, the mapInPandas contract — is
+oracle-checked: the synthetic tables' payloads are text bytes (no
+container magic), so the stub's pure-function outputs are what DuckDB
+recomputes, while the header parser is pinned on real JPEG/PNG/GIF
+fixtures in tests.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 `spark.sql.files.maxPartitionBytes` sized so a batch of blobs fits
@@ -46,18 +49,76 @@ DECODED_SCHEMA = StructType(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB for the image-decode step (no codec libs in this container).
+    """STUB for payloads that are NOT real image containers (the
+    synthetic test tables carry text bytes in the payload column).
 
     Deterministic pure function of the payload so the pipeline is
-    testable end-to-end; `_resolve_decode` swaps in the real PIL binding
-    automatically wherever the library exists.
+    testable end-to-end; real containers never reach it — the
+    pure-Python header parser (decode_image_header) handles those.
     """
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1, "png" if n % 2 == 0 else "jpeg"
 
 
+def decode_image_header(payload: bytes) -> dict | None:
+    """REAL byte-level container decode, zero dependencies: PNG IHDR,
+    JPEG SOFn marker walk, GIF logical-screen descriptor — the fields a
+    curation pipeline filters on (dimensions, channels, bit depth)
+    without ever handing the blob to a codec.  Returns
+    ``{width, height, fmt, bit_depth, channels}`` or None when the
+    payload is not a recognized container (caller falls back).
+
+    This is the production fast path at 100 TB: header-only metadata is
+    a few dozen bytes per blob, so dimension/aspect predicates run at
+    full scan speed; pixel decoding (PIL, when present) is reserved for
+    stages that actually need pixels."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR" and len(payload) >= 26:
+        w, h = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type = payload[24], payload[25]
+        # grayscale / rgb / palette / gray+alpha / rgba
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 0)
+        return {"width": w, "height": h, "fmt": "png",
+                "bit_depth": bit_depth, "channels": channels}
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:  # resync to the next marker
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            # SOF0-SOF15 carry the frame header; C4/C8/CC are DHT/JPG/DAC
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > n:
+                    break
+                precision = payload[i + 4]
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                channels = payload[i + 9]
+                return {"width": w, "height": h, "fmt": "jpeg",
+                        "bit_depth": precision, "channels": channels}
+            if marker == 0xDA:  # start-of-scan before any SOF: give up
+                break
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"width": w, "height": h, "fmt": "gif",
+                "bit_depth": 8, "channels": 3}
+    return None
+
+
 def _pil_decode(payload: bytes) -> tuple[int, int, str]:
-    """Real codec binding: PIL header decode -> (width, height, format).
+    """Full codec binding: PIL decode -> (width, height, format).
     Only reachable when PIL imports (see _resolve_decode)."""
     import io
 
@@ -68,19 +129,38 @@ def _pil_decode(payload: bytes) -> tuple[int, int, str]:
 
 
 def _resolve_decode():
-    """Import-gated codec dispatch, mirroring extract.py's _gated pattern:
-    the real PIL binding when the library is importable in the Python
-    worker, else the deterministic stub.  Resolved once per Arrow batch
-    stream (import lookups are cached after the first call).  The DuckDB
-    oracles for the multimodal queries recompute the STUB's outputs, so
-    they hold exactly when the gate is off — which is verified true in
-    this container; with a real codec the oracle comparison is
-    meaningless anyway (payloads here are text bytes, not images)."""
+    """Decode dispatch, resolved once per Arrow batch stream:
+
+    1. ``decode_image_header`` — real pure-Python byte parsing for
+       PNG/JPEG/GIF containers (always available, always first).
+    2. PIL, import-gated (extract.py's _gated pattern) — for containers
+       the header parser doesn't cover; decode errors fall through
+       rather than raise (the reference's errors-as-data contract,
+       file_ingestion.py:61-63).
+    3. the deterministic stub — non-image payloads (the synthetic test
+       tables' text bytes).  The DuckDB oracles for the multimodal
+       queries recompute the stub's outputs from the source text, which
+       holds exactly because text bytes carry no container magic."""
     try:
         import PIL.Image  # noqa: F401
+
+        pil = _pil_decode
     except ImportError:
-        return _fake_decode
-    return _pil_decode
+        pil = None
+
+    def decode(payload: bytes) -> tuple[int, int, str]:
+        payload = bytes(payload)
+        hdr = decode_image_header(payload)
+        if hdr is not None:
+            return hdr["width"], hdr["height"], hdr["fmt"]
+        if pil is not None:
+            try:
+                return pil(payload)
+            except Exception:
+                pass
+        return _fake_decode(payload)
+
+    return decode
 
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
