@@ -62,6 +62,21 @@ def drop_hot_keys(df, key_cols: list[str], cap: int):
     return df.join(F.broadcast(hot), key_cols, "left_anti")
 
 
+def cluster_for_partitioned_write(df, part_col: str, n_values: int):
+    """Key-cluster ``df`` for a ``partitionBy(part_col)`` write with an
+    EXPLICIT task count.  A bare ``repartition(part_col)`` is an AQE
+    coalesce target: a small-at-this-SF index relation collapses to ONE
+    task that writes every partition dir serially (measured 5.3 s ->
+    0.9 s for the 256-bucket fingerprint index at sf0.1); an oversized
+    fixed count would instead spray tasks × values sliver files.
+    ``min(n_values, shuffle partitions)`` tasks each write whole
+    partition values — exactly 1 file per value, in parallel — and at
+    cluster scale the explicit count follows the deployment's shuffle
+    parallelism (session.shuffle_partition_plan)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(max(1, min(int(n_values), n)), part_col)
+
+
 def parallelize_scan(df):
     """CPU-bound small-input guard: if the scan yields fewer partitions
     than the cluster has cores (tiny/unsplittable files — a parquet file

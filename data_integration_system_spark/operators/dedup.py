@@ -386,14 +386,23 @@ def build_minhash_index(
     bands = minhash_bands(docs, shingles_df=sh)
     if max_bucket is not None:
         bands = drop_hot_keys(bands, ["band_id", "band_hash"], max_bucket)
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
     (
-        bands.join(sh, "doc_id")
-        .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
         # cluster by the partition column before the partitioned write:
         # without it every upstream task writes a sliver into every
         # bucket dir (tasks × buckets files) and probe latency pays the
-        # file-count tax — one bucket-keyed shuffle buys 1 file/bucket
-        .repartition("bucket")
+        # file-count tax — one bucket-keyed shuffle buys 1 file/bucket,
+        # with an explicit task count so AQE can't serialize the write
+        cluster_for_partitioned_write(
+            bands.join(sh, "doc_id").withColumn(
+                "bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int")
+            ),
+            "bucket",
+            n_buckets,
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/bands")

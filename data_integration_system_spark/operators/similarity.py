@@ -255,10 +255,15 @@ def build_ivf_index(
     # cluster by the partition column before the partitioned write:
     # a spread input would otherwise leave tasks × centroids sliver
     # files and the probe pays the file-count tax (see the minhash
-    # index build for the measured failure mode)
-    assigned.repartition("cent_id").write.mode("overwrite").partitionBy(
-        "cent_id"
-    ).parquet(f"{index_path}/corpus")
+    # index build for the measured failure mode); explicit task count
+    # so AQE can't coalesce the write to one serial task
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
+    cluster_for_partitioned_write(
+        assigned, "cent_id", cent.count()
+    ).write.mode("overwrite").partitionBy("cent_id").parquet(f"{index_path}/corpus")
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
 
 

@@ -374,17 +374,31 @@ def build_fingerprint_index(
     ``(fp_hash, doc_id)``.  Stop-hashes (boilerplate fingerprints in >
     stop_docs documents) are dropped at WRITE time — the stored index can
     never hand back a quadratic posting list.  ``{index}/meta`` records
-    n_buckets so build and query can't silently disagree."""
-    fp = doc_fingerprints_unordered(spark, sf_dir)
+    n_buckets so build and query can't silently disagree.
+
+    The winnowing relation is checkpointed BEFORE the stop-hash prune:
+    drop_hot_keys consumes its input twice (hot-key aggregation + the
+    anti-join side), and the min-per-window explode is the expensive
+    stage — without the barrier the whole derivation runs twice
+    (measured ~10 s -> ~6 s at sf0.1)."""
+    fp = doc_fingerprints_unordered(spark, sf_dir).localCheckpoint()
     if stop_docs is not None:
         fp = drop_hot_keys(fp, ["fp_hash"], stop_docs)
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
     (
-        fp.withColumn(
-            "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
-        )
         # cluster by the partition column first: 1 file per bucket, not
-        # tasks × buckets slivers (the probe-side file-count tax)
-        .repartition("bucket")
+        # tasks × buckets slivers (the probe-side file-count tax), with
+        # an explicit task count so AQE can't serialize the write
+        cluster_for_partitioned_write(
+            fp.withColumn(
+                "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
+            ),
+            "bucket",
+            n_buckets,
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/fps")
