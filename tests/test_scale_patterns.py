@@ -742,3 +742,32 @@ def test_skew_report_empty_input(spark):
         "n_keys": 0, "p50": 0, "p90": 0, "p99": 0, "max": 0,
         "skew_ratio": 0.0, "top_keys": [],
     }
+
+
+def test_cluster_for_partitioned_write_task_count(spark, tmp_path):
+    """The partitioned-write clustering must pin an EXPLICIT task count
+    (min(n_values, shuffle partitions)) — a bare repartition(part_col)
+    is an AQE coalesce target that collapses small index relations to
+    ONE task writing every partition dir serially — while still landing
+    exactly one file per partition value."""
+    import glob as _glob
+
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
+    df = spark.range(0, 10_000).withColumn(
+        "bucket", (F.col("id") % 64).cast("int")
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = cluster_for_partitioned_write(df, "bucket", 64)
+    assert out.rdd.getNumPartitions() == min(64, n_shuffle)
+    # fewer values than tasks: capped at the value count
+    assert cluster_for_partitioned_write(df, "bucket", 4).rdd.getNumPartitions() == 4
+
+    path = str(tmp_path / "idx")
+    out.write.partitionBy("bucket").parquet(path)
+    files = _glob.glob(f"{path}/bucket=*/*.parquet")
+    dirs = _glob.glob(f"{path}/bucket=*")
+    assert len(dirs) == 64
+    assert len(files) == 64  # 1 file per value, not tasks x values
