@@ -40,3 +40,19 @@ def child_names(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def copy_tree(spark: SparkSession, src: str, dst: str) -> None:
+    """Recursive byte copy via Hadoop FileUtil — IO only, no decode /
+    shuffle / re-encode.  Used by selective compaction to carry
+    untouched partition directories into a new snapshot version; works
+    across any scheme the session's Hadoop conf knows (local, HDFS,
+    s3a://)."""
+    sp, sfs = hadoop_path(spark, src)
+    dp, dfs = hadoop_path(spark, dst)
+    conf = spark._jsc.hadoopConfiguration()
+    ok = spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+        sfs, sp, dfs, dp, False, conf
+    )
+    if not ok:
+        raise IOError(f"copy_tree failed: {src} -> {dst}")

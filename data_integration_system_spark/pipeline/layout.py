@@ -33,8 +33,10 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_system_spark.pipeline.fsutil import hadoop_path
+from data_integration_system_spark.pipeline.fsutil import copy_tree, hadoop_path
 from data_integration_system_spark.pipeline.snapshots import (
+    allocate_version,
+    commit_version,
     current_version,
     read_current,
     write_snapshot,
@@ -193,4 +195,89 @@ def compact_snapshot(
         "n_files_before": n_files,
         "n_files_after": n_after,
         "bytes": total,
+    }
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = DEFAULT_FILE_BYTES,
+    max_rewrites: int | None = None,
+) -> dict:
+    """SELECTIVE compaction of a hive-partitioned snapshot: rewrite only
+    the partitions whose file count exceeds their byte-sized plan
+    (ceil(bytes/target)); every untouched partition is FILE-COPIED into
+    the new version — IO only, no decode, no shuffle, no re-encode.
+
+    This is the 100 TB form of compaction: ``compact_snapshot`` re-reads
+    and re-writes the ENTIRE table even when one partition out of ten
+    thousand is fragmented (a streaming sink appending to today's
+    partition fragments exactly one), so its cost is proportional to
+    table size; this one's compute is proportional to the FRAGMENTED
+    bytes (the copy of clean partitions is sequential IO a real lake
+    amortizes with server-side copy).  ``max_rewrites`` bounds a
+    scheduled run — the worst offenders (by excess file count) are
+    rewritten now, the rest ride along as copies and are picked up next
+    run, so an incremental compactor does bounded work per trigger.
+
+    Same copy-on-write contract as every snapshot write: the new version
+    dir is invisible until ``commit_version`` stamps its _SUCCESS and
+    swaps the manifest, so readers never see a half-compacted table and
+    time travel to the previous version keeps working.  Flat
+    (non-partitioned) snapshots delegate to ``compact_snapshot``."""
+    version = current_version(spark, root)
+    if version is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    part_col, _n_parts = _partition_layout(spark, f"{root}/{version}")
+    if part_col is None:
+        return compact_snapshot(spark, root, target_file_bytes)
+
+    p, fs = hadoop_path(spark, f"{root}/{version}")
+    frag: list[tuple[str, int, int]] = []  # (dir_name, plan_files, n_files)
+    clean: list[str] = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and "=" in name):
+            continue
+        b, n = _dir_bytes(spark, f"{root}/{version}/{name}")
+        plan = max(1, math.ceil(b / target_file_bytes))
+        if n > plan:
+            frag.append((name, plan, n))
+        else:
+            clean.append(name)
+    if not frag:
+        return {
+            "compacted": False,
+            "version": version,
+            "partition_by": part_col,
+            "fragmented_partitions": 0,
+        }
+    frag.sort(key=lambda t: t[2] - t[1], reverse=True)  # worst offenders first
+    if max_rewrites is not None and len(frag) > max_rewrites:
+        deferred = frag[max_rewrites:]
+        frag = frag[:max_rewrites]
+        clean += [name for name, _p, _n in deferred]
+
+    new_name = allocate_version(spark, root)
+    for name, plan, _n in frag:
+        # round-robin within ONE partition value: even target-size files,
+        # plan-many tasks, no key skew possible
+        (
+            spark.read.parquet(f"{root}/{version}/{name}")
+            .repartition(plan)
+            .write.mode("errorifexists")
+            .parquet(f"{root}/{new_name}/{name}")
+        )
+    for name in clean:
+        copy_tree(spark, f"{root}/{version}/{name}", f"{root}/{new_name}/{name}")
+    commit_version(spark, root, new_name)
+    return {
+        "compacted": True,
+        "version": new_name,
+        "previous_version": version,
+        "partition_by": part_col,
+        "rewritten": [name for name, _p, _n in frag],
+        "copied_partitions": len(clean),
+        "files_rewritten_before": sum(n for _name, _p, n in frag),
+        "files_rewritten_after": sum(p_ for _name, p_, _n in frag),
     }

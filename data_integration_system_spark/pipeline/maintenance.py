@@ -46,18 +46,29 @@ def maintain_snapshot_store(
     root: str,
     target_file_bytes: int = 128 << 20,
     keep_versions: int = 2,
+    max_rewrites: int | None = None,
 ) -> dict:
     """The scheduled maintenance pass for one snapshot store: compact
     the CURRENT version to ~target-size files (layout- and
     partition-preserving), then prune old versions beyond the time-travel
     budget.  Idempotent end to end — the compactor no-ops at target and
     the pruner never touches the active version — so a cron can run it
-    blindly.  Returns the combined report."""
-    from data_integration_system_spark.pipeline.layout import compact_snapshot
+    blindly.  Returns the combined report.
+
+    Partitioned stores compact SELECTIVELY (layout.compact_partitions):
+    only fragmented partitions are re-read and rewritten, the rest are
+    byte-copied — cost proportional to fragmentation, which is what a
+    streaming sink appending to today's partition actually produces.
+    ``max_rewrites`` caps the rewritten partitions per run so the cron
+    does bounded work per trigger; flat stores take the whole-table
+    coalesce path inside compact_partitions' delegation."""
+    from data_integration_system_spark.pipeline.layout import compact_partitions
     from data_integration_system_spark.pipeline.snapshots import prune_snapshots
 
     try:
-        report = compact_snapshot(spark, root, target_file_bytes=target_file_bytes)
+        report = compact_partitions(
+            spark, root, target_file_bytes=target_file_bytes, max_rewrites=max_rewrites
+        )
     except FileNotFoundError:
         # a root with no committed snapshot yet (sink not started): skip,
         # don't kill the cron's loop over its OTHER roots
@@ -76,6 +87,12 @@ def _main(argv: list[str]) -> int:
     ap.add_argument("roots", nargs="+", help="snapshot store roots")
     ap.add_argument("--target-mb", type=int, default=128)
     ap.add_argument("--keep", type=int, default=2)
+    ap.add_argument(
+        "--max-rewrites",
+        type=int,
+        default=None,
+        help="cap rewritten partitions per run (bounded incremental pass)",
+    )
     args = ap.parse_args(argv)
 
     from data_integration_system_spark.session import get_spark
@@ -88,6 +105,7 @@ def _main(argv: list[str]) -> int:
             root,
             target_file_bytes=args.target_mb << 20,
             keep_versions=args.keep,
+            max_rewrites=args.max_rewrites,
         )
         print(root, rep)
     return 0

@@ -127,6 +127,27 @@ def write_snapshot(
     return name
 
 
+def allocate_version(spark: SparkSession, root: str) -> str:
+    """Next version name for an EXTERNALLY-built snapshot dir (selective
+    compaction assembles its version from per-partition writes + file
+    copies rather than one df.write).  The caller writes
+    ``{root}/{name}`` however it likes, then calls ``commit_version`` —
+    until then the dir is invisible to readers (no manifest entry, and
+    ``_latest_committed`` ignores it without a top-level _SUCCESS)."""
+    vs = _versions(spark, root)
+    return f"v{(vs[-1] + 1 if vs else 1):06d}"
+
+
+def commit_version(spark: SparkSession, root: str, name: str) -> None:
+    """Commit an externally-built version dir: stamp the top-level
+    ``_SUCCESS`` marker (crash-recovery parity with df.write versions —
+    ``current_version``'s fallback path trusts only marked dirs) and
+    swap the manifest."""
+    p, fs = hadoop_path(spark, f"{root}/{name}/_SUCCESS")
+    fs.create(p, True).close()
+    _write_manifest(spark, root, name)
+
+
 def _legacy_data(spark: SparkSession, root: str) -> bool:
     """A pre-snapshot store: parquet written directly at ``root`` (any
     child that is neither a version dir nor the manifest)."""

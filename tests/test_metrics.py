@@ -247,6 +247,113 @@ def test_compact_splits_skewed_partition(spark, tmp_path):
     assert read_current(spark, root).count() == ev.count()
 
 
+def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
+    """Selective compaction: only the fragmented partition is re-read and
+    rewritten; clean partitions are byte-copied (identical files), the
+    result commits as a normal readable version, time travel to the
+    pre-compaction version survives, and a second run is a no-op."""
+    import os as _os
+    import re
+
+    from data_integration_system_spark.pipeline.layout import compact_partitions
+    from data_integration_system_spark.pipeline.snapshots import (
+        current_version,
+        read_version,
+    )
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").withColumn(
+        "bucket", (F.col("user_id") % 3).cast("int")
+    )
+    # bucket 0 fragmented (16 slivers), buckets 1-2 written compact
+    # (one task -> one file per clean bucket, already at their plan)
+    write_snapshot(
+        ev.filter("bucket = 0").repartition(16).unionByName(
+            ev.filter("bucket != 0").repartition(1)
+        ),
+        root,
+        partition_by="bucket",
+    )
+    # the union writes per-task, so re-check actual fragmentation and
+    # compact with a target that only bucket 0 exceeds
+    v1 = current_version(spark, root)
+    clean_files = {
+        b: sorted(
+            _os.path.basename(f)
+            for f in glob.glob(f"{root}/{v1}/bucket={b}/*.parquet")
+        )
+        for b in (1, 2)
+    }
+    frag_before = len(glob.glob(f"{root}/{v1}/bucket=0/*.parquet"))
+    big = sum(
+        _os.path.getsize(f) for f in glob.glob(f"{root}/{v1}/bucket=0/*.parquet")
+    )
+    report = compact_partitions(spark, root, target_file_bytes=big + 1)
+    assert report["compacted"] is True
+    assert report["rewritten"] == ["bucket=0"]
+    assert report["copied_partitions"] == 2
+    v2 = current_version(spark, root)
+    assert v2 != v1
+    # fragmented partition: down to its 1-file plan
+    assert len(glob.glob(f"{root}/{v2}/bucket=0/*.parquet")) == 1 < frag_before
+    # clean partitions: file-copied verbatim (same names, same bytes)
+    for b in (1, 2):
+        got = sorted(
+            _os.path.basename(f)
+            for f in glob.glob(f"{root}/{v2}/bucket={b}/*.parquet")
+        )
+        assert got == clean_files[b]
+        for name in got:
+            assert _os.path.getsize(f"{root}/{v2}/bucket={b}/{name}") == \
+                _os.path.getsize(f"{root}/{v1}/bucket={b}/{name}")
+    # data + layout intact, old version still readable
+    got_df = read_current(spark, root)
+    assert got_df.count() == ev.count()
+    dirs = {
+        re.search(r"bucket=(\d+)", d).group(1)
+        for d in glob.glob(f"{root}/{v2}/bucket=*")
+    }
+    assert dirs == {"0", "1", "2"}
+    assert read_version(spark, root, v1).count() == ev.count()
+
+    again = compact_partitions(spark, root, target_file_bytes=big + 1)
+    assert again["compacted"] is False
+
+
+def test_compact_partitions_max_rewrites_bounds_work(spark, tmp_path):
+    """A bounded incremental run rewrites only the worst offender and
+    copies the rest; the next run picks up the deferred partition."""
+    from data_integration_system_spark.pipeline.layout import compact_partitions
+    from data_integration_system_spark.pipeline.snapshots import current_version
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").withColumn(
+        "bucket", (F.col("user_id") % 2).cast("int")
+    )
+    write_snapshot(
+        # both fragmented; bucket 0 worse (12 slivers vs 6)
+        ev.filter("bucket = 0").repartition(12).unionByName(
+            ev.filter("bucket = 1").repartition(6)
+        ),
+        root,
+        partition_by="bucket",
+    )
+    import os as _os
+
+    v1 = current_version(spark, root)
+    big = max(
+        sum(_os.path.getsize(f) for f in glob.glob(f"{root}/{v1}/bucket={b}/*.parquet"))
+        for b in (0, 1)
+    )
+    r1 = compact_partitions(spark, root, target_file_bytes=big + 1, max_rewrites=1)
+    assert r1["rewritten"] == ["bucket=0"]  # worst offender first
+    r2 = compact_partitions(spark, root, target_file_bytes=big + 1, max_rewrites=1)
+    assert r2["rewritten"] == ["bucket=1"]  # deferred one picked up
+    r3 = compact_partitions(spark, root, target_file_bytes=big + 1, max_rewrites=1)
+    assert r3["compacted"] is False
+    assert read_current(spark, root).count() == ev.count()
+
+
 def test_maintain_snapshot_store_end_to_end(spark, tmp_path):
     """The scheduled maintenance pass: compacts the fragmented current
     version AND prunes history beyond the keep budget, in one idempotent
