@@ -74,6 +74,75 @@ def write_clustered(
     )
 
 
+def _interleave_bits(b1, b2, bits: int):
+    """Morton/Z value: interleave the low ``bits`` of two bucket-id
+    columns (b1 gets the odd bit positions).  Pure JVM bit ops — the
+    whole Z computation rides inside whole-stage codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int,
+    rowgroup_bytes: int = DEFAULT_ROWGROUP_BYTES,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` Z-order-clustered on TWO hot filter columns.
+
+    ``write_clustered`` makes predicates on the sort column skippable
+    but leaves every other column's min/max stats table-wide; sorting by
+    the Morton interleave of both columns' bucket ids instead makes each
+    row group a small hyperrectangle in (col1, col2) space, so a
+    selective predicate on EITHER column (or both) skips most row
+    groups.  The trade: per-column pruning is ~sqrt-of-table rather than
+    the single-column sort's near-exact range — the right layout when
+    two independent access paths matter (e.g. user_id probes AND value
+    outlier scans over the same events table).
+
+    Bucketing is equi-width over one min/max aggregation pass (numeric
+    columns; heavily skewed domains deserve a rank pre-map before
+    calling this).  Cost model matches write_clustered: one range
+    exchange + in-partition sort, paid once at write time."""
+    lo1, hi1, lo2, hi2 = (
+        df.agg(
+            F.min(F.col(col1).cast("double")),
+            F.max(F.col(col1).cast("double")),
+            F.min(F.col(col2).cast("double")),
+            F.max(F.col(col2).cast("double")),
+        ).head()
+    )
+    nb = 1 << bits
+
+    def bucket(col: str, lo: float, hi: float):
+        if lo is None or hi is None or hi <= lo:  # constant/empty column
+            return F.lit(0).cast("long")
+        b = F.width_bucket(
+            F.col(col).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
+        ) - F.lit(1)
+        return F.greatest(F.lit(0), F.least(b, F.lit(nb - 1))).cast("long")
+
+    z = _interleave_bits(bucket(col1, lo1, hi1), bucket(col2, lo2, hi2), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.option("parquet.block.size", rowgroup_bytes)
+        .mode("errorifexists")
+        .parquet(path)
+    )
+
+
 def _dir_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
     """(total_bytes, n_data_files) under ``path`` via the Hadoop FS API."""
     p, fs = hadoop_path(spark, path)

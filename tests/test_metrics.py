@@ -104,6 +104,58 @@ def test_clustered_write_skips_row_groups(spark, tmp_path):
     assert q.count() == p.count() == ev.filter(pred).count()
 
 
+def test_zordered_write_skips_on_both_columns(spark, tmp_path):
+    """write_zordered: a selective predicate on EITHER clustered column
+    must skip most row groups (Morton interleave -> row groups are small
+    hyperrectangles in the 2-column space), where a single-column
+    range-clustered layout only skips on its sort column and reads the
+    whole table for the other.  Uniform 256x256 grid so the geometry is
+    deterministic and the table has enough row groups (32 KiB) for
+    per-column pruning to be visible."""
+    from data_integration_system_spark.pipeline.layout import write_zordered
+
+    n = 1 << 16
+    df = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zorder")
+    cpath = str(tmp_path / "bycol1")
+    write_zordered(df, zpath, "x", "y", n_files=8, rowgroup_bytes=32 * 1024)
+    write_clustered(df, cpath, ["x"], n_files=8, rowgroup_bytes=32 * 1024)
+
+    px = F.col("x") <= 15  # 1/16 slab in x
+    py = F.col("y") <= 15  # 1/16 slab in y
+
+    def rows_read(path, pred):
+        # single-scan plans: match every scan node ("" fragment) — the
+        # node detail TRUNCATES long pytest tmp paths, so a dir-name
+        # fragment can silently match nothing and return 0
+        q = spark.read.parquet(path).filter(pred)
+        q.collect()
+        rows = scan_output_rows(executed_nodes(q), "")
+        assert rows > 0
+        return rows
+
+    # x predicate: both layouts skip (the single-column sort skips more
+    # on its OWN column — that's the z-order trade)
+    assert rows_read(zpath, px) < n * 0.4
+    assert rows_read(cpath, px) < n * 0.4
+    # y predicate: only the z-ordered layout skips
+    zy = rows_read(zpath, py)
+    cy = rows_read(cpath, py)
+    assert cy > n * 0.9  # single-column clustering: stats too wide
+    assert zy < n * 0.4
+    # layout never changes answers
+    assert (
+        spark.read.parquet(zpath).filter(py).count()
+        == spark.read.parquet(cpath).filter(py).count()
+        == df.filter(py).count()
+        == n // 16
+    )
+
+
 def test_compact_snapshot_merges_small_files(spark, tmp_path):
     """A fragmented snapshot (one file per shuffle partition) compacts
     into ~target-sized files as a NEW manifest-committed version: same
