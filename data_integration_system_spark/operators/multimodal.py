@@ -117,6 +117,148 @@ def decode_image_header(payload: bytes) -> dict | None:
     return None
 
 
+def decode_audio_header(payload: bytes) -> dict | None:
+    """REAL WAV (RIFF/WAVE) container decode, stdlib-only: channels,
+    sample rate, bit depth, and duration from the fmt/data chunk walk.
+    Returns ``{fmt, channels, sample_rate, bits, duration_ms}`` or None
+    when the payload is not a RIFF/WAVE stream."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    meta: dict = {"fmt": "wav"}
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _afmt, ch, rate, byte_rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            meta.update(channels=ch, sample_rate=rate, bits=bits,
+                        _byte_rate=byte_rate)
+        elif cid == b"data":
+            meta["_data_size"] = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if "channels" not in meta:
+        return None
+    br, ds = meta.pop("_byte_rate", 0), meta.pop("_data_size", None)
+    meta["duration_ms"] = (ds * 1000 // br) if (br and ds is not None) else None
+    return meta
+
+
+def decode_video_header(payload: bytes) -> dict | None:
+    """REAL MP4 (ISO BMFF) container decode, stdlib-only: walk the
+    top-level box structure to ``moov/mvhd`` and read timescale +
+    duration.  Returns ``{fmt, brand, duration_ms}`` or None when the
+    payload is not an ISO media stream (no ftyp box)."""
+    import struct
+
+    def boxes(buf: bytes, lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", buf[i:i + 4])
+            typ = buf[i + 4:i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", buf[i + 8:i + 16])
+            if size < 8 or i + size > hi:
+                return
+            yield typ, i + 8, i + size
+            i += size
+
+    n = len(payload)
+    brand = None
+    for typ, lo, hi in boxes(payload, 0, n):
+        if typ == b"ftyp" and hi - lo >= 4:
+            brand = payload[lo:lo + 4].decode("ascii", "replace").strip()
+            break
+    if brand is None:
+        return None
+    meta = {"fmt": "mp4", "brand": brand, "duration_ms": None}
+    for typ, lo, hi in boxes(payload, 0, n):
+        if typ != b"moov":
+            continue
+        for t2, l2, h2 in boxes(payload, lo, hi):
+            if t2 == b"mvhd" and h2 - l2 >= 4:
+                version = payload[l2]
+                if version == 1 and h2 - l2 >= 28:
+                    ts, dur = struct.unpack(">IQ", payload[l2 + 20:l2 + 32])
+                elif version == 0 and h2 - l2 >= 20:
+                    ts, dur = struct.unpack(">II", payload[l2 + 12:l2 + 20])
+                else:
+                    continue
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+    return meta
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("fmt", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def media_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: classify + header-decode ANY media payload
+    (image / audio / video) into one typed metadata row per blob —
+    the ingest triage stage of a multimodal pipeline, run at scan
+    parallelism on header bytes only (no codec, no pixels/samples).
+    Unrecognized payloads come back kind='unknown' with NULL fields
+    (errors-as-data, reference file_ingestion.py:61-63)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(b)
+            img = decode_image_header(b)
+            if img is not None:
+                rows.append((int(doc_id), "image", img["fmt"], len(b),
+                             img["width"], img["height"], img["channels"],
+                             None, None))
+                continue
+            aud = decode_audio_header(b)
+            if aud is not None:
+                rows.append((int(doc_id), "audio", aud["fmt"], len(b),
+                             None, None, aud["channels"],
+                             aud["sample_rate"], aud["duration_ms"]))
+                continue
+            vid = decode_video_header(b)
+            if vid is not None:
+                rows.append((int(doc_id), "video", vid["fmt"], len(b),
+                             None, None, None, None, vid["duration_ms"]))
+                continue
+            rows.append((int(doc_id), "unknown", None, len(b),
+                         None, None, None, None, None))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "kind", "fmt", "n_bytes", "width", "height",
+                "channels", "sample_rate", "duration_ms",
+            ],
+        )
+
+
+def media_probe(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Typed media-metadata relation of any (id, binary payload) frame —
+    the library entry point over media_probe_batches.  Runs at scan
+    parallelism; blobs never shuffle (same plan contract as
+    multimodal_decode_meta, pinned in tests/test_plans.py for that
+    sibling)."""
+    payloads = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return payloads.mapInPandas(media_probe_batches, MEDIA_SCHEMA)
+
+
 def _pil_decode(payload: bytes) -> tuple[int, int, str]:
     """Full codec binding: PIL decode -> (width, height, format).
     Only reachable when PIL imports (see _resolve_decode)."""
