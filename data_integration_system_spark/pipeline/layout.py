@@ -252,9 +252,15 @@ def compact_snapshot(
             .repartition(target, F.col(part_col), F.col("__salt"))
             .drop("__part_val", "__n_files", "__salt")
         )
-        new_version = write_snapshot(salted, root, partition_by=part_col)
+        # expect_current: refuse to commit over a snapshot some OTHER
+        # writer landed while this rewrite ran (lost-update guard)
+        new_version = write_snapshot(
+            salted, root, partition_by=part_col, expect_current=version
+        )
     else:
-        new_version = write_snapshot(df.coalesce(target), root)
+        new_version = write_snapshot(
+            df.coalesce(target), root, expect_current=version
+        )
     _, n_after = _dir_bytes(spark, f"{root}/{new_version}")
     return {
         "compacted": True,
@@ -339,7 +345,9 @@ def compact_partitions(
         )
     for name in clean:
         copy_tree(spark, f"{root}/{version}/{name}", f"{root}/{new_name}/{name}")
-    commit_version(spark, root, new_name)
+    # expect_current: a concurrent writer's snapshot must not be
+    # overwritten by a compaction of the OLD version (lost update)
+    commit_version(spark, root, new_name, expect_current=version)
     return {
         "compacted": True,
         "version": new_name,

@@ -110,19 +110,52 @@ def current_version(spark: SparkSession, root: str) -> str | None:
     return None
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a snapshot after this writer read its
+    base version — committing would silently discard that writer's data
+    (the lost-update anomaly of last-wins manifest swaps)."""
+
+
+def _check_expected(spark: SparkSession, root: str, expect_current: str | None) -> None:
+    if expect_current is None:
+        return
+    actual = current_version(spark, root)
+    if actual != expect_current:
+        raise ConcurrentWriteError(
+            f"snapshot at {root} moved {expect_current!r} -> {actual!r} "
+            "since this writer read its base; re-read and retry "
+            "(the prepared version dir is left uncommitted)"
+        )
+
+
 def write_snapshot(
-    df: DataFrame, root: str, partition_by: str | None = None
+    df: DataFrame,
+    root: str,
+    partition_by: str | None = None,
+    expect_current: str | None = None,
 ) -> str:
     """Commit ``df`` as the next snapshot of ``root`` and return its
     version name.  The version directory is write-once; the manifest swap
-    happens only after the parquet job committed."""
+    happens only after the parquet job committed.
+
+    ``expect_current`` enables optimistic concurrency for read-modify-
+    write jobs (incremental merges, compaction): pass the version the
+    job READ as its base, and the commit refuses with
+    ``ConcurrentWriteError`` when another writer has swapped the
+    manifest in the meantime — without it the swap is last-wins and the
+    competing writer's rows are silently dropped from the lineage.  The
+    check is driver-side check-then-rename (best effort, the window is
+    the rename itself), which is the practical contract on object
+    stores without atomic compare-and-swap."""
     spark = df.sparkSession
+    _check_expected(spark, root, expect_current)
     vs = _versions(spark, root)
     name = f"v{(vs[-1] + 1 if vs else 1):06d}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(f"{root}/{name}")
+    _check_expected(spark, root, expect_current)  # re-check after the slow write
     _write_manifest(spark, root, name)
     return name
 
@@ -138,11 +171,19 @@ def allocate_version(spark: SparkSession, root: str) -> str:
     return f"v{(vs[-1] + 1 if vs else 1):06d}"
 
 
-def commit_version(spark: SparkSession, root: str, name: str) -> None:
+def commit_version(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expect_current: str | None = None,
+) -> None:
     """Commit an externally-built version dir: stamp the top-level
     ``_SUCCESS`` marker (crash-recovery parity with df.write versions —
     ``current_version``'s fallback path trusts only marked dirs) and
-    swap the manifest."""
+    swap the manifest.  ``expect_current`` = the version this build was
+    derived from, same optimistic-concurrency contract as
+    ``write_snapshot``."""
+    _check_expected(spark, root, expect_current)
     p, fs = hadoop_path(spark, f"{root}/{name}/_SUCCESS")
     fs.create(p, True).close()
     _write_manifest(spark, root, name)

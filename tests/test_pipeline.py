@@ -806,6 +806,38 @@ def test_snapshot_store_roundtrip_and_prune(spark, tmp_path):
     assert snap.read_current(spark, root).count() == 7
 
 
+def test_snapshot_optimistic_concurrency(spark, tmp_path):
+    """expect_current = the lost-update guard for read-modify-write
+    jobs: a commit based on a stale version must raise instead of
+    silently swapping out a concurrent writer's snapshot; the refused
+    version dir stays uncommitted (readers never see it)."""
+    import pytest as _pytest
+
+    from data_integration_system_spark.pipeline import snapshots as snap
+
+    root = str(tmp_path / "store")
+    base = snap.write_snapshot(spark.range(3), root)
+    # a concurrent writer lands v000002 while our merge is running
+    snap.write_snapshot(spark.range(5), root)
+    with _pytest.raises(snap.ConcurrentWriteError, match="moved"):
+        snap.write_snapshot(spark.range(9), root, expect_current=base)
+    # the loser's commit changed nothing visible
+    assert snap.current_version(spark, root) == "v000002"
+    assert snap.read_current(spark, root).count() == 5
+    # retry against the NEW base succeeds
+    assert (
+        snap.write_snapshot(spark.range(9), root, expect_current="v000002")
+        == "v000003"
+    )
+    # commit_version honors the same contract
+    name = snap.allocate_version(spark, root)
+    spark.range(2).write.parquet(f"{root}/{name}")
+    with _pytest.raises(snap.ConcurrentWriteError):
+        snap.commit_version(spark, root, name, expect_current=base)
+    snap.commit_version(spark, root, name, expect_current="v000003")
+    assert snap.read_current(spark, root).count() == 2
+
+
 def test_snapshot_store_legacy_layout(spark, tmp_path):
     """A pre-snapshot store (plain parquet at the root) keeps working:
     read falls back to the root, and the first snapshot write upgrades
