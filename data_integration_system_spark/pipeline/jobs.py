@@ -39,6 +39,7 @@ from data_integration_system_spark.pipeline.fetch import (
     fetch_frontier,
 )
 from data_integration_system_spark.pipeline.snapshots import (
+    current_version,
     read_current,
     snapshot_exists,
     write_snapshot,
@@ -327,6 +328,7 @@ def run_job(
                 # hash (the reference's load_indexes_if_any + hash-skip,
                 # crawler_core.py:258 / filesystem_store.py:112-114), keep
                 # the new version of changed pages, keep untouched pages
+                base = current_version(spark, output_path)
                 current = read_current(spark, output_path)
                 classified = classify_upsert(
                     new_pages, current, key="page_id", hash_col="content_hash"
@@ -344,7 +346,14 @@ def run_job(
                 merged = current.join(
                     new_pages.select("page_id"), "page_id", "left_anti"
                 ).unionByName(new_pages)
-                write_snapshot(merged, output_path, partition_by="domain")
+                # expect_current: lost-update guard — this merge is only
+                # valid against the exact snapshot it read
+                write_snapshot(
+                    merged,
+                    output_path,
+                    partition_by="domain",
+                    expect_current=base,
+                )
             else:
                 write_snapshot(new_pages, output_path, partition_by="domain")
         return {

@@ -98,6 +98,7 @@ def upsert_sink(
     are pruned to the newest 2 per batch to bound storage; at scale the
     same commit becomes a Delta/Iceberg MERGE."""
     from data_integration_system_spark.pipeline.snapshots import (
+        current_version,
         prune_snapshots,
         read_current,
         snapshot_exists,
@@ -106,12 +107,18 @@ def upsert_sink(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if snapshot_exists(spark, target_path):
+            # expect_current: the merge read THIS version as its base —
+            # refuse the commit if another writer swapped the manifest
+            # mid-merge (a second stream on the same target is a config
+            # error; better a loud ConcurrentWriteError than silently
+            # dropping its rows from the lineage)
+            base = current_version(spark, target_path)
             merged = merge_keep_latest(
                 read_current(spark, target_path), batch, key, version_col
             )
         else:
-            merged = batch
-        write_snapshot(merged, target_path)
+            base, merged = None, batch
+        write_snapshot(merged, target_path, expect_current=base)
         prune_snapshots(spark, target_path, keep=2)
 
     return apply
