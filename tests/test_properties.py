@@ -403,3 +403,37 @@ def test_halve_trunc_matches_sql_division(x):
 
     want = duckdb.connect().execute(f"SELECT CAST({x} AS BIGINT) // 2").fetchone()[0]
     assert halve_trunc(x) == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_media_header_parsers_never_raise_on_garbage(payload):
+    """Corrupt blobs are a certainty at corpus scale: every header
+    parser must return a dict or None on ARBITRARY bytes — never raise
+    (the errors-as-data contract of the decode stage)."""
+    from data_integration_system_spark.operators import multimodal as mm
+
+    for fn in (mm.decode_image_header, mm.decode_audio_header, mm.decode_video_header):
+        out = fn(payload)
+        assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=200), st.sampled_from(["png", "jpeg", "wav", "mp4"]))
+def test_media_header_parsers_survive_truncation(cut, kind):
+    """Every PREFIX of a valid container (a truncated upload, a partial
+    fetch) parses to a dict or None — no IndexError/struct.error from
+    walking past the end."""
+    from data_integration_system_spark.operators import multimodal as mm
+    from tests.test_functions import _make_jpeg, _make_mp4, _make_png, _make_wav
+
+    full = {
+        "png": lambda: _make_png(64, 32),
+        "jpeg": lambda: _make_jpeg(64, 32),
+        "wav": lambda: _make_wav(channels=1, rate=8000, n_frames=64),
+        "mp4": lambda: _make_mp4(duration_ms=1000),
+    }[kind]()
+    payload = full[: min(cut, len(full))]
+    for fn in (mm.decode_image_header, mm.decode_audio_header, mm.decode_video_header):
+        out = fn(payload)
+        assert out is None or isinstance(out, dict)
