@@ -107,3 +107,39 @@ def test_minhash_index_probe_speed(spark, smoke):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     _assert_within_budget("minhash_index_probe", measured, smoke)
+
+
+def test_bench_compact_line_bounded():
+    """The printed bench line must stay parseable by the driver's tail
+    capture NO MATTER how large the suite grows (the r5 full line outran
+    it and the round's perf record was lost): 200 long-named queries,
+    errors, and regressions must still compact under 4 KB with the
+    flagship and the suite wall present."""
+    import json as _json
+
+    from bench import compact_output
+
+    timings = {f"extremely_long_query_name_number_{i:03d}": i / 7.0 for i in range(200)}
+    timings["multiway_star_join"] = 1.234
+    errors = {f"broken_query_{i}": "SomeError: " + "x" * 500 for i in range(20)}
+    out = {
+        "metric": "suite_wall_sec",
+        "value": 99.9,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "calibration_sec": 0.5,
+        "regressions": {
+            f"extremely_long_query_name_number_{i:03d}": {"prev": 1.0, "now": 9.0}
+            for i in range(40)
+        },
+        "median_ratio_vs_prev": 1.01,
+    }
+    line = _json.dumps(compact_output(out, timings, errors))
+    assert len(line) < 4096
+    parsed = _json.loads(line)
+    assert parsed["value"] == 99.9
+    assert "multiway_star_join" in parsed["queries"]
+    assert parsed["n_queries"] == 201
+    assert len(parsed["queries"]) <= 11
+    assert len(parsed["regressions"]) <= 10 and len(parsed["errors"]) <= 5
