@@ -33,3 +33,42 @@ def url_hash(col: Column | str) -> Column:
     """sha1 hex of the URL string (utils.py:11-12)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sha1(c)
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, int],
+    salt: str = "",
+) -> Column:
+    """Deterministic dataset-split assignment: map ``key`` to a named
+    split with the given integer per-10000 weights (e.g. ``{"train":
+    9800, "val": 100, "test": 100}``) — the train/val/test fencing a
+    training-data release needs.
+
+    sha256(salt:key)'s first 8 hex digits -> uniform bucket in
+    [0, 10000): reproducible across engines, runs, partitionings, and
+    cluster sizes (unlike randomSplit, whose RNG is partition-dependent,
+    so adding an executor silently reshuffles the split).  ``salt``
+    versions the assignment: a new salt re-rolls membership without
+    touching the data.  Weights are integers out of 10000 so the split
+    boundaries are exact — no float accumulation drift between engines.
+
+    Scale shape: a scan-side projection (one hash per row, zero
+    shuffle); the split column prunes at read time when used as a
+    partition or cluster key."""
+    total = sum(weights.values())
+    if total != 10000:
+        raise ValueError(f"split weights must sum to 10000, got {total}")
+    col = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), F.lit(":"), col.cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long") % 10000
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return expr

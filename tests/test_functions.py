@@ -484,3 +484,46 @@ def test_multimodal_pil_decode_real_binding_with_generated_png():
     # the header parser agrees with the real codec on the same bytes
     hdr = mm.decode_image_header(png_1x1)
     assert (hdr["width"], hdr["height"], hdr["fmt"]) == (1, 1, "png")
+
+
+def test_assign_split_deterministic_and_exact(spark):
+    """assign_split: reproducible across partitionings (unlike
+    randomSplit), matches a hashlib ground-truth replay, hits the
+    integer weights within binomial noise, and re-rolls under a new
+    salt."""
+    import hashlib as _hashlib
+
+    import pytest as _pytest
+
+    from data_integration_system_spark.functions.hashing import assign_split
+
+    weights = {"train": 9000, "val": 500, "test": 500}
+    df = spark.range(20000).select(F.col("id"))
+    split = assign_split("id", weights, salt="v1").alias("split")
+
+    a = {r.id: r.split for r in df.repartition(1).select("id", split).collect()}
+    b = {r.id: r.split for r in df.repartition(17).select("id", split).collect()}
+    assert a == b  # partitioning-independent
+
+    # ground truth: sha256("v1:id") first 8 hex digits mod 10000
+    def truth(i: int) -> str:
+        bucket = int(_hashlib.sha256(f"v1:{i}".encode()).hexdigest()[:8], 16) % 10000
+        if bucket < 9000:
+            return "train"
+        return "val" if bucket < 9500 else "test"
+
+    assert all(a[i] == truth(i) for i in range(0, 20000, 97))
+
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert abs(counts["train"] - 18000) < 400
+    assert abs(counts["val"] - 1000) < 150 and abs(counts["test"] - 1000) < 150
+
+    c = {r.id: r.split for r in df.select(
+        "id", assign_split("id", weights, salt="v2").alias("split")).collect()}
+    assert c != a  # new salt re-rolls membership
+    assert not any(v is None for v in a.values())  # total cover, no gaps
+
+    with _pytest.raises(ValueError, match="sum to 10000"):
+        assign_split("id", {"train": 5000})
