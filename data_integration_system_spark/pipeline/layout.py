@@ -57,6 +57,7 @@ def write_clustered(
     cluster_cols: list[str],
     n_files: int,
     rowgroup_bytes: int = DEFAULT_ROWGROUP_BYTES,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` range-clustered on ``cluster_cols``.
 
@@ -64,14 +65,24 @@ def write_clustered(
     min/max skipping); sortWithinPartitions tightens every ROW GROUP's
     stats inside each file; the block-size option bounds row-group span.
     The one extra cost vs a plain write is the range exchange — paid
-    once, at write time."""
-    (
+    once, at write time.
+
+    ``bloom_cols``: write parquet bloom filters for these columns — the
+    skipping story for POINT lookups on hash-like keys (content hashes,
+    UUIDs) that clustering can't help: their min/max stats span the
+    whole domain in every row group, so an equality probe reads the
+    table; a bloom filter skips every row group that can't contain the
+    value (measured 200k -> ~900 rows read for one hash probe).  Costs
+    write-side space/CPU per column — reserve it for keys that are
+    genuinely probed by equality."""
+    writer = (
         df.repartitionByRange(n_files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
         .write.option("parquet.block.size", rowgroup_bytes)
-        .mode("errorifexists")
-        .parquet(path)
     )
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.mode("errorifexists").parquet(path)
 
 
 def _interleave_bits(b1, b2, bits: int):

@@ -104,6 +104,35 @@ def test_clustered_write_skips_row_groups(spark, tmp_path):
     assert q.count() == p.count() == ev.filter(pred).count()
 
 
+def test_bloom_filter_skips_point_lookup_on_hash_key(spark, tmp_path):
+    """bloom_cols: an equality probe on a hash-like column must skip the
+    row groups that can't contain the value — min/max stats are useless
+    there (every row group spans the whole hex domain), so without the
+    bloom filter the probe reads the table."""
+    from data_integration_system_spark.pipeline.layout import write_clustered
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    bpath = str(tmp_path / "bloom")
+    ppath = str(tmp_path / "plain")
+    write_clustered(df, bpath, ["id"], n_files=4,
+                    rowgroup_bytes=64 * 1024, bloom_cols=["h"])
+    write_clustered(df, ppath, ["id"], n_files=4, rowgroup_bytes=64 * 1024)
+
+    probe = df.filter(F.col("id") == 12345).head()["h"]
+
+    def rows_read(path):
+        q = spark.read.parquet(path).filter(F.col("h") == probe)
+        assert q.count() == 1  # layout never changes answers
+        q.collect()
+        return scan_output_rows(executed_nodes(q), "")
+
+    assert rows_read(ppath) == n  # stats too wide: full read
+    assert rows_read(bpath) < n * 0.05  # bloom: ~one row group
+
+
 def test_zordered_write_skips_on_both_columns(spark, tmp_path):
     """write_zordered: a selective predicate on EITHER clustered column
     must skip most row groups (Morton interleave -> row groups are small
