@@ -169,6 +169,8 @@ def release_corpus(
     export_path: str | None = None,
     min_novelty_e4: int | None = None,
     seq_len: int = 512,
+    split_weights: dict[str, int] | None = None,
+    split_salt: str = "release",
 ) -> DataFrame:
     """The full training-data release: curate -> committed snapshot ->
     packing manifest over the SURVIVORS -> optional compressed-JSONL
@@ -182,10 +184,19 @@ def release_corpus(
     release is the PAIR of versions; the export joins text with its
     packing assignment, one JSONL row per document.
 
+    ``split_weights`` (e.g. ``{"train": 9800, "val": 100, "test": 100}``,
+    integer weights out of 10000) fences the release into deterministic
+    hash-assigned splits (functions/hashing.assign_split, keyed on
+    doc_id, versioned by ``split_salt``): the export gains a ``split``
+    column and the report gains one ``split:{name}`` row per split —
+    the contamination fence between training and evaluation data is an
+    audited release fact, not a downstream afterthought.
+
     Scale shape: curation is the audited stage chain; packing adds one
-    lang-keyed shuffle over survivors (pack_relation); the export is a
-    distributed write.  Nothing here re-reads the raw corpus after the
-    curation pass."""
+    lang-keyed shuffle over survivors (pack_relation); split assignment
+    is a scan-side projection; the export is a distributed write.
+    Nothing here re-reads the raw corpus after the curation pass."""
+    from data_integration_system_spark.functions.hashing import assign_split
     from data_integration_system_spark.operators.textops import pack_relation
     from data_integration_system_spark.pipeline.snapshots import read_current
 
@@ -193,6 +204,10 @@ def release_corpus(
         spark, sf_dir, out_root, min_novelty_e4=min_novelty_e4
     ).localCheckpoint()
     curated = read_current(spark, out_root)
+    if split_weights is not None:
+        curated = curated.withColumn(
+            "split", assign_split("doc_id", split_weights, salt=split_salt)
+        )
     manifest = pack_relation(
         curated.select("doc_id", "lang", "text"), seq_len
     ).localCheckpoint(eager=False)
@@ -214,8 +229,17 @@ def release_corpus(
             .json(f"{export_path}/{version}")
         )
     next_idx = report.agg(F.max("stage_idx")).head()[0] + 1
-    seq_row = spark.createDataFrame(
-        [(int(next_idx), "sequences", int(n_seqs))],
-        "stage_idx long, stage string, n_docs long",
+    extra = [(int(next_idx), "sequences", int(n_seqs))]
+    if split_weights is not None:
+        counts = {
+            r["split"]: r["n"]
+            for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        extra += [
+            (int(next_idx + 1 + i), f"split:{name}", int(counts.get(name, 0)))
+            for i, name in enumerate(split_weights)
+        ]
+    extra_rows = spark.createDataFrame(
+        extra, "stage_idx long, stage string, n_docs long"
     )
-    return report.unionByName(seq_row).orderBy("stage_idx")
+    return report.unionByName(extra_rows).orderBy("stage_idx")

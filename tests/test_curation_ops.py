@@ -247,3 +247,40 @@ def test_append_fingerprint_index_matches_rebuild(spark, tmp_path):
         for r in query_fingerprint_index(spark, appended, queries).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_release_corpus_with_split_fencing(spark, tmp_path):
+    """A release with split_weights fences every curated doc into
+    exactly one deterministic split: the export carries the split
+    column, the report's split rows sum to the curated count, and the
+    assignment matches a direct assign_split replay (doc_id-keyed,
+    salt-versioned)."""
+    from data_integration_system_spark.functions.hashing import assign_split
+    from data_integration_system_spark.pipeline.curate import release_corpus
+    from data_integration_system_spark.pipeline.snapshots import (
+        current_version,
+        read_current,
+    )
+
+    root = str(tmp_path / "corpus")
+    export = str(tmp_path / "export")
+    weights = {"train": 9000, "val": 500, "test": 500}
+    report = {
+        r.stage: r.n_docs
+        for r in release_corpus(
+            spark, SF, root, export_path=export, split_weights=weights
+        ).collect()
+    }
+    assert report["split:train"] + report["split:val"] + report["split:test"] == report["curated"]
+
+    back = spark.read.json(f"{export}/{current_version(spark, root)}")
+    assert "split" in back.columns
+    assert back.count() == report["curated"]
+    got = {r.doc_id: r.split for r in back.select("doc_id", "split").collect()}
+    want = {
+        r.doc_id: r.split
+        for r in read_current(spark, root)
+        .select("doc_id", assign_split("doc_id", weights, salt="release").alias("split"))
+        .collect()
+    }
+    assert got == want
