@@ -267,6 +267,38 @@ def build_ivf_index(
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
 
 
+def append_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Incrementally index new vectors against the EXISTING centroids —
+    the append sibling of build_ivf_index (API symmetry with
+    append_minhash_index / append_fingerprint_index): assign each new
+    (vec_id, embedding) to its nearest stored centroid and append into
+    that centroid's partition dir, so a growing corpus is probeable
+    without a refit.
+
+    Centroids are deliberately NOT moved by an append — a probe's
+    partition choice must agree with the assignments already on disk, or
+    earlier vectors become unreachable through the pruned scan.  Drift
+    accumulates as data distribution shifts; the periodic
+    build_ivf_index rebuild (the compaction analog) refits Lloyd over
+    the full corpus and re-partitions.  At 100 TB this is the standard
+    ANN serving cadence: cheap online appends, scheduled offline refits."""
+    cent = spark.read.parquet(f"{index_path}/centroids").localCheckpoint()
+    assigned = _nearest_centroid(
+        new_vectors.select("vec_id", "embedding"), cent
+    )
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
+    cluster_for_partitioned_write(
+        assigned, "cent_id", cent.count()
+    ).write.mode("append").partitionBy("cent_id").parquet(f"{index_path}/corpus")
+
+
 def query_ivf_index(
     spark: SparkSession,
     index_path: str,
@@ -292,8 +324,14 @@ def query_ivf_index(
     probed_cents = sorted(
         {r.cent_id for r in probes.select("cent_id").distinct().collect()}
     )
-    corpus = spark.read.parquet(f"{index_path}/corpus").filter(
-        F.col("cent_id").isin(probed_cents)  # literal -> PartitionFilters
+    corpus = (
+        spark.read.parquet(f"{index_path}/corpus")
+        .filter(F.col("cent_id").isin(probed_cents))  # literal -> PartitionFilters
+        # redelivered appends (at-least-once streaming ingest) duplicate
+        # (vec_id, embedding) rows; without this a duplicate would hold
+        # TWO of the top-k ranks.  Cost: one dedup over the PROBED
+        # nprobe/k subset only, never the whole index.
+        .dropDuplicates(["vec_id"])
     )
     top_w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
     return (

@@ -170,6 +170,57 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert indexed == inline
 
 
+def test_append_ivf_index_matches_full_build(spark, tmp_path):
+    """Incremental ANN indexing: cold-start from a built index's
+    centroids, appending the corpus in two halves, must answer every
+    query identically to the one-shot build — assignment against FIXED
+    centroids is deterministic, so the probe protocol can't tell the
+    indexes apart (the append contract; centroid refits are the
+    scheduled rebuild's job)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "incremental")
+    build_ivf_index(spark, SF, full)
+    # incremental index: same centroids, corpus arrives as two appends
+    spark.read.parquet(f"{full}/centroids").write.parquet(f"{inc}/centroids")
+    emb = table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    append_ivf_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 0))
+    append_ivf_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 1))
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivf_index(spark, full, queries).collect()
+    }
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivf_index(spark, inc, queries).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # at-least-once redelivery: a replayed append duplicates index rows
+    # but must not change any query's top-k (a duplicate would otherwise
+    # hold two ranks)
+    append_ivf_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 0))
+    replay = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivf_index(spark, inc, queries).collect()
+    }
+    assert replay == want
+
+
 def test_ngram_band_blocking_bounds_dominant_block(spark):
     """One dominant (lang, source) block must NOT go quadratic: the
     length-band conjunct splits it so candidates are bounded by
