@@ -444,6 +444,27 @@ def fingerprint_overlap_sink(
     return apply
 
 
+def ann_ingest_sink(spark: SparkSession, index_path: str):
+    """Online ANN index growth: each micro-batch of (vec_id, embedding)
+    rows is assigned to the stored centroids and appended into their
+    partition dirs (operators/similarity.append_ivf_index) — the
+    write-side twin of ann_probe_sink, so one index serves live ingest
+    AND live probes between scheduled full rebuilds (which refit the
+    centroids as the distribution drifts).
+
+    At-least-once safe: a redelivered batch appends duplicate rows, and
+    query_ivf_index dedups (vec_id) over the probed subset, so replays
+    never change a query's top-k (pinned in test_scale_patterns)."""
+    from data_integration_system_spark.operators.similarity import append_ivf_index
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_ivf_index(spark, index_path, batch.localCheckpoint())
+
+    return apply
+
+
 def ann_probe_sink(
     spark: SparkSession,
     index_path: str,

@@ -420,6 +420,58 @@ def test_ann_probe_sink_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_ann_ingest_sink_grows_index_to_match_batch(spark, tmp_path):
+    """Streaming ANN ingest (per-batch centroid assignment + partition
+    appends) must leave an index that answers every query exactly like
+    the one-shot batch build — the write-side Kappa contract of the
+    probe sink's read side."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from data_integration_system_spark.streaming.jobs import ann_ingest_sink
+
+    full = str(tmp_path / "full")
+    build_ivf_index(spark, SF, full)
+    inc = str(tmp_path / "incremental")
+    spark.read.parquet(f"{full}/centroids").write.parquet(f"{inc}/centroids")
+
+    emb = table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    d = str(tmp_path / "vec_stream")
+    corpus.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(d)
+    corpus.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(ann_ingest_sink(spark, inc))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivf_index(spark, inc, queries).collect()
+    }
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivf_index(spark, full, queries).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_trending_tokens_matches_batch_counts(spark, tmp_path):
     """Sliding-window streaming token counts must equal the batch
     explode + window groupBy over the same timestamped docs once every
