@@ -37,6 +37,11 @@ from pyspark.sql.types import (
 from data_integration_system_spark.catalog import table
 from data_integration_system_spark.registry import query
 
+#: prefix shipped to the metadata decode: every supported container's
+#: header fields live in the leading bytes (the worst honest case is a
+#: JPEG SOF behind a maximal 64 KiB EXIF APP1 segment)
+HEAD_BYTES = 64 * 1024
+
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -56,7 +61,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     testable end-to-end; real containers never reach it — the
     pure-Python header parser (decode_image_header) handles those.
     """
-    n = len(payload)
+    return _fake_decode_len(len(payload))
+
+
+def _fake_decode_len(n: int) -> tuple[int, int, str]:
+    """The stub keyed on the blob's TRUE length — under the prefix
+    protocol the worker sees only the head bytes, so the length must
+    travel as its own column."""
     return (n % 640) + 1, (n % 480) + 1, "png" if n % 2 == 0 else "jpeg"
 
 
@@ -290,7 +301,7 @@ def _resolve_decode():
     except ImportError:
         pil = None
 
-    def decode(payload: bytes) -> tuple[int, int, str]:
+    def decode(payload: bytes, true_len: int | None = None) -> tuple[int, int, str]:
         payload = bytes(payload)
         hdr = decode_image_header(payload)
         if hdr is not None:
@@ -300,7 +311,9 @@ def _resolve_decode():
                 return pil(payload)
             except Exception:
                 pass
-        return _fake_decode(payload)
+        # under the prefix protocol the stub must key off the blob's
+        # TRUE length, not the truncated head's
+        return _fake_decode_len(true_len if true_len is not None else len(payload))
 
     return decode
 
@@ -308,14 +321,26 @@ def _resolve_decode():
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: binary payload column -> typed metadata rows.
     Errors would be captured as data columns, never raised (the
-    reference's errors-as-data contract, file_ingestion.py:61-63)."""
+    reference's errors-as-data contract, file_ingestion.py:61-63).
+
+    Accepts either full payloads or the prefix protocol (``payload`` =
+    first HEAD_BYTES + ``n_bytes`` = true blob length): header metadata
+    lives in the leading bytes, so the metadata-only query ships a
+    bounded prefix through Arrow instead of the blob (see
+    multimodal_decode_meta).  The stub keys off the TRUE length either
+    way, so prefixing never changes its output."""
     decode = _resolve_decode()
     for pdf in batches:
-        meta = [decode(b) for b in pdf["payload"]]
+        lens = (
+            pdf["n_bytes"].astype("int64")
+            if "n_bytes" in pdf.columns
+            else pdf["payload"].map(len).astype("int64")
+        )
+        meta = [decode(b, int(n)) for b, n in zip(pdf["payload"], lens)]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": [len(b) for b in pdf["payload"]],
+                "n_bytes": lens,
                 "width": [m[0] for m in meta],
                 "height": [m[1] for m in meta],
                 "fmt": [m[2] for m in meta],
@@ -339,13 +364,25 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (standing in for image bytes), decoded to typed metadata by a
     mapInPandas stage. The oracle recomputes the stub's metadata from the
     source bytes — so the Arrow round-trip, schema, and batch handling
-    are genuinely correctness-checked, even though the codec is stubbed."""
+    are genuinely correctness-checked, even though the codec is stubbed.
+
+    Prefix protocol: the worker receives ``substring(payload, 1,
+    HEAD_BYTES)`` plus the true ``n_bytes`` — header metadata never
+    needs the body, so a metadata pass over 100 TB of blobs ships
+    64 KiB × n_blobs through Arrow instead of the corpus.  (Stages that
+    consume CONTENT — resize, frame extraction — still take the full
+    payload.)"""
     docs = table(spark, sf_dir, "documents")
     # No repartition: decode runs at scan parallelism, blobs never shuffle.
     # Decode width is the number of input splits — at 100 TB that's the
     # file-split count (maxPartitionBytes), exactly the knob you'd tune.
     payloads = docs.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id",
+        F.substring(F.encode("text", "UTF-8"), 1, HEAD_BYTES).alias("payload"),
+        # octet_length gives the UTF-8 byte count WITHOUT a second
+        # encode pass (CollapseProject would inline an encode alias
+        # into both expressions — measured 1.8 s -> 2.8 s at sf0.1)
+        F.octet_length("text").cast("long").alias("n_bytes"),
     )
     return payloads.mapInPandas(decode_batches, DECODED_SCHEMA)
 

@@ -527,3 +527,30 @@ def test_assign_split_deterministic_and_exact(spark):
 
     with _pytest.raises(ValueError, match="sum to 10000"):
         assign_split("id", {"train": 5000})
+
+
+def test_decode_batches_prefix_protocol():
+    """The metadata decode ships only HEAD_BYTES of each blob plus the
+    true length: the stub must key off n_bytes (not the truncated
+    head), and container headers still parse from the prefix."""
+    import pandas as pd
+
+    from data_integration_system_spark.operators import multimodal as mm
+
+    big_png = _make_png(1234, 777)
+    true_len = 100_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # doc 1: text blob truncated to a 64-byte head; doc 2: a PNG
+            # whose IHDR sits inside any honest prefix
+            "payload": [b"x" * 64, big_png[:256]],
+            "n_bytes": [true_len, len(big_png)],
+        }
+    )
+    out = next(mm.decode_batches(iter([pdf]))).set_index("doc_id")
+    assert out.loc[1, "n_bytes"] == true_len
+    assert (out.loc[1, "width"], out.loc[1, "height"], out.loc[1, "fmt"]) == \
+        mm._fake_decode_len(true_len)
+    assert (out.loc[2, "width"], out.loc[2, "height"], out.loc[2, "fmt"]) == \
+        (1234, 777, "png")
