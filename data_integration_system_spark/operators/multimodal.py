@@ -38,9 +38,12 @@ from data_integration_system_spark.catalog import table
 from data_integration_system_spark.registry import query
 
 #: prefix shipped to the metadata decode: every supported container's
-#: header fields live in the leading bytes (the worst honest case is a
-#: JPEG SOF behind a maximal 64 KiB EXIF APP1 segment)
-HEAD_BYTES = 64 * 1024
+#: header fields live in the leading bytes.  The worst honest JPEG case
+#: is SOF behind several stacked metadata segments (EXIF APP1 caps at
+#: 64 KiB, but ICC profiles / XMP routinely stack more than one), so the
+#: prefix is 256 KiB; a marker walk that still runs off the end reports
+#: a truncated container (NULL dims) rather than guessing.
+HEAD_BYTES = 256 * 1024
 
 DECODED_SCHEMA = StructType(
     [
@@ -94,18 +97,24 @@ def decode_image_header(payload: bytes) -> dict | None:
                 "bit_depth": bit_depth, "channels": channels}
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
-        while i + 4 <= n:
+        while i < n:
             if payload[i] != 0xFF:  # resync to the next marker
                 i += 1
                 continue
+            if i + 1 >= n:  # lone 0xFF at buffer end: truncated mid-marker
+                break
             marker = payload[i + 1]
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            if marker in (0xD9, 0xDA):
+                # EOI with no SOF seen, or start-of-scan before any SOF:
+                # the stream is complete-but-malformed, not truncated
+                return None
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone
                 i += 2
                 continue
-            if i + 4 > n:
+            if i + 4 > n:  # segment header straddles the buffer end
                 break
             seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
             # SOF0-SOF15 carry the frame header; C4/C8/CC are DHT/JPG/DAC
@@ -117,10 +126,15 @@ def decode_image_header(payload: bytes) -> dict | None:
                 channels = payload[i + 9]
                 return {"width": w, "height": h, "fmt": "jpeg",
                         "bit_depth": precision, "channels": channels}
-            if marker == 0xDA:  # start-of-scan before any SOF: give up
-                break
             i += 2 + seg_len
-        return None
+        # Valid SOI but the marker walk ran off the end of the buffer
+        # before reaching SOF, SOS, or EOI: a genuine JPEG whose metadata
+        # segments overflow the shipped prefix (stacked APPn/ICC/XMP past
+        # HEAD_BYTES).  Report the container honestly (fmt known, dims
+        # unknown) so the caller NEVER falls through to the stub and
+        # fabricates dimensions for a real image (advisor r6).
+        return {"width": None, "height": None, "fmt": "jpeg",
+                "bit_depth": None, "channels": None, "truncated": True}
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return {"width": w, "height": h, "fmt": "gif",
@@ -195,7 +209,10 @@ def decode_video_header(payload: bytes) -> dict | None:
         for t2, l2, h2 in boxes(payload, lo, hi):
             if t2 == b"mvhd" and h2 - l2 >= 4:
                 version = payload[l2]
-                if version == 1 and h2 - l2 >= 28:
+                # v1 reads 12 bytes at [l2+20, l2+32): the body must
+                # actually hold 32 bytes or struct.unpack raises on a
+                # corrupt box declaring a 28-31 byte tail (advisor r6)
+                if version == 1 and h2 - l2 >= 32:
                     ts, dur = struct.unpack(">IQ", payload[l2 + 20:l2 + 32])
                 elif version == 0 and h2 - l2 >= 20:
                     ts, dur = struct.unpack(">II", payload[l2 + 12:l2 + 20])
@@ -301,11 +318,21 @@ def _resolve_decode():
     except ImportError:
         pil = None
 
-    def decode(payload: bytes, true_len: int | None = None) -> tuple[int, int, str]:
+    def decode(payload: bytes, true_len: int | None = None) -> tuple[int | None, int | None, str]:
         payload = bytes(payload)
         hdr = decode_image_header(payload)
         if hdr is not None:
-            return hdr["width"], hdr["height"], hdr["fmt"]
+            if hdr["width"] is not None:
+                return hdr["width"], hdr["height"], hdr["fmt"]
+            # Recognized container whose header overflowed the shipped
+            # prefix: try PIL if present (it may still find the frame),
+            # else report NULL dims — never the stub's fabricated ones.
+            if pil is not None:
+                try:
+                    return pil(payload)
+                except Exception:
+                    pass
+            return None, None, hdr["fmt"]
         if pil is not None:
             try:
                 return pil(payload)

@@ -499,7 +499,12 @@ def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune; same quadratic-bucket defense as dedup's LSH cap), so pair
     production stays near-linear.  Rows-only (xxhash64 fingerprints
     have no DuckDB twin)."""
-    fp = doc_fingerprints_unordered(spark, sf_dir)
+    # Barrier BEFORE the prune: drop_hot_keys consumes its input twice
+    # (hot-key agg + anti-join probe) and the self-join reads it twice
+    # more — without the checkpoint the min-per-window explode re-runs
+    # for every consumer (same fix as build_fingerprint_index :385;
+    # measured ~2.0 s -> ~1.3 s at sf0.1, VERDICT r6 #2).
+    fp = doc_fingerprints_unordered(spark, sf_dir).localCheckpoint()
     # stop-hash prune: fingerprints in >20 docs are boilerplate
     fp = drop_hot_keys(fp, ["fp_hash"], _FP_STOP_DOCS)
     a = fp.alias("a")

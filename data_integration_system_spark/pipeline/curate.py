@@ -154,9 +154,16 @@ def export_jsonl(
         raise FileNotFoundError(f"no committed snapshot at {snapshot_root}")
     target = f"{out_path}/{version}"
     p, fs = hadoop_path(spark, target)
-    if fs.exists(p):
+    # Completion marker, not directory existence: an export that crashed
+    # mid-write leaves a partial dir without _SUCCESS — treat it as
+    # absent (delete and rewrite) rather than returning a truncated
+    # release as done (advisor r6).
+    success, _ = hadoop_path(spark, f"{target}/_SUCCESS")
+    if fs.exists(success):
         rows = spark.read.json(target).count()
         return {"path": target, "version": version, "rows": rows, "written": False}
+    if fs.exists(p):
+        fs.delete(p, True)
     df = read_current(spark, snapshot_root)
     df.write.mode("errorifexists").option("compression", compression).json(target)
     return {"path": target, "version": version, "rows": df.count(), "written": True}

@@ -179,6 +179,22 @@ def test_curate_with_novelty_stage_and_jsonl_export(spark, tmp_path):
     assert res2["written"] is True and res2["path"] != res["path"]
     assert res2["rows"] == 5
 
+    # crashed-mid-write recovery (advisor r6): a version dir WITHOUT
+    # _SUCCESS is a partial export — re-export must complete it, not
+    # report the truncated row count as done
+    import glob as _glob
+    import os
+
+    os.remove(f"{res2['path']}/_SUCCESS")
+    parts = sorted(_glob.glob(f"{res2['path']}/part-*"))
+    assert parts  # sanity: there is data to truncate
+    os.remove(parts[0])
+    res3 = export_jsonl(spark, strict, out)
+    assert res3["written"] is True and res3["path"] == res2["path"]
+    assert res3["rows"] == 5
+    assert os.path.exists(f"{res3['path']}/_SUCCESS")
+    assert spark.read.json(res3["path"]).count() == 5
+
 
 def test_release_corpus_end_to_end(spark, tmp_path):
     """The release composition: curated snapshot + packing-manifest

@@ -380,6 +380,67 @@ def test_decode_audio_video_headers_real_bytes():
     assert mm.decode_image_header(_make_wav()) is None  # no cross-detection
 
 
+def test_decode_jpeg_header_behind_stacked_metadata():
+    """A genuine JPEG whose SOF hides behind stacked >64 KiB metadata
+    segments (EXIF + ICC + XMP) must NOT get fabricated stub dimensions
+    (advisor r6): the full payload parses to real dims, and a prefix too
+    short to reach SOF reports the container honestly — fmt known, dims
+    NULL, truncated flag set."""
+    import struct
+
+    from data_integration_system_spark.operators import multimodal as mm
+
+    def appn(marker: int, body_len: int) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + body_len) + b"\x00" * body_len
+
+    sof_payload = struct.pack(">BHHB", 8, 480, 640, 3) + b"".join(
+        struct.pack("BBB", i + 1, 0x11, 0) for i in range(3)
+    )
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    # 3 maximal APP1 segments (~192 KiB of metadata) before SOF — still
+    # inside the raised HEAD_BYTES, so the prefix protocol decodes it
+    stacked = b"\xff\xd8" + appn(0xE1, 65533) * 3 + sof + b"\xff\xd9"
+    assert len(stacked) < mm.HEAD_BYTES
+    got = mm.decode_image_header(stacked[: mm.HEAD_BYTES])
+    assert (got["width"], got["height"], got["fmt"]) == (640, 480, "jpeg")
+
+    # 5 maximal segments push SOF past HEAD_BYTES: the truncated prefix
+    # must report truncation, never fall through to the stub
+    huge = b"\xff\xd8" + appn(0xE1, 65533) * 5 + sof + b"\xff\xd9"
+    assert len(huge) > mm.HEAD_BYTES
+    trunc = mm.decode_image_header(huge[: mm.HEAD_BYTES])
+    assert trunc is not None
+    assert trunc["fmt"] == "jpeg" and trunc["width"] is None
+    assert trunc.get("truncated") is True
+
+    # and the decode dispatch propagates NULL dims instead of stub dims
+    decode = mm._resolve_decode()
+    w, h, fmt = decode(huge[: mm.HEAD_BYTES], true_len=len(huge))
+    assert (w, h, fmt) == (None, None, "jpeg")
+
+
+def test_decode_video_header_corrupt_mvhd_no_raise():
+    """A corrupt mvhd v1 box declaring a 28-31 byte body at the end of
+    the payload must not raise struct.error out of the decode stage
+    (advisor r6) — errors-as-data: duration comes back None."""
+    import struct
+
+    from data_integration_system_spark.operators import multimodal as mm
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    for body_len in (28, 29, 30, 31):
+        bad_mvhd = b"\x01" + b"\x00" * (body_len - 1)  # v1, short body
+        payload = ftyp + box(b"moov", box(b"mvhd", bad_mvhd))
+        got = mm.decode_video_header(payload)  # must not raise
+        assert got == {"fmt": "mp4", "brand": "isom", "duration_ms": None}
+    # a well-formed v1 mvhd still decodes
+    ok = mm.decode_video_header(_make_mp4(duration_ms=777, version=1))
+    assert ok["duration_ms"] == 777
+
+
 def test_media_probe_classifies_mixed_batch(spark):
     """media_probe: one Arrow-batched pass classifies image/audio/video/
     unknown payloads into a typed metadata relation — the multimodal

@@ -328,6 +328,108 @@ def test_compact_splits_skewed_partition(spark, tmp_path):
     assert read_current(spark, root).count() == ev.count()
 
 
+def test_compact_splits_skewed_partition_with_escaped_value(spark, tmp_path):
+    """Partition values Spark %-escapes in hive dir names (spaces,
+    colons) must still match compact_snapshot's per-partition file plan
+    (advisor r6): a skewed partition whose value is escaped on disk has
+    to split across multiple files, not silently funnel through one
+    task because the plan join missed the raw dir string."""
+    import os
+
+    from data_integration_system_spark.pipeline.snapshots import current_version
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").withColumn(
+        # ~95% of rows land in the value that needs escaping on disk
+        "shard",
+        F.when(F.col("user_id") % 20 == 0, F.lit("rare plain"))
+        .otherwise(F.lit("hot: escaped value"))
+        .cast("string"),
+    )
+    write_snapshot(ev.repartition(16), root, partition_by="shard")
+    v1 = current_version(spark, root)
+    dirs = [d for d in glob.glob(f"{root}/{v1}/shard=*")]
+    assert any("%3A" in d or "%20" in d for d in dirs)  # escaping happened
+    fat_dir = next(d for d in dirs if "hot" in d)
+    fat_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{fat_dir}/*.parquet")
+    )
+    target = max(fat_bytes // 3, 1)  # plan ≥3 files for the fat partition
+    report = compact_snapshot(spark, root, target_file_bytes=target)
+    assert report["compacted"] is True
+    v2 = current_version(spark, root)
+    fat_dir2 = next(d for d in glob.glob(f"{root}/{v2}/shard=*") if "hot" in d)
+    assert len(glob.glob(f"{fat_dir2}/*.parquet")) >= 2  # plan matched
+    got = read_current(spark, root)
+    assert got.count() == ev.count()
+    assert (
+        got.filter(F.col("shard") == "hot: escaped value").count()
+        == ev.filter(F.col("shard") == "hot: escaped value").count()
+    )
+
+
+def test_compact_partitions_submits_rewrites_concurrently(spark, tmp_path, monkeypatch):
+    """Multiple fragmented partitions must be rewritten as CONCURRENT
+    Spark jobs (VERDICT r6 #4): repair wall-clock is bounded by the
+    largest partition, not the partition count.  Structural pin: the
+    rewrites go through a thread pool sized to the fragment count, and
+    the jobs genuinely overlap (observed pool concurrency > 1)."""
+    import concurrent.futures as cf
+    import threading
+
+    from data_integration_system_spark.pipeline.layout import compact_partitions
+    from data_integration_system_spark.pipeline.snapshots import current_version
+
+    seen = {"max_workers": 0, "overlap": 0, "live": 0}
+    lock = threading.Lock()
+    real_pool = cf.ThreadPoolExecutor
+
+    class SpyPool(real_pool):
+        def __init__(self, max_workers=None, **kw):
+            seen["max_workers"] = max_workers
+            super().__init__(max_workers=max_workers, **kw)
+
+        def map(self, fn, it):
+            def traced(item):
+                with lock:
+                    seen["live"] += 1
+                    seen["overlap"] = max(seen["overlap"], seen["live"])
+                try:
+                    return fn(item)
+                finally:
+                    with lock:
+                        seen["live"] -= 1
+
+            return super().map(traced, it)
+
+    monkeypatch.setattr(cf, "ThreadPoolExecutor", SpyPool)
+
+    root = str(tmp_path / "store")
+    ev = table(spark, SF, "events").withColumn(
+        "bucket", (F.col("user_id") % 4).cast("int")
+    )
+    write_snapshot(ev.repartition(12), root, partition_by="bucket")
+    v1 = current_version(spark, root)
+    assert len(glob.glob(f"{root}/{v1}/bucket=*/*.parquet")) > 4
+    report = compact_partitions(spark, root, target_file_bytes=64 * 1024 * 1024)
+    assert report["compacted"] is True and len(report["rewritten"]) == 4
+    assert seen["max_workers"] == 4
+    assert seen["overlap"] > 1  # the rewrite jobs actually ran in parallel
+    assert read_current(spark, root).count() == ev.count()
+
+
+def test_unescape_hive_values():
+    from data_integration_system_spark.pipeline.layout import (
+        _HIVE_NULL,
+        _unescape_hive,
+    )
+
+    assert _unescape_hive("2024-01-01 00%3A00%3A00") == "2024-01-01 00:00:00"
+    assert _unescape_hive("two%20words") == "two words"
+    assert _unescape_hive("plain") == "plain"
+    assert _unescape_hive(_HIVE_NULL) is None
+
+
 def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
     """Selective compaction: only the fragmented partition is re-read and
     rewritten; clean partitions are byte-copied (identical files), the
