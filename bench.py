@@ -191,6 +191,44 @@ def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None
         t0 = time.perf_counter()
         query_fingerprint_index(spark, f"{root}/fp", probe_docs).count()
         timings["fingerprint_index_probe"] = round(time.perf_counter() - t0, 3)
+
+        # bloom-backed content-hash layout: build = write path, probe =
+        # the registered point-lookup query (cache primed to the fresh
+        # build so the probe never re-pays the write)
+        from data_integration_system_spark.operators import relational as rel
+
+        t0 = time.perf_counter()
+        rel._HASH_LAYOUT_CACHE.pop(sf_dir, None)
+        rel._content_hash_layout(spark, sf_dir)
+        builds["hash_layout_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rel.content_hash_point_lookup(spark, sf_dir).count()
+        timings["content_hash_point_lookup"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_release(spark, sf_dir: str, builds: dict) -> None:
+    """Time the end-to-end training-data release (curate -> committed
+    snapshot -> packing manifest -> deterministic splits -> JSONL
+    export): the composed write path a release review actually runs.
+    Tested since r5 but never priced (VERDICT r6 #7)."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.pipeline.curate import release_corpus
+
+    root = tempfile.mkdtemp(prefix="bench_rel_")
+    try:
+        t0 = time.perf_counter()
+        release_corpus(
+            spark,
+            sf_dir,
+            f"{root}/corpus",
+            export_path=f"{root}/export",
+            split_weights={"train": 9800, "val": 100, "test": 100},
+        ).collect()
+        builds["release_corpus"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -241,6 +279,10 @@ def main() -> None:
         _bench_index_probes(spark, sf_dir, timings, builds)
     except Exception as ex:
         errors["index_probes"] = f"{type(ex).__name__}: {ex}"[:200]
+    try:
+        _bench_release(spark, sf_dir, builds)
+    except Exception as ex:
+        errors["release"] = f"{type(ex).__name__}: {ex}"[:200]
 
     out = {
         "metric": "suite_wall_sec",

@@ -1263,3 +1263,82 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake-layout consumer (r7): the bloom-backed point lookup.  The write
+# path (pipeline/layout.write_clustered + parquet bloom filters) existed
+# since r6 with executed-metrics pins only; this registers an
+# oracle-checked consumer so the layout layer faces the driver gate.
+# ---------------------------------------------------------------------------
+
+#: per-process cache of built lookup layouts, keyed by sf_dir — the
+#: build is the write path (priced separately, like the other
+#: materialized indexes); the QUERY is the probe path.
+_HASH_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _content_hash_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the hash-probe layout of
+    documents: doc_id-clustered parquet with a BLOOM FILTER on
+    content_hash.  Clustering cannot help a hash key (its min/max spans
+    the domain in every row group); the bloom filter is what makes an
+    equality probe skip row groups — the pipeline/layout.py:54 design,
+    here facing an oracle-checked consumer."""
+    import tempfile
+
+    from data_integration_system_spark.pipeline.layout import write_clustered
+
+    root = _HASH_LAYOUT_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="hash_lookup_")
+        docs = table(spark, sf_dir, "documents")
+        hashed = docs.select(
+            "doc_id",
+            F.md5(F.encode("text", "UTF-8")).alias("content_hash"),
+        )
+        write_clustered(
+            hashed, f"{root}/by_hash", ["doc_id"], n_files=4,
+            bloom_cols=["content_hash"],
+        )
+        _HASH_LAYOUT_CACHE[sf_dir] = root
+    return f"{root}/by_hash"
+
+
+@query(
+    "content_hash_point_lookup",
+    oracle="""
+    WITH probes AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 101 = 0
+    )
+    SELECT d.doc_id, md5(d.text) AS content_hash
+    FROM documents d JOIN probes p ON md5(d.text) = p.h
+    ORDER BY d.doc_id
+    """,
+)
+def content_hash_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by content hash against the bloom-backed layout —
+    the dedup/provenance probe ("have we seen these exact bytes?") that
+    a content-addressed corpus answers constantly at ingest.
+
+    Scale shape: the probe list is bounded (one in ~100 documents, the
+    same control-plane collect pattern as the index probes); the lookup
+    is an IN-list equality predicate pushed into the parquet scan,
+    where the write-time bloom filter on content_hash skips every row
+    group that cannot contain a probed hash (measured 200k -> ~900 rows
+    read for a single-hash probe; see tests/test_metrics.py bloom
+    pins).  Without the bloom layout this probe is a full-column scan —
+    the difference between O(matches) and O(table) at 100 TB.  md5 (not
+    xxhash64) so DuckDB recomputes the identical hex digest."""
+    path = _content_hash_layout(spark, sf_dir)
+    stored = spark.read.parquet(path)
+    probe_hashes = [
+        r.content_hash
+        for r in stored.filter(F.col("doc_id") % 101 == 0)
+        .select("content_hash").distinct().collect()
+    ]
+    return (
+        stored.filter(F.col("content_hash").isin(probe_hashes))
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )

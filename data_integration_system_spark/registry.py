@@ -71,78 +71,16 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 6 window = 16 + 32 + 2 = exactly 50 (VERDICT r5 "Next round"
-    # #2/#3). Registry growth is FROZEN this round so verification debt
-    # hits zero: after r6 every query has ≥1 driver row and none is >2
-    # rounds stale.
+    # Round 7 window = 1 + 48 + 1 = exactly 50 (VERDICT r6 "Next round"
+    # #1: CORRECTNESS_r6 landed all-green, so the r6 head rotates OUT and
+    # the r4-stale tier — the oldest rows in the registry — rotates in;
+    # after r7 no query's latest row is older than round 5 and the
+    # 3-round full-rotation cadence is locked).
     #
-    # (1) never driver-sampled (registered late in round 5, after the r5
-    # window was already full) — must get their first row:
-    "transition_degrees",
-    "embedding_centroid_per_label",
-    "kmeans_assign_int",
-    "user_modal_event_type",
-    "doc_ngram_novelty",
-    "transition_reachability",
-    "minhash_jaccard_error",
-    "event_type_daily_trend",
-    "user_value_ewma",
-    "order_fulfillment_lag",
-    "session_opening_paths",
-    "conversion_by_signup_week",
-    "part_copurchase_pairs",
-    "part_name_near_matches",
-    "nation_supplier_concentration",
-    "daily_volume_anomalies",
-    # (2) latest driver row is round 3 — the §2C exact tier displaced by
-    # the r5 additions, §2B north-star dedup heart included:
-    "dedup_ngram_jaccard",
-    "contamination_check",
-    "sample_stratified",
-    "text_normalize",
-    "group_quantiles",
-    "partsupp_profit",
-    "top_sources_per_lang",
-    "ntile_quartiles",
-    "signup_purchase_funnel",
-    "event_type_transitions",
-    "quality_filter_gopher",
-    "token_top_vocab",
-    "domain_mix_weights",
-    "decontaminate_filter",
-    "returned_item_report",
-    "top_revenue_supplier",
-    "segment_top_orders",
-    "snapshot_reconcile",
-    "pii_redact",
-    "large_volume_orders",
-    "brand_supplier_counts",
-    "event_zscore_outliers",
-    "weighted_resample",
-    "regional_nation_volume",
-    "idle_rich_customers",
-    "dedup_minhash_near",
-    "dedup_simhash",
-    "dedup_embedding_near",
-    "dedup_clusters",
-    "dedup_corpus_keep_reps",
-    "doc_fingerprint",
-    "fingerprint_overlap_pairs",
-    # (3) r4-stale queries whose implementation CHANGED this round (the
-    # multimodal decode stage gained a real JPEG/PNG byte parser) — they
-    # need a fresh row against the new code path:
-    "multimodal_decode_meta",
-    "multimodal_resize_meta",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). After round 6 lands, the oldest
-#: rows belong to the r4-checked tier (everything below), then the
-#: r5-checked tier. Regenerate the plan from data with
-#: ``python rehearse.py --coverage`` (writes CORRECTNESS_COVERAGE.json)
-#: instead of hand-maintaining this list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    # r4-stale after this round (driver row from round 4):
+    # (1) NEW this round (no driver row yet — policy tier 1):
+    "content_hash_point_lookup",
+    # (2) the 48 r4-stale queries (CORRECTNESS_COVERAGE round == 4;
+    # regenerated from data via `python rehearse.py --coverage`):
     "scan_project",
     "filter_blocklist",
     "filter_scope",
@@ -191,6 +129,70 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "token_count_bpe",
     "volume_shipping",
     "weekday_order_stats",
+    # (3) oldest r5 tier, weaker rows-only channel refreshed first:
+    "similarity_recall_at_k",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). After round 7 lands, the oldest
+#: rows belong to the r5-checked tier below (49 of the 50 r5 rows —
+#: similarity_recall_at_k is refreshed in the r7 window); the r8 window
+#: is these 49 + newcomers, and r9 takes the r6/r7 tier, completing the
+#: 3-round cadence. Regenerate the plan from data with
+#: ``python rehearse.py --coverage`` (writes CORRECTNESS_COVERAGE.json)
+#: instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    # r5-stale after round 7 (driver row from round 5); rows-only and
+    # §2B-heart queries first:
+    "percentile_approx_check",
+    "multiway_star_join",
+    "dedup_exact",
+    "dedup_exact_full",
+    "dedup_keep_latest",
+    "upsert_changed_rows",
+    "join_broadcast_dim",
+    "join_sortmerge_fact",
+    "semi_join_existing",
+    "anti_join_unvisited",
+    "range_join_events",
+    "asof_latest_event_per_order",
+    "session_windows",
+    "sliding_window_avg",
+    "tumbling_window_counts",
+    "window_rank_frames",
+    "bigram_lift_top",
+    "cross_source_duplicate_matrix",
+    "customer_rfm_scores",
+    "customer_spend_percentile",
+    "daily_active_users",
+    "discount_band_pivot",
+    "discount_band_unpivot",
+    "doc_length_histogram",
+    "dq_orders_report",
+    "dup_rate_by_source",
+    "event_type_gini_per_user",
+    "event_value_mad",
+    "excess_stock_suppliers",
+    "lang_confusion_matrix",
+    "lang_source_grouping_sets",
+    "lang_source_rollcall",
+    "local_supplier_volume",
+    "monthly_revenue_growth",
+    "new_vs_returning_users",
+    "order_date_gap_fill",
+    "order_gap_percentiles",
+    "order_priority_check",
+    "pareto_revenue_share",
+    "purchase_streak_islands",
+    "quantity_price_correlation",
+    "rolling_7day_event_volume",
+    "salted_event_type_rollup",
+    "shipmode_priority_counts",
+    "shipping_priority",
+    "source_quality_report",
+    "supplier_share_of_nation",
+    "transition_triangles",
+    "weekly_retention",
 ]
 
 

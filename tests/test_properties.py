@@ -416,6 +416,8 @@ def test_media_header_parsers_never_raise_on_garbage(payload):
     for fn in (mm.decode_image_header, mm.decode_audio_header, mm.decode_video_header):
         out = fn(payload)
         assert out is None or isinstance(out, dict)
+    px = mm.decode_png_pixels(payload)  # pixel tier: tuple or None, never raise
+    assert px is None or isinstance(px, tuple)
 
 
 @settings(max_examples=200, deadline=None)
@@ -437,3 +439,5 @@ def test_media_header_parsers_survive_truncation(cut, kind):
     for fn in (mm.decode_image_header, mm.decode_audio_header, mm.decode_video_header):
         out = fn(payload)
         assert out is None or isinstance(out, dict)
+    px = mm.decode_png_pixels(payload)
+    assert px is None or isinstance(px, tuple)
