@@ -259,6 +259,103 @@ def decode_audio_header(payload: bytes) -> dict | None:
     return meta
 
 
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """REAL sample decode for PCM WAV (8/16-bit), stdlib-only: returns
+    ``(channels, sample_rate, samples)`` with interleaved integer
+    samples (16-bit signed LE, or 8-bit unsigned recentred to signed),
+    or None for non-WAV / non-PCM / malformed payloads.
+
+    The audio twin of decode_png_pixels (tier 1.5): content stages
+    (loudness gating, silence trimming, feature extraction) get genuine
+    sample buffers without a codec library.  PCM is the one audio
+    format where "decode" is a struct cast — compressed codecs stay
+    behind the import-gated tier."""
+    import struct
+
+    hdr = decode_audio_header(payload)
+    if hdr is None or hdr.get("bits") not in (8, 16):
+        return None
+    # second chunk walk to find the data payload (the header walk only
+    # records its size)
+    i, n = 12, len(payload)
+    data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        if cid == b"data":
+            data = payload[i + 8:i + 8 + size]
+            break
+        i += 8 + size + (size & 1)
+    if data is None:
+        return None
+    bits = hdr["bits"]
+    if bits == 16:
+        usable = len(data) - (len(data) % 2)
+        samples = list(struct.unpack(f"<{usable // 2}h", data[:usable]))
+    else:  # 8-bit WAV is unsigned; recentre to signed
+        samples = [b - 128 for b in data]
+    return hdr["channels"], hdr["sample_rate"], samples
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms_e2", LongType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: PCM WAV payload -> per-blob loudness/shape
+    features from GENUINE decoded samples (RMS x100 floor-scaled, peak
+    |amplitude|, mono zero-crossing count).  Non-WAV payloads emit NULL
+    features (errors-as-data) — the curation gate ("drop silent or
+    clipped audio") runs Spark-side on this relation."""
+    import math
+
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            dec = decode_wav_samples(bytes(b))
+            if dec is None:
+                rows.append((int(doc_id), None, None, None, None, None, None))
+                continue
+            ch, rate, samples = dec
+            n = len(samples)
+            if n == 0:
+                rows.append((int(doc_id), ch, rate, 0, 0, 0, 0))
+                continue
+            rms = math.floor(math.sqrt(sum(s * s for s in samples) / n) * 100)
+            peak = max(abs(s) for s in samples)
+            # zero crossings over the first channel's stream
+            mono = samples[::ch]
+            zc = sum(
+                1 for a, b2 in zip(mono, mono[1:])
+                if (a >= 0) != (b2 >= 0)
+            )
+            rows.append((int(doc_id), ch, rate, n, rms, peak, zc))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "channels", "sample_rate", "n_samples",
+                     "rms_e2", "peak", "zero_crossings"],
+        )
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Typed audio-feature relation of any (id, binary payload) frame —
+    real PCM sample math in one Arrow-batched pass at scan parallelism;
+    blobs never shuffle.  Pair with media_probe: probe classifies and
+    gates on header metadata (cheap, header bytes only), this stage
+    decodes content for the survivors."""
+    payloads = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return payloads.mapInPandas(audio_features_batches, AUDIO_FEATURES_SCHEMA)
+
+
 def decode_video_header(payload: bytes) -> dict | None:
     """REAL MP4 (ISO BMFF) container decode, stdlib-only: walk the
     top-level box structure to ``moov/mvhd`` and read timescale +

@@ -418,6 +418,8 @@ def test_media_header_parsers_never_raise_on_garbage(payload):
         assert out is None or isinstance(out, dict)
     px = mm.decode_png_pixels(payload)  # pixel tier: tuple or None, never raise
     assert px is None or isinstance(px, tuple)
+    au = mm.decode_wav_samples(payload)  # sample tier likewise
+    assert au is None or isinstance(au, tuple)
 
 
 @settings(max_examples=200, deadline=None)
@@ -441,3 +443,5 @@ def test_media_header_parsers_survive_truncation(cut, kind):
         assert out is None or isinstance(out, dict)
     px = mm.decode_png_pixels(payload)
     assert px is None or isinstance(px, tuple)
+    au = mm.decode_wav_samples(payload)
+    assert au is None or isinstance(au, tuple)
