@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -741,3 +742,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(frame_sample_batches, FRAMES_SCHEMA)
+
+
+def _synth_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize a GENUINE 16-bit PCM WAV blob per
+    doc — a mono square wave whose amplitude and length are pure integer
+    functions of doc_id (amp = doc_id % 1000 + 1; n = 32 + (doc_id % 8)
+    * 4 samples; flip every 4; 16 kHz).  The bytes are a complete
+    RIFF/WAVE stream: fmt chunk + data chunk, byte-identical to what the
+    stdlib wave encoder emits for the same samples."""
+    import struct
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            amp = doc_id % 1000 + 1
+            n = 32 + (doc_id % 8) * 4
+            samples = [amp if (i // 4) % 2 == 0 else -amp for i in range(n)]
+            data = struct.pack(f"<{n}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            payload = (
+                b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            rows.append((doc_id, payload))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(32 + (doc_id % 8) * 4 AS BIGINT) AS n_samples,
+           CAST((doc_id % 1000 + 1) * 100 AS BIGINT) AS rms_e2,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS peak,
+           CAST((32 + (doc_id % 8) * 4) // 4 - 1 AS BIGINT) AS zero_crossings
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path under the exact-oracle gate: Spark
+    synthesizes genuine PCM WAV bytes per document (square wave with
+    doc_id-derived amplitude/length), `audio_features` decodes those
+    bytes back with the real stdlib sample decoder and computes
+    RMS/peak/zero-crossings from the decoded samples — and DuckDB
+    recomputes every feature in closed form from doc_id alone.  A wrong
+    byte anywhere (encoder header, chunk walk, struct cast, recentring,
+    feature math) breaks the value hash, so the binary roundtrip is
+    genuinely correctness-checked, unlike a stubbed decode.
+
+    Scale shape: one Arrow-batched pass, blobs never shuffle (synthesis
+    and decode live in adjacent mapInPandas stages at scan parallelism);
+    the square wave's closed-form features are what makes an EXACT
+    oracle possible for a codec operation."""
+    docs = table(spark, sf_dir, "documents")
+    wav = docs.select("doc_id").mapInPandas(
+        _synth_wav_batches,
+        StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]),
+    )
+    return audio_features(wav).orderBy("doc_id")

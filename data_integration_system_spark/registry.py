@@ -71,14 +71,15 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 7 window = 1 + 48 + 1 = exactly 50 (VERDICT r6 "Next round"
-    # #1: CORRECTNESS_r6 landed all-green, so the r6 head rotates OUT and
-    # the r4-stale tier — the oldest rows in the registry — rotates in;
-    # after r7 no query's latest row is older than round 5 and the
-    # 3-round full-rotation cadence is locked).
+    # Round 7 window = 2 new + 48 r4-stale = exactly 50 (VERDICT r6
+    # "Next round" #1: CORRECTNESS_r6 landed all-green, so the r6 head
+    # rotates OUT and the r4-stale tier — the oldest rows in the
+    # registry — rotates in; after r7 no query's latest row is older
+    # than round 5 and the 3-round full-rotation cadence is locked).
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
     "content_hash_point_lookup",
+    "multimodal_audio_features",
     # (2) the 48 r4-stale queries (CORRECTNESS_COVERAGE round == 4;
     # regenerated from data via `python rehearse.py --coverage`):
     "scan_project",
@@ -129,8 +130,6 @@ _DRIVER_HEAD: list[str] = [
     "token_count_bpe",
     "volume_shipping",
     "weekday_order_stats",
-    # (3) oldest r5 tier, weaker rows-only channel refreshed first:
-    "similarity_recall_at_k",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -142,6 +141,9 @@ _DRIVER_HEAD: list[str] = [
 #: ``python rehearse.py --coverage`` (writes CORRECTNESS_COVERAGE.json)
 #: instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    # displaced from the r7 window by multimodal_audio_features (its r5
+    # rows-only row is the registry's oldest weak-channel entry):
+    "similarity_recall_at_k",
     # r5-stale after round 7 (driver row from round 5); rows-only and
     # §2B-heart queries first:
     "percentile_approx_check",
