@@ -810,3 +810,144 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]),
     )
     return audio_features(wav).orderBy("doc_id")
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """REAL PNG encoder, stdlib-only: 8-bit gray/gray+alpha/rgb/rgba
+    pixel buffer -> a complete, spec-valid PNG stream (signature, IHDR,
+    zlib IDAT, IEND, correct CRCs).  Scanline filters rotate through
+    all five types (None/Sub/Up/Average/Paeth, row % 5) — deliberate:
+    every stream this encoder emits exercises the decoder's full
+    unfilter matrix, so an encode->decode roundtrip is a complete
+    codec test, not a filter-0 smoke check.
+
+    The write half of decode_png_pixels: a resize/re-encode content
+    stage can emit genuine PNG bytes from worker-side pixel math with
+    zero dependencies."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for row in range(height):
+        ftype = row % 5
+        base = row * stride
+        line = bytearray()
+        for x in range(stride):
+            cur = pixels[base + x]
+            left = pixels[base + x - channels] if x >= channels else 0
+            up = pixels[base - stride + x] if row else 0
+            ul = pixels[base - stride + x - channels] if (row and x >= channels) else 0
+            if ftype == 0:
+                line.append(cur)
+            elif ftype == 1:
+                line.append((cur - left) & 0xFF)
+            elif ftype == 2:
+                line.append((cur - up) & 0xFF)
+            elif ftype == 3:
+                line.append((cur - ((left + up) >> 1)) & 0xFF)
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                line.append((cur - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("min_pixel", LongType()),
+        StructField("max_pixel", LongType()),
+    ]
+)
+
+
+def _pixel_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize a GENUINE grayscale PNG per doc
+    (width 8 + doc_id%8, height 4 + doc_id%4, pixel[i] = (doc_id+i) %
+    256 row-major; filters rotate through all five types), decode it
+    back with decode_png_pixels, and report stats computed from the
+    DECODED buffer.  A wrong byte anywhere in the encoder, inflate,
+    or unfilter paths surfaces as a wrong stat."""
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = 8 + doc_id % 8, 4 + doc_id % 4
+            pixels = bytes((doc_id + i) % 256 for i in range(w * h))
+            png = encode_png(pixels, w, h, channels=1)
+            dec = decode_png_pixels(png)
+            if dec is None:  # errors-as-data; never expected here
+                rows.append((doc_id, None, None, None, None, None, None))
+                continue
+            gw, gh, _ch, buf = dec
+            rows.append((doc_id, gw, gh, len(buf), sum(buf), min(buf), max(buf)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_pixels",
+                     "sum_pixels", "min_pixel", "max_pixel"],
+        )
+
+
+@query(
+    "multimodal_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 256 AS a,
+             8 + doc_id % 8 AS width,
+             4 + doc_id % 4 AS height,
+             (8 + doc_id % 8) * (4 + doc_id % 4) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(n * a + n * (n - 1) // 2
+                - 256 * GREATEST(a + n - 256, 0) AS BIGINT) AS sum_pixels,
+           CAST(CASE WHEN a + n <= 256 THEN a ELSE 0 END AS BIGINT) AS min_pixel,
+           CAST(CASE WHEN a + n <= 256 THEN a + n - 1 ELSE 255 END AS BIGINT) AS max_pixel
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path under the exact-oracle gate (the PNG twin
+    of multimodal_audio_features): Spark encodes genuine PNG bytes per
+    document from a doc_id-derived pixel ramp — scanline filters
+    rotating through all five types — decodes them back with the
+    stdlib pixel decoder, and reports stats from the DECODED buffer;
+    DuckDB recomputes the stats in closed form ((doc_id+i) % 256 sums
+    have an exact wrap-aware formula).  Any defect in CRC layout, zlib
+    framing, filter encode, inflate, or unfilter breaks the value hash.
+
+    Scale shape: one Arrow-batched pass at scan parallelism; pixels are
+    created, encoded, decoded, and reduced inside the worker — nothing
+    but the stat row crosses the boundary, blobs never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id")
+        .mapInPandas(_pixel_stats_batches, PIXEL_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )

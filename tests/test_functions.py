@@ -379,6 +379,24 @@ def test_decode_wav_samples_exact_roundtrip():
     assert mm.decode_wav_samples(_make_wav_samples(want)[:20]) is None
 
 
+def test_encode_png_roundtrip_all_channels():
+    """The library PNG encoder (multimodal.encode_png, filters rotating
+    through all five types) roundtrips byte-exactly through the pixel
+    decoder for gray/gray+alpha/rgb/rgba buffers."""
+    from data_integration_system_spark.operators import multimodal as mm
+
+    for w, h, ch in [(9, 7, 1), (6, 5, 2), (8, 6, 3), (5, 5, 4)]:
+        pixels = bytes((i * 131 + 17 * (i // 11)) % 256 for i in range(w * h * ch))
+        png = mm.encode_png(pixels, w, h, channels=ch)
+        got = mm.decode_png_pixels(png)
+        assert got is not None
+        assert got[:3] == (w, h, ch)
+        assert got[3] == pixels
+        # and the header tier agrees on the geometry
+        hdr = mm.decode_image_header(png)
+        assert (hdr["width"], hdr["height"], hdr["channels"]) == (w, h, ch)
+
+
 def test_audio_features_real_sample_math(spark):
     """audio_features computes RMS/peak/zero-crossings from GENUINE
     decoded PCM samples (exact for a square wave), and emits NULL
