@@ -260,6 +260,122 @@ def decode_audio_header(payload: bytes) -> dict | None:
     return meta
 
 
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes | None:
+    """GIF-variant LZW decode (variable code width, LSB-first bit
+    packing, CLEAR/END control codes, 12-bit table cap).  Returns the
+    decoded index stream or None on a corrupt stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_pixels:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            table = table[: clear + 2]
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt: code beyond the table
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:max_pixels]) if len(out) >= max_pixels else None
+
+
+#: GIF interlace passes: (first row, step) in pass order
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL pixel decode for GIF (first frame), stdlib-only: logical
+    screen + color table walk, sub-block reassembly, the full LZW
+    decoder above, palette mapping, and 4-pass de-interlacing.  Returns
+    ``(width, height, 3, rgb_pixels)`` row-major, or None for non-GIF /
+    corrupt payloads (errors-as-data; caller falls through).
+
+    Completes the image-decode triad: PNG pixels (zlib+unfilter), GIF
+    pixels (LZW+palette), JPEG header-only (DCT entropy decode stays
+    behind the import-gated codec tier)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    try:
+        flags = payload[10]
+        gct_len = (2 << (flags & 7)) * 3 if flags & 0x80 else 0
+        pos = 13
+        gct = payload[pos:pos + gct_len]
+        pos += gct_len
+        n = len(payload)
+        while pos < n:
+            b0 = payload[pos]
+            if b0 == 0x21:  # extension: label byte + data sub-blocks
+                pos += 2
+                while pos < n and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                if pos + 10 > n:
+                    return None
+                _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+                iflags = payload[pos + 9]
+                pos += 10
+                lct_len = (2 << (iflags & 7)) * 3 if iflags & 0x80 else 0
+                ct = payload[pos:pos + lct_len] if lct_len else gct
+                pos += lct_len
+                if not ct or iw == 0 or ih == 0:
+                    return None
+                min_code = payload[pos]
+                pos += 1
+                if not (2 <= min_code <= 8):
+                    return None
+                data = bytearray()
+                while pos < n and payload[pos] != 0:
+                    sz = payload[pos]
+                    data += payload[pos + 1:pos + 1 + sz]
+                    pos += 1 + sz
+                idx = _lzw_decode(bytes(data), min_code, iw * ih)
+                if idx is None:
+                    return None
+                if iflags & 0x40:  # de-interlace: reorder rows
+                    rows = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+                    ordered: list[bytes | None] = [None] * ih
+                    src = 0
+                    for first, step in _GIF_INTERLACE:
+                        for r in range(first, ih, step):
+                            ordered[r] = rows[src]
+                            src += 1
+                    idx = b"".join(ordered)  # type: ignore[arg-type]
+                n_colors = len(ct) // 3
+                if max(idx) >= n_colors:
+                    return None
+                rgb = b"".join(ct[3 * i:3 * i + 3] for i in idx)
+                return iw, ih, 3, rgb
+            elif b0 == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except (IndexError, struct.error, ValueError):
+        return None
+
+
 def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]] | None:
     """REAL sample decode for PCM WAV (8/16-bit), stdlib-only: returns
     ``(channels, sample_rate, samples)`` with interleaved integer
@@ -634,6 +750,10 @@ def _resolve_pixel_decode():
         if px is not None:
             w, h, _ch, buf = px
             return w, h, "png", buf
+        gx = decode_gif_pixels(payload)
+        if gx is not None:
+            w, h, _ch, buf = gx
+            return w, h, "gif", buf
         w, h, fmt = decode_meta(payload, true_len)
         return w, h, fmt, None
 

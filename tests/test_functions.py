@@ -379,6 +379,84 @@ def test_decode_wav_samples_exact_roundtrip():
     assert mm.decode_wav_samples(_make_wav_samples(want)[:20]) is None
 
 
+def _encode_gif(indices: bytes, w: int, h: int, interlaced: bool = False) -> bytes:
+    """A GENUINE GIF89a stream carrying the given 8-bit color indices
+    over a grayscale palette (palette[i] = (i,i,i)), LZW-coded with the
+    classic uncompressed trick: literal codes at 9 bits with a CLEAR
+    every 250 symbols so the code width never grows.  Spec-valid and
+    decodable by any GIF reader."""
+    import struct
+
+    clear, end = 256, 257
+    codes = [clear]
+    count = 0
+    for i in indices:
+        codes.append(i)
+        count += 1
+        if count == 250:
+            codes.append(clear)
+            count = 0
+    codes.append(end)
+    buf = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            packed.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(buf & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlaced else 0])
+    out += bytes([8])  # LZW min code size
+    for i in range(0, len(packed), 255):
+        block = packed[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_pixels_exact_roundtrip():
+    """The stdlib-only GIF decoder (LZW + palette + de-interlace)
+    recovers the exact pixel indices as RGB: completes the image-decode
+    triad (PNG pixels, GIF pixels, JPEG header-only)."""
+    from data_integration_system_spark.operators import multimodal as mm
+
+    w, h = 13, 9
+    indices = bytes((i * 89 + 7) % 256 for i in range(w * h))
+    got = mm.decode_gif_pixels(_encode_gif(indices, w, h))
+    assert got is not None
+    gw, gh, ch, rgb = got
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(bytes([i, i, i]) for i in indices)
+
+    # interlaced: encode rows in the 4-pass interlace order, flag set;
+    # the decoder must hand back the natural row order
+    passes = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+              for r in range(first, h, step)]
+    interleaved = b"".join(indices[r * w:(r + 1) * w] for r in passes)
+    got_i = mm.decode_gif_pixels(_encode_gif(interleaved, w, h, interlaced=True))
+    assert got_i is not None and got_i[3] == rgb
+
+    # a long stream forces real table growth in the decoder's dict path
+    big = bytes((i * 31) % 256 for i in range(300 * 5))
+    got_b = mm.decode_gif_pixels(_encode_gif(big, 300, 5))
+    assert got_b is not None
+    assert got_b[3] == b"".join(bytes([i, i, i]) for i in big)
+
+    # corrupt / truncated fall through, never raise
+    assert mm.decode_gif_pixels(b"GIF89a\x00") is None
+    assert mm.decode_gif_pixels(_encode_gif(indices, w, h)[:40]) is None
+    assert mm.decode_gif_pixels(b"not a gif") is None
+
+
 def test_encode_png_roundtrip_all_channels():
     """The library PNG encoder (multimodal.encode_png, filters rotating
     through all five types) roundtrips byte-exactly through the pixel
@@ -575,9 +653,10 @@ def test_resize_batches_uses_real_png_pixels():
     big = _encode_png(bytes(900 * 2 * 3), 900, 2, 3, [0, 1])  # 900x2 rgb
     # a JPEG prefix whose SOF is past the end (truncated container)
     trunc = b"\xff\xd8" + bytes([0xFF, 0xE1]) + struct.pack(">H", 2 + 60000) + b"\x00" * 100
+    gif = _encode_gif(bytes(range(200)), 20, 10)
     pdf = pd.DataFrame({
-        "doc_id": [1, 2, 3],
-        "payload": [big, b"text payload", trunc],
+        "doc_id": [1, 2, 3, 4],
+        "payload": [big, b"text payload", trunc, gif],
     })
     out = next(mm.resize_batches(iter([pdf]))).set_index("doc_id")
     assert (out.loc[1, "width"], out.loc[1, "height"]) == (900, 2)
@@ -585,6 +664,8 @@ def test_resize_batches_uses_real_png_pixels():
     sw, sh, _ = mm._fake_decode(b"text payload")
     assert (out.loc[2, "width"], out.loc[2, "height"]) == (sw, sh)
     assert pd.isna(out.loc[3, "width"]) and pd.isna(out.loc[3, "new_width"])
+    # GIF rides the real pixel tier too (LZW-decoded buffer geometry)
+    assert (out.loc[4, "width"], out.loc[4, "height"]) == (20, 10)
 
 
 def test_decode_jpeg_header_behind_stacked_metadata():

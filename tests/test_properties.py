@@ -420,6 +420,8 @@ def test_media_header_parsers_never_raise_on_garbage(payload):
     assert px is None or isinstance(px, tuple)
     au = mm.decode_wav_samples(payload)  # sample tier likewise
     assert au is None or isinstance(au, tuple)
+    gx = mm.decode_gif_pixels(payload)
+    assert gx is None or isinstance(gx, tuple)
 
 
 @settings(max_examples=200, deadline=None)
@@ -445,3 +447,5 @@ def test_media_header_parsers_survive_truncation(cut, kind):
     assert px is None or isinstance(px, tuple)
     au = mm.decode_wav_samples(payload)
     assert au is None or isinstance(au, tuple)
+    gx = mm.decode_gif_pixels(payload)
+    assert gx is None or isinstance(gx, tuple)
