@@ -754,6 +754,15 @@ def _resolve_pixel_decode():
         if gx is not None:
             w, h, _ch, buf = gx
             return w, h, "gif", buf
+        if payload[:2] == b"\xff\xd8":
+            from data_integration_system_spark.operators.jpegcodec import (
+                decode_jpeg_pixels,
+            )
+
+            jx = decode_jpeg_pixels(payload)
+            if jx is not None:
+                w, h, _ch, buf = jx
+                return w, h, "jpeg", buf
         w, h, fmt = decode_meta(payload, true_len)
         return w, h, fmt, None
 

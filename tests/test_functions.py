@@ -423,6 +423,96 @@ def _encode_gif(indices: bytes, w: int, h: int, interlaced: bool = False) -> byt
     return bytes(out)
 
 
+def test_jpeg_codec_bounded_error_roundtrip():
+    """The pure-Python baseline JPEG codec: encode -> decode recovers
+    the pixels within the DCT-rounding bound (JPEG is lossy by design,
+    so the pin is bounded error, unlike the byte-exact PNG/GIF/WAV
+    pins).  Covers gray + RGB, non-multiple-of-8 dims, and a coarser
+    quantization step."""
+    from data_integration_system_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from data_integration_system_spark.operators import multimodal as mm
+
+    for w, h in [(8, 8), (19, 11), (33, 5), (1, 1)]:
+        pix = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+        got = decode_jpeg_pixels(encode_jpeg(pix, w, h, 1, quant=1))
+        assert got is not None and got[:3] == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(pix, got[3])) <= 3
+
+    w, h = 21, 14
+    pix3 = bytes((x * 11 + y * 3 + c * 77) % 256
+                 for y in range(h) for x in range(w) for c in range(3))
+    got3 = decode_jpeg_pixels(encode_jpeg(pix3, w, h, 3, quant=1))
+    assert got3 is not None and got3[:3] == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(pix3, got3[3])) <= 4
+
+    # coarser quant: still decodes at the right geometry, error bounded
+    # by quant-step spillover on this smooth gradient
+    smooth = bytes(min(255, x * 4 + y) for y in range(h) for x in range(w))
+    gq = decode_jpeg_pixels(encode_jpeg(smooth, w, h, 1, quant=8))
+    assert gq is not None and gq[:3] == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(smooth, gq[3])) <= 16
+
+    # the header parser agrees with the full decoder on geometry
+    jp = encode_jpeg(pix3, w, h, 3)
+    hd = mm.decode_image_header(jp)
+    assert (hd["width"], hd["height"], hd["channels"]) == (w, h, 3)
+    # and the pixel-tier dispatch routes JPEG through the real decoder
+    pw, ph, fmt, buf = mm._resolve_pixel_decode()(jp)
+    assert (pw, ph, fmt) == (w, h, "jpeg") and buf is not None
+
+    # corrupt / truncated / progressive fall through, never raise
+    assert decode_jpeg_pixels(jp[:40]) is None
+    assert decode_jpeg_pixels(b"not a jpeg") is None
+    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog) is None
+
+
+def test_jpeg_decoder_subsampled_stream():
+    """The decoder's chroma-upsample path on a hand-built 4:2:0 stream
+    (Y at 2x2, Cb/Cr at 1x1): a flat color decodes to the flat color —
+    DC-only blocks are exact through quant=1 and nearest upsampling."""
+    import struct
+
+    from data_integration_system_spark.operators import jpegcodec as jc
+
+    r0, g0, b0 = 200, 100, 50
+    yf = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
+    cbf = 128.0 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0
+    crf = 128.0 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    dht = bytes([0x00]) + bytes(jc._DC_BITS[:16]) + bytes(jc._DC_VALS)
+    dht += bytes([0x10]) + bytes(jc._AC_BITS[:16]) + bytes(jc._AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0, 2, 0, 3, 0]) + b"\x00\x3f\x00"
+
+    bw = jc._BitWriter()
+    # one MCU: 4 Y blocks then Cb, Cr — flat planes are DC-only
+    for plane_dc, nblocks in ((yf, 4), (cbf, 1), (crf, 1)):
+        dc = int(round(8 * (plane_dc - 128.0)))
+        pred = 0
+        for _ in range(nblocks):
+            block = [0] * 64
+            block[0] = dc
+            pred = jc._encode_block(bw, block, pred)
+    out += bw.flush() + b"\xff\xd9"
+
+    got = jc.decode_jpeg_pixels(bytes(out))
+    assert got is not None and got[:3] == (16, 16, 3)
+    rgb = got[3]
+    pix = {(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]) for i in range(256)}
+    assert len(pix) == 1  # flat stays flat through the upsample
+    got_rgb = next(iter(pix))
+    assert all(abs(a - b) <= 1 for a, b in zip(got_rgb, (r0, g0, b0)))
+
+
 def test_decode_gif_pixels_exact_roundtrip():
     """The stdlib-only GIF decoder (LZW + palette + de-interlace)
     recovers the exact pixel indices as RGB: completes the image-decode

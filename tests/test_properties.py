@@ -422,6 +422,9 @@ def test_media_header_parsers_never_raise_on_garbage(payload):
     assert au is None or isinstance(au, tuple)
     gx = mm.decode_gif_pixels(payload)
     assert gx is None or isinstance(gx, tuple)
+    from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
+    jx = decode_jpeg_pixels(payload)
+    assert jx is None or isinstance(jx, tuple)
 
 
 @settings(max_examples=200, deadline=None)
@@ -449,3 +452,6 @@ def test_media_header_parsers_survive_truncation(cut, kind):
     assert au is None or isinstance(au, tuple)
     gx = mm.decode_gif_pixels(payload)
     assert gx is None or isinstance(gx, tuple)
+    from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
+    jx = decode_jpeg_pixels(payload)
+    assert jx is None or isinstance(jx, tuple)
