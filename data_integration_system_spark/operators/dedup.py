@@ -633,9 +633,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 0.8+; the operator is threshold-parametric, the plan identical).
 _EMB_SIM_MIN = 0.3
 _LSH_TABLES = 6   # L independent hash tables…
-_LSH_BITS = 6     # …of k sign-bits each: candidate iff ANY table matches.
-                  # Recall ≈ 1-(1-(1-θ/π)^k)^L — multi-table is what makes
-                  # sign-bit LSH usable (one exact-match 8-bit bucket ≈ 2%)
+_LSH_BITS = 6     # …of AT LEAST k sign-bits each: candidate iff ANY table
+                  # matches.  Recall ≈ 1-(1-(1-θ/π)^k)^L — multi-table is
+                  # what makes sign-bit LSH usable (one exact-match 8-bit
+                  # bucket ≈ 2%).  k is the FLOOR: bits scale with corpus
+                  # size (see _emb_lsh_bits) because fixed-k buckets grow
+                  # linearly with n and candidate PAIRS quadratically —
+                  # measured 208k pairs at 2k vectors -> 20.6M at 20k ->
+                  # ~2B at 200k, the OOM the sf10 scale rehearsal caught.
+#: expected vectors per (table, bucket) the adaptive k aims for
+_EMB_TARGET_BUCKET = 32
+#: skew backstop: buckets beyond 16x the target are dense near-identical
+#: regions (the exact-dedup tier's job) — dropped before the self-join,
+#: same quadratic-bucket defense as the MinHash LSH cap.
+_EMB_MAX_BUCKET = _EMB_TARGET_BUCKET * 16
+
+
+def _emb_lsh_bits(n_vectors: int) -> int:
+    """Bits per LSH table for a corpus of ``n_vectors``: the smallest k
+    holding the EXPECTED bucket at ~_EMB_TARGET_BUCKET members, floored
+    at _LSH_BITS.  Constant buckets keep candidate pairs LINEAR in n —
+    the price is per-table recall (1-θ/π)^k falling as k grows; a
+    production deployment holds recall by raising L alongside k
+    (L ~ n^ρ, the standard LSH trade) or switches to the IVF-blocked
+    near-dup path (build_ivf_index) where block sizes are set by the
+    centroid count instead."""
+    import math as _math
+
+    if n_vectors <= 0:
+        return _LSH_BITS
+    return max(_LSH_BITS, _math.ceil(_math.log2(max(n_vectors / _EMB_TARGET_BUCKET, 2.0))))
 #: Embedding dimensionality is pipeline CONFIG (you know your embedding
 #: model), not something to probe from the data — a driver-side .first()
 #: during query construction would block plan building on a cluster
@@ -646,14 +673,20 @@ _EMB_DIM = 64
 @query("dedup_embedding_near", oracle=None)
 def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) -> DataFrame:
     """North-star embedding near-dup: pairs with cosine >= threshold,
-    blocked by multi-table random-hyperplane LSH (L=6 tables × k=6 sign
-    bits, planes derived from xxhash64 so the whole thing is
+    blocked by multi-table random-hyperplane LSH (L=6 tables × k sign
+    bits, planes derived from sha256 so the whole thing is
     deterministic and JVM-side); exact cosine verifies candidates.
 
-    Scale: the self-join key is (table_id, bucket) — candidates are
-    near-linear in corpus size; L and k trade recall vs candidate count
-    via the standard s-curve. Rows-only (float thresholding is not
-    oracle-stable)."""
+    Scale: the self-join key is (table_id, bucket); k ADAPTS to corpus
+    size (one count() job, _emb_lsh_bits) so the expected bucket stays
+    constant and candidates stay LINEAR in n — the sf10 scale rehearsal
+    measured fixed-k candidates growing quadratically (208k -> 20.6M ->
+    ~2B pairs across two decades) and OOMing an 8 GiB heap.  Oversized
+    buckets that survive adaptive k (dense near-identical regions) are
+    capped like the MinHash path.  The recall cost of larger k is the
+    standard LSH trade — production holds recall by raising L with k or
+    moves to the IVF-blocked path.  Rows-only (float thresholding is
+    not oracle-stable)."""
     import hashlib
 
     from data_integration_system_spark.functions.vectors import cosine
@@ -684,47 +717,61 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     )
 
     # Deterministic ±1 hyperplanes, built driver-side as ONE literal
-    # matrix: a per-bit expression tree (36 nested HOF aggregates) takes
-    # ~20-30 s just to ANALYZE/codegen — the literal keeps the tree one
-    # node wide and the row work a single transform pass.
+    # matrix nested BY TABLE: a per-bit expression tree (36 nested HOF
+    # aggregates over named columns) takes ~20-30 s just to
+    # ANALYZE/codegen — the literal keeps the tree one node wide, and
+    # the table nesting lets one transform+aggregate pass emit each
+    # table's bucket as a small INT (each plane's dot product evaluated
+    # exactly once).  The checkpointed row is (vec_id, embedding,
+    # 6 ints) — the earlier form stored a 216-element single-char
+    # string array per row (~3.5 KB/row), which is what blew an 8 GiB
+    # heap at the sf10 scale rehearsal; buckets-as-ints cut the
+    # checkpoint ~6x and make the self-join key an integer compare.
     def sign(t: int, p: int, j: int) -> float:
         h = hashlib.sha256(f"{t}:{p}:{j}".encode()).digest()[0]
         return 1.0 if h & 1 else -1.0
 
-    planes = F.lit(
+    # Adaptive bucket width: one cheap count() sizes k so the expected
+    # bucket stays ~_EMB_TARGET_BUCKET members no matter the corpus —
+    # candidates stay LINEAR in n (see _emb_lsh_bits; at the 2k-vector
+    # test scale this resolves to the original k=6, so small-scale
+    # behavior is unchanged).
+    n_bits = _emb_lsh_bits(emb.count())
+
+    planes_by_table = F.lit(
         [
-            [sign(t, p, j) for j in range(dim)]
+            [[sign(t, p, j) for j in range(dim)] for p in range(n_bits)]
             for t in range(_LSH_TABLES)
-            for p in range(_LSH_BITS)
         ]
     )
-    proj_bits = F.transform(
-        planes,
-        lambda row: F.when(
-            F.aggregate(
-                F.zip_with(row, F.col("embedding"), lambda a, x: a * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            "1",
-        ).otherwise("0"),
-    )
-    bits_df = emb.select("vec_id", "embedding", proj_bits.alias("bits")).localCheckpoint()
-    tables = F.transform(
-        F.sequence(F.lit(0), F.lit(_LSH_TABLES - 1)),
-        lambda t: F.struct(
-            t.alias("tbl"),
-            F.array_join(
-                F.slice(F.col("bits"), t * _LSH_BITS + 1, _LSH_BITS), ""
-            ).alias("bucket"),
+
+    def _dot(row):
+        return F.aggregate(
+            F.zip_with(row, F.col("embedding"), lambda a, x: a * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    tbuckets = F.transform(
+        planes_by_table,
+        lambda rows: F.aggregate(
+            rows,
+            F.lit(0),
+            lambda acc, row: acc * 2 + F.when(_dot(row) >= 0, 1).otherwise(0),
         ),
     )
+    bits_df = emb.select(
+        "vec_id", "embedding", tbuckets.alias("buckets")
+    ).localCheckpoint()
     keyed = (
-        bits_df.select("vec_id", F.explode(tables).alias("h"))
-        .select("vec_id", F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket"))
+        bits_df.select("vec_id", F.posexplode("buckets").alias("tbl", "bucket"))
         .localCheckpoint()
     )
+    # skew backstop: a bucket still oversized after the adaptive k is a
+    # dense near-identical region — cap it before the self-join exactly
+    # like the MinHash LSH path (drop_hot_keys reads keyed twice; it is
+    # checkpointed above).
+    keyed = drop_hot_keys(keyed, ["tbl", "bucket"], _EMB_MAX_BUCKET)
     a = keyed.alias("a")
     b = keyed.alias("b")
     # distinct the candidate PAIRS before the exact-cosine verify: a pair
