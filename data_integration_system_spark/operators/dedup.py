@@ -835,13 +835,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise within (lang, source) blocks — the deterministic, oracle-
     checkable sibling of Q28's MinHash approximation.
 
-    Blocking bounds the pair space: the self-join key is (lang, source,
-    length_band) — see _banded_block_candidates for the exactness proof of
-    the band conjunct.  At 100 TB the band splits a dominant (lang,
-    source) block into ~log-many sub-blocks so no single block is ~n²;
-    same plan shape, one shuffle on the block key.  Token/shingle arrays
-    are staged via localCheckpoint (CollapseProject would otherwise
-    re-split the text per array reference)."""
+    Blocking is EXACT prefix filtering (_prefix_filter_candidates):
+    candidates are pairs sharing a rare-half shingle under a global
+    rarest-first order, which the smallest-common-element lemma proves
+    loses no J >= 0.5 pair.  The previous length-band blocker kept pair
+    space quadratic IN THE BAND — the sf10 scale rehearsal measured
+    exponent 1.66 (18 s -> 823 s over one decade); prefix filtering cut
+    sf10 to near-linear.  Token/shingle arrays are staged via
+    localCheckpoint (CollapseProject would otherwise re-split the text
+    per array reference)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", _tokens(F.col("text")).alias("toks")
@@ -857,7 +859,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(_shingles(F.col("toks"))), lambda s: F.xxhash64(s)
         ).alias("sh"),
     ).localCheckpoint()
-    cand = _banded_block_candidates(sh.withColumn("n", F.size("sh")))
+    cand = _prefix_filter_candidates(sh.withColumn("n", F.size("sh")))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     uni = F.col("n_a") + F.col("n_b") - inter
     jac = inter / uni
@@ -870,6 +872,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_j") >= 0.5)
         .drop("_j")
     )
+
+
+def _prefix_filter_candidates(sized: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT prefix-filtered self-join for J >= threshold candidates
+    (Chaudhuri/Bayardo-style all-pairs similarity search).
+
+    Input/output contract identical to _banded_block_candidates: in
+    (doc_id, lang, source, sh: array<long>, n: int), out one row per
+    unordered candidate pair (doc_a < doc_b, sh_a, sh_b, n_a, n_b).
+
+    Exactness: J(a,b) >= t implies |a∩b| >= t·|a∪b| >= ceil(t·n_a) and
+    >= ceil(t·n_b).  Under ANY common total order of shingles, let x be
+    the SMALLEST element of a∩b: if x were outside a's prefix of
+    p_a = n_a - ceil(t·n_a) + 1 elements, the whole intersection would
+    sit in a's (ceil(t·n_a) - 1)-element suffix — too small.  Same for
+    b.  So x lies in BOTH prefixes, and joining exploded prefixes on
+    the shingle recovers every qualifying pair.  The order used is
+    (document frequency asc, hash) — rarest-first, so the exploded
+    posting lists are dominated by rare shingles and the join output
+    stays near-linear.
+
+    This replaces the length-band blocker for the n-gram query: bands
+    bound pair space per band, but a band's pair count is still
+    QUADRATIC in the band's membership — the sf10 scale rehearsal
+    measured exponent 1.66 (18 s -> 823 s across one decade).  Prefix
+    filtering makes candidates track the number of truly-similar pairs
+    plus rare-token collisions instead of block sizes.  The size-ratio
+    prune rides along as an exact in-join conjunct, same as before."""
+    tok = sized.select(
+        "doc_id", "lang", "source", "n", F.explode("sh").alias("t")
+    )
+    df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
+    # rarest-first common total order; array_sort on struct<df,t> sorts
+    # lexicographically, giving every document the SAME global order
+    ordered = (
+        tok.join(df_counts, "t")
+        .groupBy("doc_id", "lang", "source", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st"))
+    )
+    pref = (
+        ordered.withColumn(
+            "p", (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+        )
+        .select(
+            "doc_id", "lang", "source", "n",
+            F.transform(F.expr("slice(st, 1, p)"), lambda s: s["t"]).alias("pref"),
+        )
+        .localCheckpoint()  # consumed by both sides of the self-join
+    )
+    inv = pref.select(
+        "doc_id", "lang", "source", "n", F.explode("pref").alias("t")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: J <= min/max, exact conjunct as in the
+            # banded blocker
+            & (F.least(F.col("a.n"), F.col("b.n"))
+               >= threshold * F.greatest(F.col("a.n"), F.col("b.n"))),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    return cand.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def _banded_block_candidates(sized: DataFrame) -> DataFrame:

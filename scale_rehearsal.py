@@ -169,12 +169,15 @@ def generate(spark, src: str, out: str, n_replicas: int, letter_map) -> None:
           "embeddings")
 
 
-def time_queries(spark, pairs) -> dict:
+def time_queries(spark, pairs, done: dict | None = None) -> dict:
     from data_integration_system_spark.registry import get_queries
 
     qs = get_queries()
     out: dict[str, dict] = {}
     for name in QUERIES:
+        if done and "exponent" in done.get(name, {}):
+            out[name] = done[name]  # resume: keep the recorded row
+            continue
         fn = qs[name]
         row: dict = {}
         try:
@@ -193,7 +196,7 @@ def time_queries(spark, pairs) -> dict:
     return out
 
 
-def time_index_builds(spark, pairs) -> dict:
+def time_index_builds(spark, pairs, done: dict | None = None) -> dict:
     import shutil
     import tempfile
 
@@ -208,6 +211,9 @@ def time_index_builds(spark, pairs) -> dict:
     }
     out: dict[str, dict] = {}
     for name, fn in builds.items():
+        if done and "exponent" in done.get(name, {}):
+            out[name] = done[name]  # resume: keep the recorded row
+            continue
         row: dict = {}
         try:
             for tag, d in pairs:
@@ -230,17 +236,59 @@ def time_index_builds(spark, pairs) -> dict:
 
 
 def _run_timing(spark, pairs, out_file: str) -> None:
+    """Incremental: each completed surface is flushed to ``out_file``
+    immediately, and a re-run skips surfaces already recorded with an
+    exponent — so a long campaign survives process timeouts and resumes
+    where it left off."""
     from data_integration_system_spark.registry import get_queries
 
+    path = os.path.join(HERE, out_file)
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
     # warmup so the small scale doesn't pay JVM startup
     get_queries()["multiway_star_join"](spark, "/root/testdata/sf0.001").count()
+    result = {"queries": prev.get("queries", {}), "index_build": prev.get("index_build", {})}
+
+    def flush():
+        with open(path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+
     print("timing queries")
-    result = {"queries": time_queries(spark, pairs)}
+    for name in QUERIES:
+        got = time_queries_one(spark, pairs, name, result["queries"])
+        if got:
+            result["queries"][name] = got
+            flush()
     print("timing index builds")
-    result["index_build"] = time_index_builds(spark, pairs)
-    with open(os.path.join(HERE, out_file), "w") as fh:
-        json.dump(result, fh, indent=1, sort_keys=True)
+    result["index_build"] = time_index_builds(spark, pairs, result["index_build"])
+    flush()
     print(f"wrote {out_file}")
+
+
+def time_queries_one(spark, pairs, name: str, done: dict) -> dict | None:
+    """Time one query across the pair, or None when already recorded."""
+    if "exponent" in done.get(name, {}):
+        return None
+    from data_integration_system_spark.registry import get_queries
+
+    fn = get_queries()[name]
+    row: dict = {}
+    try:
+        for tag, d in pairs:
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            row[tag] = round(time.perf_counter() - t0, 3)
+        small, big = pairs[0][0], pairs[1][0]
+        row["exponent"] = round(math.log(row[big] / row[small]) / math.log(10), 3)
+    except Exception as ex:
+        row["error"] = f"{type(ex).__name__}: {ex}"[:300]
+    print(f"  {name}: {row}")
+    return row
 
 
 def main() -> None:

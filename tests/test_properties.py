@@ -134,6 +134,51 @@ def test_band_blocking_exactness_property(spark, sizes):
 
 
 @given(
+    docs=st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+        min_size=2,
+        max_size=16,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_prefix_filter_exactness_property(spark, docs):
+    """The prefix-filtered candidate join (the r7 replacement for the
+    quadratic length-band blocker) over RANDOM shingle sets: candidates
+    must be a SUPERSET of every pair with true Jaccard >= 0.5 (the
+    smallest-common-element lemma), and the pairs it emits must survive
+    the size-ratio prune, each exactly once."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.dedup import (
+        _prefix_filter_candidates,
+    )
+
+    sized = spark.createDataFrame(
+        [(i, "en", "w", sorted(s), len(s)) for i, s in enumerate(docs)],
+        "doc_id long, lang string, source string, sh array<long>, n int",
+    )
+    got = [
+        (r.doc_a, r.doc_b)
+        for r in _prefix_filter_candidates(sized).select("doc_a", "doc_b").collect()
+    ]
+    assert len(got) == len(set(got))  # once per pair
+    want_true = {
+        (i, j)
+        for i in range(len(docs))
+        for j in range(i + 1, len(docs))
+        if len(docs[i] & docs[j]) / len(docs[i] | docs[j]) >= 0.5
+    }
+    assert want_true <= set(got), f"lost true pairs: {want_true - set(got)}"
+    ratio_ok = {
+        (i, j)
+        for i in range(len(docs))
+        for j in range(i + 1, len(docs))
+        if min(len(docs[i]), len(docs[j])) >= 0.5 * max(len(docs[i]), len(docs[j]))
+    }
+    assert set(got) <= ratio_ok  # the exact conjunct still prunes
+
+
+@given(
     rows=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=5),   # hash id
