@@ -884,6 +884,36 @@ def test_multimodal_decode_gate_real_binding(monkeypatch):
     )
 
 
+def test_embedding_lsh_recall_floor(spark):
+    """Recall floor for the sign-LSH near-dup blocking vs brute force
+    at sf0.001: with k=6 bits x L=6 tables and the corpus threshold
+    0.3 (θ≈72°, p≈0.60), theory gives ≈1-(1-p^k)^L ≈ 0.24 — pin ≥0.2
+    so a blocking regression (bucket bug, plane drift, the adaptive-k
+    floor moving) is caught.  The synthetic threshold is adversarially
+    low; at production thresholds (0.8+) the same s-curve puts recall
+    near 1.  Precision is exact by construction (cosine verify)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.functions.vectors import cosine
+    from data_integration_system_spark.operators.dedup import dedup_embedding_near
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    want = {
+        (r.va, r.vb)
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", F.round(cosine("ea", "eb"), 4).alias("c"))
+        .filter(F.col("c") >= 0.3)  # same 4-dp rounding as the operator
+        .collect()
+    }
+    got = {(r.vec_a, r.vec_b) for r in dedup_embedding_near(spark, sf).collect()}
+    assert got <= want  # exact verify: no false positives, ever
+    assert len(want & got) / max(1, len(want)) >= 0.2
+
+
 def test_embedding_dim_mismatch_fails_fast(spark, tmp_path):
     """A wrong configured dim must raise at execution, not silently
     produce zero candidates (zip_with null-padding)."""
