@@ -470,6 +470,63 @@ def test_jpeg_codec_bounded_error_roundtrip():
     assert decode_jpeg_pixels(prog) is None
 
 
+def test_jpeg_decoder_restart_markers():
+    """The decoder's DRI/RSTn path on a hand-built stream: restart
+    markers byte-align the reader and reset DC predictors every
+    interval — a flat image with per-interval absolute DC coding
+    decodes exactly."""
+    import struct
+
+    from data_integration_system_spark.operators import jpegcodec as jc
+
+    w, h = 32, 8  # 4 MCUs of one 8x8 block (grayscale 1x1)
+    val = 200.0
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 2)  # DRI: restart every 2 MCUs
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(jc._DC_BITS[:16]) + bytes(jc._DC_VALS)
+    dht += bytes([0x10]) + bytes(jc._AC_BITS[:16]) + bytes(jc._AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0]) + b"\x00\x3f\x00"
+
+    dc = int(round(8 * (val - 128.0)))
+    block = [0] * 64
+    block[0] = dc
+    for interval, rst in ((0, 0xD0), (1, None)):
+        bw = jc._BitWriter()
+        pred = 0
+        for _ in range(2):  # 2 MCUs per interval, DC pred resets between
+            pred = jc._encode_block(bw, block, pred)
+        out += bw.flush()
+        if rst is not None:
+            out += bytes([0xFF, rst])
+    out += b"\xff\xd9"
+
+    got = jc.decode_jpeg_pixels(bytes(out))
+    assert got is not None and got[:3] == (w, h, 1)
+    assert set(got[3]) == {int(val)}  # flat image, exact through DC-only
+
+
+def test_jpeg_codec_pil_interop():
+    """When PIL is importable, its decoder must read our encoder's
+    stream (spec-validity beyond our own decoder) within JPEG error
+    bounds.  Skipped in codec-less containers."""
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL.Image")
+    import io
+
+    from data_integration_system_spark.operators.jpegcodec import encode_jpeg
+
+    w, h = 24, 16
+    pix = bytes((x * 5 + y * 9) % 256 for y in range(h) for x in range(w))
+    with PIL.open(io.BytesIO(encode_jpeg(pix, w, h, 1, quant=1))) as img:
+        assert (img.width, img.height) == (w, h)
+        got = bytes(img.convert("L").tobytes())
+    assert max(abs(a - b) for a, b in zip(pix, got)) <= 3
+
+
 def test_jpeg_decoder_subsampled_stream():
     """The decoder's chroma-upsample path on a hand-built 4:2:0 stream
     (Y at 2x2, Cb/Cr at 1x1): a flat color decodes to the flat color —
