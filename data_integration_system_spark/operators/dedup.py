@@ -539,64 +539,120 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star SimHash: 64-bit signature by per-bit token voting,
-    candidate pairs via 16-bit chunk LSH (Hamming-distance blocking),
-    verified by exact Hamming distance <= 3.
+#: expected docs per simhash chunk bucket the adaptive geometry aims for
+_SIMHASH_TARGET_BUCKET = 32
+#: lane plateau: chunk width w = 64m/(3m+1) asymptotes at ~21 bits, so
+#: lanes beyond 4 buy almost no bucket growth — document, don't chase
+_SIMHASH_MAX_LANES = 4
 
-    All signature math is JVM higher-order expressions over the token
-    array; the chunk join is the standard pigeonhole trick, and the
-    accept threshold matches the blocking guarantee EXACTLY: 4 chunks of
-    16 bits mean any pair at distance <= 3 shares at least one identical
-    chunk, so recall within the accepted distance is 1.0 (no silent
-    blocking/verification mismatch).
 
-    Chunk width is the scale lever: random signatures fill chunk buckets
-    UNIFORMLY, so per-lane bucket size is ~n/2^width and candidate pairs
-    grow as n²/2^width — 8-bit chunks (256 buckets) went quadratic by
-    10⁵ docs (measured 64 s at sf0.1), while 16-bit chunks (65 536
-    buckets) keep candidates near-linear far past it.  Capping hot
-    buckets can't rescue narrow chunks here (unlike MinHash, where only
-    boilerplate clusters — simhash buckets are ALL equally full); width
-    is the knob.  The distance budget shrinks with the chunk count
-    (pigeonhole), which suits simhash: near-dup texts differ in a few
-    token votes, landing well under distance 4."""
-    from data_integration_system_spark.operators._common import parallelize_scan
+def _simhash_geometry(n_docs: int, target: float = _SIMHASH_TARGET_BUCKET) -> tuple[int, int, int, int]:
+    """Signature geometry for a corpus of ``n_docs``: returns
+    ``(lanes m, chunks c, chunk width w, accept distance D)``.
 
-    # 64-lane bit voting is CPU-bound: spread the unsplittable small scan
-    # across cores before it (serial otherwise — documents is one file)
-    docs = parallelize_scan(table(spark, sf_dir, "documents"))
-    # hash each token ONCE; the 64 bit-lanes then read bits of the long
-    # (inlining xxhash64 into the per-bit aggregate would hash every
-    # token 64 times — same trap as the naive minhash, see _minhash_sig)
+    The signature is 64·m bits (m independent xxhash64 lanes); the
+    accept distance D = 3·m scales WITH the length, so "near-dup"
+    means the same bit-flip RATE at every corpus size; c = D+1 chunks
+    of w = floor(64m / c) bits give the pigeonhole guarantee (distance
+    <= D implies one shared chunk) over the covered c·w bits, which are
+    also exactly the bits the verify step compares.  m is the smallest
+    lane count whose chunk width reaches log2(n/target) — buckets hold
+    ~target docs, keeping candidate pairs LINEAR in n.  m=1 reproduces
+    the classic 64-bit / 4×16 layout bit-for-bit, and covers corpora to
+    ~2M docs; w plateaus near 21 bits (the 64m/(3m+1) asymptote), i.e.
+    ~2M buckets per lane — beyond ~70M docs the next lever is a larger
+    distance-budget family, documented rather than silently scaled."""
+    import math as _math
+
+    need = 0.0 if n_docs <= 0 else _math.log2(max(n_docs / target, 1.0))
+    for m in range(1, _SIMHASH_MAX_LANES + 1):
+        c = 3 * m + 1
+        w = (64 * m) // c
+        if w >= need or m == _SIMHASH_MAX_LANES:
+            return m, c, w, 3 * m
+    raise AssertionError("unreachable")
+
+
+def _simhash_signatures(docs: DataFrame, m: int, n_bits: int) -> DataFrame:
+    """(doc_id, bits: array<int>[n_bits]) — per-bit token voting over
+    ``m`` independent xxhash64 lanes (lane i hashes (token, i)), first
+    ``n_bits`` of the 64·m-bit signature.  Tokens are hashed ONCE per
+    lane (inlining xxhash64 into the per-bit aggregate would hash every
+    token 64·m times — same trap as the naive minhash); the checkpoint
+    is the CollapseProject barrier for the bit lanes."""
     hashed = docs.select(
         "doc_id",
-        F.transform(_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
-    ).localCheckpoint()  # barrier: stop CollapseProject inlining th into 64 lanes
+        F.transform(
+            _tokens(F.col("text")),
+            # lane 0 is the classic single-arg xxhash64 (so m=1 output
+            # is bit-identical to the fixed-64 original); extra lanes
+            # salt the hash with their index
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.when(i == 0, F.xxhash64(t)).otherwise(F.xxhash64(t, i)),
+            ),
+        ).alias("th"),
+    ).localCheckpoint()
     # SQL form because F.shiftright's Python wrapper only takes a literal
     # shift; SQL's shiftright accepts the lambda-bound bit index.
     bits = F.expr(
-        """
-        transform(sequence(0, 63), b ->
+        f"""
+        transform(sequence(0, {n_bits - 1}), b ->
           CASE WHEN aggregate(th, 0, (acc, h) ->
-                 acc + CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+                 acc + CASE WHEN shiftright(element_at(h, int(b div 64) + 1),
+                                            int(b % 64)) & 1 = 1
+                            THEN 1 ELSE -1 END) >= 0
                THEN 1 ELSE 0 END)
         """
     )
-    sigs = hashed.select("doc_id", bits.alias("bits")).localCheckpoint()
-    # chunk value = 8 bits folded to an int via aggregate over the slice
+    return hashed.select("doc_id", bits.alias("bits")).localCheckpoint()
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, target_bucket: float = _SIMHASH_TARGET_BUCKET
+) -> DataFrame:
+    """North-star SimHash: signature by per-bit token voting, candidate
+    pairs via chunk LSH (Hamming-distance blocking), verified by exact
+    Hamming distance <= D.
+
+    All signature math is JVM higher-order expressions over the token
+    array; the chunk join is the standard pigeonhole trick, and the
+    accept threshold matches the blocking guarantee EXACTLY: D+1 chunks
+    mean any pair at distance <= D shares at least one identical chunk,
+    so recall within the accepted distance is 1.0 (no silent
+    blocking/verification mismatch; pinned by a geometry-forced test).
+
+    Chunk width is the scale lever: random signatures fill chunk
+    buckets UNIFORMLY, so per-lane bucket size is ~n/2^width and
+    candidate pairs grow as n²/2^width — capping hot buckets can't
+    rescue narrow chunks here (unlike MinHash, where only boilerplate
+    clusters; simhash buckets are ALL equally full).  The geometry now
+    ADAPTS (one count() job, _simhash_geometry): signature length and
+    chunk width grow with the corpus while the accept distance grows
+    proportionally, so semantics stay a constant bit-flip RATE and
+    candidates stay near-linear.  At the test corpora the geometry
+    resolves to the classic 64-bit / 4×16 / D=3 layout — outputs
+    bit-identical to the fixed version (pinned)."""
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    # bit voting is CPU-bound: spread the unsplittable small scan
+    # across cores before it (serial otherwise — documents is one file)
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    m, n_chunks, width, accept_d = _simhash_geometry(docs.count(), target_bucket)
+    sigs = _simhash_signatures(docs, m, n_chunks * width)
+    # chunk value = `width` bits folded to a long via aggregate
     chunked = sigs.select(
         "doc_id",
         "bits",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
                 lambda cch: F.struct(
                     cch.alias("chunk_id"),
                     F.aggregate(
-                        F.slice(F.col("bits"), cch * 16 + 1, 16),
-                        F.lit(0),
+                        F.slice(F.col("bits"), cch * width + 1, width),
+                        F.lit(0).cast("long"),
                         lambda acc, x: acc * 2 + x,
                     ).alias("chunk_val"),
                 ),
@@ -623,7 +679,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("long").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= accept_d)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -941,6 +941,52 @@ def test_multimodal_decode_gate_real_binding(monkeypatch):
     )
 
 
+def test_simhash_geometry_and_multilane_exactness(spark):
+    """The adaptive simhash geometry (r7): m=1 reproduces the classic
+    64-bit / 4x16 / D=3 layout; forcing a tiny target bucket switches
+    to multi-lane signatures, where the pigeonhole guarantee must hold
+    EXACTLY — the query's output equals the all-pairs set at Hamming
+    <= D over the same signatures (recall 1.0 within the accepted
+    distance, no blocking/verification mismatch)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.dedup import (
+        _simhash_geometry,
+        _simhash_signatures,
+        dedup_simhash,
+    )
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    assert _simhash_geometry(500) == (1, 4, 16, 3)
+    assert _simhash_geometry(2_000_000) == (1, 4, 16, 3)
+    m2 = _simhash_geometry(50_000_000)
+    assert m2[0] >= 2 and m2[1] == 3 * m2[0] + 1 and m2[3] == 3 * m2[0]
+    # width never regresses as lanes grow, and covered bits fit
+    for n in (1, 10**4, 10**7, 10**9):
+        m, c, w, d = _simhash_geometry(n)
+        assert c * w <= 64 * m and d == 3 * m
+
+    sf = "/root/testdata/sf0.001"
+    # force multi-lane on the tiny corpus (target << 1 doc per bucket)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash(spark, sf, target_bucket=1e-4).collect()
+    }
+    docs = parallelize_scan(table(spark, sf, "documents"))
+    m, c, w, d = _simhash_geometry(docs.count(), 1e-4)
+    assert m >= 2
+    sigs = {r.doc_id: tuple(r.bits) for r in _simhash_signatures(docs, m, c * w).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if ham <= d:
+                want.add((a, b, ham))
+    assert got == want
+
+
 def test_embedding_lsh_recall_floor(spark):
     """Recall floor for the sign-LSH near-dup blocking vs brute force
     at sf0.001: with k=6 bits x L=6 tables and the corpus threshold
