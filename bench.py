@@ -198,7 +198,9 @@ def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None
         from data_integration_system_spark.operators import relational as rel
 
         t0 = time.perf_counter()
-        rel._HASH_LAYOUT_CACHE.pop(sf_dir, None)
+        stale = rel._HASH_LAYOUT_CACHE.pop(sf_dir, None)
+        if stale:  # the suite pass built one — don't orphan it on disk
+            shutil.rmtree(stale, ignore_errors=True)
         rel._content_hash_layout(spark, sf_dir)
         builds["hash_layout_build"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()

@@ -186,7 +186,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
             elif typ == b"IEND":
                 break
             pos += 12 + clen  # len + type + data + crc
-        if not (w and h is not None and channels and idat):
+        # h must be truthy too: a declared height=0 stream would decode to
+        # an empty buffer and divide-by-zero downstream geometry
+        if not (w and h and channels and idat):
             return None
         raw = zlib.decompress(b"".join(idat))
     except Exception:
@@ -392,18 +394,22 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]] | None:
     hdr = decode_audio_header(payload)
     if hdr is None or hdr.get("bits") not in (8, 16):
         return None
-    # second chunk walk to find the data payload (the header walk only
-    # records its size)
+    # second chunk walk for the data payload AND the fmt tag (the header
+    # walk records neither): only tag 1 = linear PCM decodes as a struct
+    # cast — a-law (6) / mu-law (7) codewords at bits=8 would otherwise
+    # be misread as PCM and silently corrupt every downstream feature
     i, n = 12, len(payload)
-    data = None
+    data = fmt_tag = None
     while i + 8 <= n:
         cid = payload[i:i + 4]
         (size,) = struct.unpack("<I", payload[i + 4:i + 8])
-        if cid == b"data":
+        if cid == b"fmt " and size >= 2:
+            (fmt_tag,) = struct.unpack("<H", payload[i + 8:i + 10])
+        elif cid == b"data":
             data = payload[i + 8:i + 8 + size]
             break
         i += 8 + size + (size & 1)
-    if data is None:
+    if data is None or fmt_tag != 1:
         return None
     bits = hdr["bits"]
     if bits == 16:
@@ -941,14 +947,22 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(wav).orderBy("doc_id")
 
 
-def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    filters: list[int] | None = None,
+) -> bytes:
     """REAL PNG encoder, stdlib-only: 8-bit gray/gray+alpha/rgb/rgba
     pixel buffer -> a complete, spec-valid PNG stream (signature, IHDR,
-    zlib IDAT, IEND, correct CRCs).  Scanline filters rotate through
-    all five types (None/Sub/Up/Average/Paeth, row % 5) — deliberate:
-    every stream this encoder emits exercises the decoder's full
-    unfilter matrix, so an encode->decode roundtrip is a complete
-    codec test, not a filter-0 smoke check.
+    zlib IDAT, IEND, correct CRCs).  Scanline filters default to
+    rotating through all five types (None/Sub/Up/Average/Paeth,
+    row % 5) — deliberate: every stream this encoder emits exercises
+    the decoder's full unfilter matrix, so an encode->decode roundtrip
+    is a complete codec test, not a filter-0 smoke check.  ``filters``
+    overrides the rotation (cycled over rows) so tests can pin each
+    filter path in isolation.
 
     The write half of decode_png_pixels: a resize/re-encode content
     stage can emit genuine PNG bytes from worker-side pixel math with
@@ -967,7 +981,7 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> byt
 
     raw = bytearray()
     for row in range(height):
-        ftype = row % 5
+        ftype = filters[row % len(filters)] if filters else row % 5
         base = row * stride
         line = bytearray()
         for x in range(stride):

@@ -1278,6 +1278,17 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_LAYOUT_CACHE: dict[str, str] = {}
 
 
+def _drop_hash_layouts() -> None:
+    """atexit hook: each cached layout is a full clustered copy of
+    documents in a mkdtemp dir — leaving them would leak one table copy
+    per process run until the OS clears /tmp."""
+    import shutil
+
+    while _HASH_LAYOUT_CACHE:
+        _, root = _HASH_LAYOUT_CACHE.popitem()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _content_hash_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per sf_dir) the hash-probe layout of
     documents: doc_id-clustered parquet with a BLOOM FILTER on
@@ -1291,6 +1302,10 @@ def _content_hash_layout(spark: SparkSession, sf_dir: str) -> str:
 
     root = _HASH_LAYOUT_CACHE.get(sf_dir)
     if root is None:
+        if not _HASH_LAYOUT_CACHE:  # first build this process
+            import atexit
+
+            atexit.register(_drop_hash_layouts)
         root = tempfile.mkdtemp(prefix="hash_lookup_")
         docs = table(spark, sf_dir, "documents")
         hashed = docs.select(

@@ -169,33 +169,6 @@ def generate(spark, src: str, out: str, n_replicas: int, letter_map) -> None:
           "embeddings")
 
 
-def time_queries(spark, pairs, done: dict | None = None) -> dict:
-    from data_integration_system_spark.registry import get_queries
-
-    qs = get_queries()
-    out: dict[str, dict] = {}
-    for name in QUERIES:
-        if done and "exponent" in done.get(name, {}):
-            out[name] = done[name]  # resume: keep the recorded row
-            continue
-        fn = qs[name]
-        row: dict = {}
-        try:
-            for tag, d in pairs:
-                t0 = time.perf_counter()
-                fn(spark, d).count()
-                row[tag] = round(time.perf_counter() - t0, 3)
-            small, big = pairs[0][0], pairs[1][0]
-            row["exponent"] = round(
-                math.log(row[big] / row[small]) / math.log(10), 3
-            )
-        except Exception as ex:  # one failure must not lose the run
-            row["error"] = f"{type(ex).__name__}: {ex}"[:300]
-        out[name] = row
-        print(f"  {name}: {row}")
-    return out
-
-
 def time_index_builds(spark, pairs, done: dict | None = None) -> dict:
     import shutil
     import tempfile
@@ -250,8 +223,9 @@ def _run_timing(spark, pairs, out_file: str) -> None:
                 prev = json.load(fh)
         except (OSError, json.JSONDecodeError):
             prev = {}
-    # warmup so the small scale doesn't pay JVM startup
-    get_queries()["multiway_star_join"](spark, "/root/testdata/sf0.001").count()
+    # warmup so the small scale doesn't pay JVM startup — on the run's
+    # own small side, so SPARK_GRAFT_SF_DIR relocations keep working
+    get_queries()["multiway_star_join"](spark, pairs[0][1]).count()
     result = {"queries": prev.get("queries", {}), "index_build": prev.get("index_build", {})}
 
     def flush():

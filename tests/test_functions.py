@@ -378,6 +378,16 @@ def test_decode_wav_samples_exact_roundtrip():
     assert mm.decode_wav_samples(b"not audio") is None
     assert mm.decode_wav_samples(_make_wav_samples(want)[:20]) is None
 
+    # non-PCM codecs must NOT be misread as linear PCM: a mu-law stream
+    # (fmt tag 7, bits=8) carries codewords, not samples — decoding it
+    # as PCM would silently corrupt every downstream feature
+    mulaw_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 7, 1, 8000, 8000, 1, 8
+    )
+    assert mm.decode_wav_samples(hdr + mulaw_fmt + data) is None
+    # ...while its HEADER metadata still parses (triage tier unaffected)
+    assert mm.decode_audio_header(hdr + mulaw_fmt + data)["sample_rate"] == 8000
+
 
 def _encode_gif(indices: bytes, w: int, h: int, interlaced: bool = False) -> bytes:
     """A GENUINE GIF89a stream carrying the given 8-bit color indices
@@ -686,51 +696,11 @@ def test_decode_audio_video_headers_real_bytes():
 
 
 def _encode_png(pixels: bytes, w: int, h: int, channels: int, filters: list[int]) -> bytes:
-    """Forward-encode a pixel buffer as a real PNG with the given filter
-    type per scanline (the inverse of decode_png_pixels' unfilter) — so
-    the roundtrip test exercises every filter path with known pixels."""
-    import struct
-    import zlib
+    """The REAL library encoder with an explicit filter schedule — the
+    roundtrip test pins the shipped encode path, not a private copy."""
+    from data_integration_system_spark.operators import multimodal as mm
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + typ + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = w * channels
-    raw = bytearray()
-    for row in range(h):
-        ftype = filters[row % len(filters)]
-        base = row * stride
-        line = bytearray()
-        for x in range(stride):
-            cur = pixels[base + x]
-            left = pixels[base + x - channels] if x >= channels else 0
-            up = pixels[base - stride + x] if row else 0
-            ul = pixels[base - stride + x - channels] if (row and x >= channels) else 0
-            if ftype == 0:
-                line.append(cur)
-            elif ftype == 1:
-                line.append((cur - left) & 0xFF)
-            elif ftype == 2:
-                line.append((cur - up) & 0xFF)
-            elif ftype == 3:
-                line.append((cur - ((left + up) >> 1)) & 0xFF)
-            else:  # Paeth
-                p = left + up - ul
-                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                line.append((cur - pred) & 0xFF)
-        raw += bytes([ftype]) + bytes(line)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    return mm.encode_png(pixels, w, h, channels, filters=filters)
 
 
 def test_decode_png_pixels_exact_roundtrip():
@@ -785,6 +755,18 @@ def test_decode_png_pixels_exact_roundtrip():
     assert mm.decode_png_pixels(_make_png(8, 8, color_type=3)) is None  # palette
     assert mm.decode_png_pixels(_make_png(8, 8, bit_depth=16)) is None
     assert mm.decode_png_pixels(_encode_png(b"\x00" * 12, 4, 3, 1, [0])[:30]) is None
+
+    # zero-dimension IHDR must be rejected, not decoded to an empty
+    # buffer: a width=5/height=0 stream with an empty zlib IDAT passes
+    # every size check (len(raw) == 0 == h*(stride+1)) and would
+    # ZeroDivisionError downstream geometry (w*h == 0)
+    def _degenerate_png(w, h):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+
+    assert mm.decode_png_pixels(_degenerate_png(5, 0)) is None
+    assert mm.decode_png_pixels(_degenerate_png(0, 5)) is None
 
 
 def test_resize_batches_uses_real_png_pixels():
