@@ -206,6 +206,18 @@ def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None
         t0 = time.perf_counter()
         rel.content_hash_point_lookup(spark, sf_dir).count()
         timings["content_hash_point_lookup"] = round(time.perf_counter() - t0, 3)
+
+        # z-ordered events layout: build = write path, probe = the
+        # registered 2-D range scan
+        t0 = time.perf_counter()
+        stale = rel._ZORDER_LAYOUT_CACHE.pop(sf_dir, None)
+        if stale:
+            shutil.rmtree(stale, ignore_errors=True)
+        rel._zorder_events_layout(spark, sf_dir)
+        builds["zorder_layout_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rel.zorder_range_scan(spark, sf_dir).count()
+        timings["zorder_range_scan"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -220,6 +220,38 @@ def test_zordered_write_skips_on_both_columns(spark, tmp_path):
     )
 
 
+def test_zorder_range_scan_matches_brute_force(spark):
+    """The registered z-order consumer (zorder_range_scan) answers
+    identically to a brute-force filter of the source table, pushes both
+    BETWEEN predicates into the layout scan, and reuses the cached
+    layout on re-invocation (build = write path, priced once).  The
+    row-group-skipping pin lives in the 256x256-grid test above —
+    sf0.001 fits one row group per file."""
+    from data_integration_system_spark.operators import relational as rel
+
+    df = rel.zorder_range_scan(spark, SF)
+    got = [(r.event_id, r.user_id, r.value) for r in df.collect()]
+    assert got  # the predicate selects rows at every sf
+    path = rel._ZORDER_LAYOUT_CACHE[SF] + "/by_uv"
+    want = sorted(
+        (r.event_id, r.user_id, r.value)
+        for r in table(spark, SF, "events")
+        .filter(F.col("user_id").between(3, 9) & F.col("value").between(50.0, 150.0))
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    assert got == want
+    # both predicates reach the parquet scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    for frag in ("GreaterThanOrEqual(user_id,3)", "LessThanOrEqual(user_id,9)"):
+        assert frag in plan, plan[:2000]
+    # second call: cache hit, layout dir unchanged
+    again = rel.zorder_range_scan(spark, SF)
+    assert rel._ZORDER_LAYOUT_CACHE[SF] + "/by_uv" == path
+    assert again.count() == len(got)
+
+
 def test_compact_snapshot_merges_small_files(spark, tmp_path):
     """A fragmented snapshot (one file per shuffle partition) compacts
     into ~target-sized files as a NEW manifest-committed version: same
