@@ -132,6 +132,11 @@ HEADLINE = (
     "doc_ngram_novelty",       # linear shingle first-seen yield curve
     "transition_reachability",  # min-plus BFS rounds on the type graph
     "dedup_embedding_near",    # sign-LSH tables + narrow-pair spread verify
+    # round-7 additions (the real-codec roundtrips — CPU-bound Python
+    # tiers whose per-round cost is worth watching)
+    "multimodal_pixel_stats",  # PNG encode->decode->stats roundtrip
+    "multimodal_audio_features",  # WAV synth->sample-decode->features
+    "multimodal_video_frames",  # MJPEG AVI synth->sample->JPEG decode
 )
 
 

@@ -480,11 +480,19 @@ def audio_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pa
 
 
 def decode_video_header(payload: bytes) -> dict | None:
-    """REAL MP4 (ISO BMFF) container decode, stdlib-only: walk the
-    top-level box structure to ``moov/mvhd`` and read timescale +
-    duration.  Returns ``{fmt, brand, duration_ms}`` or None when the
-    payload is not an ISO media stream (no ftyp box)."""
+    """REAL video container decode, stdlib-only.  MP4 (ISO BMFF): walk
+    the top-level box structure to ``moov/mvhd`` and read timescale +
+    duration -> ``{fmt, brand, duration_ms}``.  AVI (RIFF): delegate to
+    the avih walk in operators.avicontainer -> ``{fmt, width, height,
+    n_frames, duration_ms}``.  None when the payload is neither."""
     import struct
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from data_integration_system_spark.operators.avicontainer import (
+            decode_avi_header,
+        )
+
+        return decode_avi_header(payload)
 
     def boxes(buf: bytes, lo: int, hi: int):
         i = lo
@@ -570,7 +578,8 @@ def media_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             vid = decode_video_header(b)
             if vid is not None:
                 rows.append((int(doc_id), "video", vid["fmt"], len(b),
-                             None, None, None, None, vid["duration_ms"]))
+                             vid.get("width"), vid.get("height"),
+                             None, None, vid["duration_ms"]))
                 continue
             rows.append((int(doc_id), "unknown", None, len(b),
                          None, None, None, None, None))
@@ -842,14 +851,25 @@ _SAMPLE_K = 4
 
 
 def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker for video frame sampling: the stub derives a
-    frame count from the payload size (a real decoder would read the
-    container), then emits k evenly-spaced frame indices as ROWS — the
-    1:N exploding UDF shape (one input blob -> many output frames)."""
+    """mapInPandas worker for video frame sampling: real containers
+    first (an AVI's frame count comes from its avih header — first
+    bytes only, no frame decoded), then the stub tier for opaque
+    payloads (count derived from payload size); either way k
+    evenly-spaced frame indices are emitted as ROWS — the 1:N exploding
+    UDF shape (one input blob -> many output frames)."""
+    from data_integration_system_spark.operators.avicontainer import (
+        decode_avi_header,
+    )
+
     for pdf in batches:
         rows = []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            n_frames = len(bytes(b)) // 100 + 1
+            b = bytes(b)
+            hdr = decode_avi_header(b)
+            if hdr is not None and hdr["n_frames"] > 0:
+                n_frames = hdr["n_frames"]
+            else:
+                n_frames = len(b) // 100 + 1
             k = min(_SAMPLE_K, n_frames)
             for j in range(k):
                 rows.append((int(doc_id), n_frames, j * n_frames // k))
@@ -945,6 +965,138 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]),
     )
     return audio_features(wav).orderBy("doc_id")
+
+
+#: frames sampled per video by multimodal_video_frames
+_VIDEO_SAMPLE_K = 2
+#: synthesized MJPEG frame geometry (one 8x8 JPEG block per frame)
+_VIDEO_W, _VIDEO_H = 8, 8
+
+
+def _synth_avi_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize a GENUINE MJPEG AVI per doc —
+    ``doc_id % 4 + 1`` flat-gray 8x8 frames at level
+    ``(doc_id*7 + i*31) % 256``, each a complete baseline JPEG
+    (jpegcodec.encode_jpeg, quant=1), wrapped by the spec-valid RIFF
+    writer.  Flat frames are the exact-oracle trick: the DCT of a
+    constant block is DC-only, so encode->decode is bit-exact at
+    quant=1 (pinned over all 256 levels in tests)."""
+    from data_integration_system_spark.operators.avicontainer import (
+        encode_avi_mjpeg,
+    )
+    from data_integration_system_spark.operators.jpegcodec import encode_jpeg
+
+    n_px = _VIDEO_W * _VIDEO_H
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            frames = [
+                encode_jpeg(bytes([(doc_id * 7 + i * 31) % 256]) * n_px,
+                            _VIDEO_W, _VIDEO_H, 1, quant=1)
+                for i in range(doc_id % 4 + 1)
+            ]
+            rows.append((doc_id, encode_avi_mjpeg(frames, _VIDEO_W, _VIDEO_H)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("gray_level", LongType()),
+    ]
+)
+
+
+def _video_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: AVI payload -> k evenly-spaced DECODED
+    frames.  The container walk yields per-frame JPEG bytes; only the
+    SAMPLED frames pay the pixel decode (the 100-TB shape: a sampling
+    stage over hour-long videos must not decode every frame).
+    gray_level is read from the decoded buffer and only reported when
+    the frame really is uniform (-1 otherwise), so a wrong pixel
+    anywhere in container walk + entropy decode + IDCT breaks the
+    oracle's value hash."""
+    from data_integration_system_spark.operators.avicontainer import (
+        decode_avi_frames,
+    )
+    from data_integration_system_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            frames = decode_avi_frames(bytes(b))
+            if not frames:
+                continue  # errors-as-data: non-AVI payloads emit nothing
+            n = len(frames)
+            k = min(_VIDEO_SAMPLE_K, n)
+            for j in range(k):
+                idx = j * n // k
+                px = decode_jpeg_pixels(frames[idx])
+                if px is None:
+                    continue
+                w, h, _ch, buf = px
+                level = buf[0] if buf and min(buf) == max(buf) else -1
+                rows.append((int(doc_id), n, idx, w, h, int(level)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "frame_idx", "width", "height",
+                     "gray_level"],
+        )
+
+
+@query(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 + 1 AS n_frames FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(j * n_frames // least({_VIDEO_SAMPLE_K}, n_frames) AS BIGINT) AS frame_idx,
+           CAST({_VIDEO_W} AS BIGINT) AS width,
+           CAST({_VIDEO_H} AS BIGINT) AS height,
+           CAST((doc_id * 7 + (j * n_frames // least({_VIDEO_SAMPLE_K}, n_frames)) * 31) % 256 AS BIGINT) AS gray_level
+    FROM d, range(0, {_VIDEO_SAMPLE_K}) r(j)
+    WHERE j < least({_VIDEO_SAMPLE_K}, n_frames)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec path under the exact-oracle gate — the last
+    multimodal stub closed: Spark synthesizes genuine MJPEG AVI bytes
+    per document (doc_id-derived flat-gray JPEG frames), the sampling
+    stage walks the real RIFF container and pixel-decodes only the
+    sampled frames through the full baseline JPEG decoder, and DuckDB
+    recomputes frame count, sampled indices, geometry, and gray level
+    in closed form from doc_id alone.  A wrong byte anywhere (AVI
+    writer, chunk walk, Huffman decode, IDCT) breaks the value hash.
+
+    Scale shape: synthesis and sampling are adjacent Arrow-batched
+    stages at scan parallelism (spread — the work is CPU-bound JPEG
+    coding); blobs never shuffle, and the frame sampler decodes k
+    frames per video, not all of them.  H.264-class codecs stay behind
+    an import-gated native tier; MJPEG is the honest stdlib-real
+    subset, exactly like PCM for audio."""
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    docs = parallelize_scan(table(spark, sf_dir, "documents")).select("doc_id")
+    avi = docs.mapInPandas(
+        _synth_avi_batches,
+        StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]),
+    )
+    return avi.mapInPandas(_video_frame_batches, VIDEO_FRAMES_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
 
 
 def encode_png(

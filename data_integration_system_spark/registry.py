@@ -71,19 +71,20 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 7 window = 4 new + 46 r4-stale = exactly 50 (VERDICT r6
+    # Round 7 window = 5 new + 45 r4-stale = exactly 50 (VERDICT r6
     # "Next round" #1: CORRECTNESS_r6 landed all-green, so the r6 head
     # rotates OUT and the r4-stale tier — the oldest rows in the
     # registry — rotates in; each newcomer displaces one r4 entry
-    # (weekday_order_stats and volume_shipping, leading the r8 queue),
-    # so after r7 exactly two queries' latest rows are older than
-    # round 5).
+    # (weekday_order_stats, volume_shipping, token_count_bpe — leading
+    # the r8 queue), so after r7 exactly three queries' latest rows are
+    # older than round 5.  Registry at the 153 cap; r8 adds nothing).
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
     "content_hash_point_lookup",
     "multimodal_audio_features",
     "multimodal_pixel_stats",
     "zorder_range_scan",
+    "multimodal_video_frames",
     # (2) the 48 r4-stale queries (CORRECTNESS_COVERAGE round == 4;
     # regenerated from data via `python rehearse.py --coverage`):
     "scan_project",
@@ -131,7 +132,6 @@ _DRIVER_HEAD: list[str] = [
     "text_lang_id",
     "text_quality_score",
     "tfidf_top_terms",
-    "token_count_bpe",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -144,11 +144,12 @@ _DRIVER_HEAD: list[str] = [
 #: instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
     # displaced from the r7 window by the round's new queries — these
-    # lead the r8 window (weekday_order_stats' and volume_shipping's r4
-    # rows become the registry's oldest; similarity_recall_at_k is the
-    # oldest weak-channel rows-only entry):
+    # lead the r8 window (their r4 rows become the registry's oldest;
+    # similarity_recall_at_k is the oldest weak-channel rows-only
+    # entry):
     "weekday_order_stats",
     "volume_shipping",
+    "token_count_bpe",
     "similarity_recall_at_k",
     # r5-stale after round 7 (driver row from round 5); rows-only and
     # §2B-heart queries first:

@@ -389,6 +389,68 @@ def test_decode_wav_samples_exact_roundtrip():
     assert mm.decode_audio_header(hdr + mulaw_fmt + data)["sample_rate"] == 8000
 
 
+def _make_avi(n_frames: int = 3, w: int = 8, h: int = 8) -> bytes:
+    """A GENUINE MJPEG AVI: each frame a flat-gray baseline JPEG at
+    level (37*i)%256, wrapped by the spec-valid RIFF writer."""
+    from data_integration_system_spark.operators.avicontainer import (
+        encode_avi_mjpeg,
+    )
+    from data_integration_system_spark.operators.jpegcodec import encode_jpeg
+
+    frames = [
+        encode_jpeg(bytes([(37 * i) % 256]) * (w * h), w, h, 1, quant=1)
+        for i in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, w, h)
+
+
+def test_avi_mjpeg_roundtrip_real_frames():
+    """The MJPEG AVI container codec (r7 — the last multimodal stub
+    closed): the RIFF walk returns the exact per-frame JPEG bytes the
+    writer wrapped, the avih header tier reports real geometry/count
+    without touching a frame, decode_video_header dispatches AVI, each
+    extracted frame pixel-decodes to its exact flat level through the
+    full JPEG codec, and malformed input returns None (errors-as-data)."""
+    from data_integration_system_spark.operators import avicontainer as av
+    from data_integration_system_spark.operators import multimodal as mm
+    from data_integration_system_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    frames = [
+        encode_jpeg(bytes([(37 * i) % 256]) * 64, 8, 8, 1, quant=1)
+        for i in range(4)
+    ]
+    avi = av.encode_avi_mjpeg(frames, 8, 8)
+    assert av.decode_avi_frames(avi) == frames  # container walk is bit-exact
+    hdr = av.decode_avi_header(avi)
+    assert hdr == {"fmt": "avi", "width": 8, "height": 8,
+                   "n_frames": 4, "duration_ms": 400}
+    # the triage tier dispatches RIFF/AVI to the avih walk
+    assert mm.decode_video_header(avi) == hdr
+    # every extracted frame decodes to genuine uniform pixels
+    for i, f in enumerate(av.decode_avi_frames(avi)):
+        w, h, ch, buf = decode_jpeg_pixels(f)
+        assert (w, h, ch) == (8, 8, 1)
+        assert set(buf) == {(37 * i) % 256}
+    # malformed input: None, never raise
+    assert av.decode_avi_frames(b"RIFFxxxxWAVEfmt ") is None  # WAV, not AVI
+    assert av.decode_avi_frames(avi[:50]) is None  # truncated mid-chunk
+    assert av.decode_avi_header(b"not a container") is None
+    # the frame sampler's REAL tier: an AVI payload reports the avih
+    # frame count, not the size-derived stub count
+    import pandas as pd
+
+    out = pd.concat(
+        mm.frame_sample_batches(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [avi]})])
+        )
+    )
+    assert set(out["n_frames"]) == {4}
+    assert list(out["frame_idx"]) == [0, 1, 2, 3]
+
+
 def _encode_gif(indices: bytes, w: int, h: int, interlaced: bool = False) -> bytes:
     """A GENUINE GIF89a stream carrying the given 8-bit color indices
     over a grayscale palette (palette[i] = (i,i,i)), LZW-coded with the

@@ -470,22 +470,28 @@ def test_media_header_parsers_never_raise_on_garbage(payload):
     from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
     jx = decode_jpeg_pixels(payload)
     assert jx is None or isinstance(jx, tuple)
+    from data_integration_system_spark.operators import avicontainer as av
+    fr = av.decode_avi_frames(payload)
+    assert fr is None or isinstance(fr, list)
+    ah = av.decode_avi_header(payload)
+    assert ah is None or isinstance(ah, dict)
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.integers(min_value=0, max_value=200), st.sampled_from(["png", "jpeg", "wav", "mp4"]))
+@given(st.integers(min_value=0, max_value=200), st.sampled_from(["png", "jpeg", "wav", "mp4", "avi"]))
 def test_media_header_parsers_survive_truncation(cut, kind):
     """Every PREFIX of a valid container (a truncated upload, a partial
     fetch) parses to a dict or None — no IndexError/struct.error from
     walking past the end."""
     from data_integration_system_spark.operators import multimodal as mm
-    from tests.test_functions import _make_jpeg, _make_mp4, _make_png, _make_wav
+    from tests.test_functions import _make_avi, _make_jpeg, _make_mp4, _make_png, _make_wav
 
     full = {
         "png": lambda: _make_png(64, 32),
         "jpeg": lambda: _make_jpeg(64, 32),
         "wav": lambda: _make_wav(channels=1, rate=8000, n_frames=64),
         "mp4": lambda: _make_mp4(duration_ms=1000),
+        "avi": lambda: _make_avi(3),
     }[kind]()
     payload = full[: min(cut, len(full))]
     for fn in (mm.decode_image_header, mm.decode_audio_header, mm.decode_video_header):
@@ -500,3 +506,8 @@ def test_media_header_parsers_survive_truncation(cut, kind):
     from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
     jx = decode_jpeg_pixels(payload)
     assert jx is None or isinstance(jx, tuple)
+    from data_integration_system_spark.operators import avicontainer as av
+    fr = av.decode_avi_frames(payload)
+    assert fr is None or isinstance(fr, list)
+    ah = av.decode_avi_header(payload)
+    assert ah is None or isinstance(ah, dict)
