@@ -319,6 +319,7 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         return None
     try:
+        sw, sh = struct.unpack("<HH", payload[6:10])
         flags = payload[10]
         gct_len = (2 << (flags & 7)) * 3 if flags & 0x80 else 0
         pos = 13
@@ -336,6 +337,13 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
                 if pos + 10 > n:
                     return None
                 _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+                if (_l, _t) != (0, 0) or (iw, ih) != (sw, sh):
+                    # first frame doesn't cover the logical screen:
+                    # compositing onto the canvas (offsets, transparency
+                    # index) is animation territory — fall through to the
+                    # metadata tier rather than report a geometry that
+                    # disagrees with decode_image_header's screen dims
+                    return None
                 iflags = payload[pos + 9]
                 pos += 10
                 lct_len = (2 << (iflags & 7)) * 3 if iflags & 0x80 else 0
@@ -797,9 +805,11 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             w, h, _fmt, buf = decode(bytes(b))
-            if buf is not None:
-                # dims re-derived from the decoded buffer, not the header
-                assert len(buf) % (w * h) == 0
+            if buf is not None and (not w or not h or len(buf) % (w * h) != 0):
+                # decoder invariant broke (buffer length inconsistent
+                # with dims): errors-as-data, not a job-killing assert —
+                # one malformed blob must not fail the stage
+                w = h = None
             if w is None:
                 rows.append((int(doc_id), None, None, None, None))
                 continue

@@ -1335,11 +1335,20 @@ def _content_hash_layout(spark: SparkSession, sf_dir: str) -> str:
     return f"{root}/by_hash"
 
 
+#: fixed probe-set size for the point lookup: the control-plane collect
+#: stays O(1) at any corpus size (ADVICE r7: the 1-in-101 sample alone
+#: grew linearly — unbounded at 100 TB)
+_N_HASH_PROBES = 64
+
+
 @query(
     "content_hash_point_lookup",
-    oracle="""
+    oracle=f"""
     WITH probes AS (
-      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 101 = 0
+      SELECT DISTINCT md5(text) AS h FROM (
+        SELECT text FROM documents WHERE doc_id % 101 = 0
+        ORDER BY doc_id LIMIT {_N_HASH_PROBES}
+      )
     )
     SELECT d.doc_id, md5(d.text) AS content_hash
     FROM documents d JOIN probes p ON md5(d.text) = p.h
@@ -1351,8 +1360,10 @@ def content_hash_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup/provenance probe ("have we seen these exact bytes?") that
     a content-addressed corpus answers constantly at ingest.
 
-    Scale shape: the probe list is bounded (one in ~100 documents, the
-    same control-plane collect pattern as the index probes); the lookup
+    Scale shape: the probe list is genuinely O(1) — the {_N_HASH_PROBES}
+    smallest qualifying doc_ids (TakeOrdered: scan-side top-k, constant
+    driver memory at any corpus size; the previous unbounded 1-in-101
+    sample grew linearly with the corpus); the lookup
     is an IN-list equality predicate pushed into the parquet scan,
     where the write-time bloom filter on content_hash skips every row
     group that cannot contain a probed hash (measured 200k -> ~900 rows
@@ -1362,11 +1373,12 @@ def content_hash_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64) so DuckDB recomputes the identical hex digest."""
     path = _content_hash_layout(spark, sf_dir)
     stored = spark.read.parquet(path)
-    probe_hashes = [
+    probe_hashes = list({
         r.content_hash
         for r in stored.filter(F.col("doc_id") % 101 == 0)
-        .select("content_hash").distinct().collect()
-    ]
+        .orderBy("doc_id").limit(_N_HASH_PROBES)
+        .select("content_hash").collect()
+    })
     return (
         stored.filter(F.col("content_hash").isin(probe_hashes))
         .select("doc_id", "content_hash")

@@ -388,9 +388,15 @@ def compact_partitions(
 
     # Concurrent job submission: each partition rewrite is its own small
     # Spark job; running them serially from the driver makes a
-    # 100-partition repair 100 job walls deep (VERDICT r6 #4).  The FAIR
-    # scheduler interleaves their tasks, so repair wall-clock is bounded
-    # by the largest partition plus scheduling, not the partition count.
+    # 100-partition repair 100 job walls deep (VERDICT r6 #4).  Under
+    # spark.scheduler.mode=FAIR (set at session build — session.py; a
+    # startup-only key, so a FIFO session handed in by an external driver
+    # keeps FIFO) the scheduler interleaves the jobs' task sets and
+    # repair wall-clock is bounded by the largest partition plus
+    # scheduling overhead.  Under FIFO, concurrent submission still
+    # overlaps jobs whenever the cluster is not saturated by the job at
+    # the head of the queue — a large first partition can serialize the
+    # rest.
     from concurrent.futures import ThreadPoolExecutor
 
     if len(frag) == 1:

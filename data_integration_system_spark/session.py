@@ -121,6 +121,12 @@ def get_spark(app_name: str = "data_integration_system_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         # bucketed-table tests (saveAsTable) must not write into the repo
         .config("spark.sql.warehouse.dir", "/tmp/dis-spark-warehouse")
+        # FAIR job scheduling (startup-only key): concurrent job
+        # submission (layout.compact_partitions' ThreadPoolExecutor)
+        # interleaves task sets instead of serializing behind a large
+        # first job under FIFO.  Single-job callers are unaffected —
+        # one pool, one job, identical schedule.
+        .config("spark.scheduler.mode", "FAIR")
     )
     # Only default the master when none was provided externally —
     # builder.master() would OVERRIDE spark-submit's --master, silently
