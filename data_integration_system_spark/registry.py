@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
         textops,
         windows,
     )
+    from data_integration_system_spark.streaming import jobs  # noqa: F401
 
 
 # The external correctness driver samples the FIRST 50 entries of queries()
@@ -71,88 +72,25 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 7 window = 5 new + 45 r4-stale = exactly 50 (VERDICT r6
-    # "Next round" #1: CORRECTNESS_r6 landed all-green, so the r6 head
-    # rotates OUT and the r4-stale tier — the oldest rows in the
-    # registry — rotates in; each newcomer displaces one r4 entry
-    # (weekday_order_stats, volume_shipping, token_count_bpe — leading
-    # the r8 queue), so after r7 exactly three queries' latest rows are
-    # older than round 5.  Registry at the 153 cap; r8 adds nothing).
+    # Round 8 window = 1 new + 4 r4-stale + 45 r5-stale = exactly 50
+    # (VERDICT r7 "Next round" #1: CORRECTNESS_r7 landed all-green, so
+    # the r7 head rotates OUT and _NEXT_ROTATION_FIRST folds in; the
+    # newcomer displaces the queue's tail — source_quality_report,
+    # supplier_share_of_nation, transition_triangles, weekly_retention
+    # — which lead the r9 queue below, completing the 3-round cadence
+    # at 154 registered).
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
-    "content_hash_point_lookup",
-    "multimodal_audio_features",
-    "multimodal_pixel_stats",
-    "zorder_range_scan",
-    "multimodal_video_frames",
-    # (2) the 48 r4-stale queries (CORRECTNESS_COVERAGE round == 4;
-    # regenerated from data via `python rehearse.py --coverage`):
-    "scan_project",
-    "filter_blocklist",
-    "filter_scope",
-    "filter_size_cap",
-    "project_domain",
-    "project_content_hash",
-    "agg_counts_by_group",
-    "agg_rollup",
-    "agg_distinct",
-    "topk_oldest_pending",
-    "stale_timeout_filter",
-    "union_pages_files",
-    "set_ops",
-    "json_config_extract",
-    "string_metrics",
-    "text_stats",
-    "similarity_topk",
-    "approx_distinct",
-    "agg_cube_events",
-    "cheapest_supplier_per_part",
-    "column_stats_lineitem",
-    "customer_order_distribution",
-    "disjunctive_discount_revenue",
-    "embedding_norms",
-    "event_type_pagerank",
-    "exact_substring_dup_spans",
-    "forecast_revenue",
-    "lone_returned_supplier_orders",
-    "multimodal_frame_sample",
-    "national_market_share",
-    "orders_above_customer_avg",
-    "pack_sequences",
-    "part_value_concentration",
-    "pivot_lang_counts",
-    "pricing_summary",
-    "priority_counts_with_lineitem",
-    "promo_revenue_share",
-    "rare_token_score",
-    "repetition_top_bigram",
-    "segment_median_order",
-    "similarity_ivf_topk",
-    "small_qty_revenue",
-    "text_lang_id",
-    "text_quality_score",
-    "tfidf_top_terms",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). After round 7 lands, the oldest
-#: rows belong to the r5-checked tier below (49 of the 50 r5 rows —
-#: similarity_recall_at_k is refreshed in the r7 window); the r8 window
-#: is these 49 + newcomers, and r9 takes the r6/r7 tier, completing the
-#: 3-round cadence. Regenerate the plan from data with
-#: ``python rehearse.py --coverage`` (writes CORRECTNESS_COVERAGE.json)
-#: instead of hand-maintaining this list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    # displaced from the r7 window by the round's new queries — these
-    # lead the r8 window (their r4 rows become the registry's oldest;
-    # similarity_recall_at_k is the oldest weak-channel rows-only
-    # entry):
+    "streaming_dup_rate_snapshot",
+    # (2) the 3 r4-stale queries displaced from the r7 window, plus the
+    # oldest rows-only row (r5) — VERDICT r7 #1 names all four:
     "weekday_order_stats",
     "volume_shipping",
     "token_count_bpe",
     "similarity_recall_at_k",
-    # r5-stale after round 7 (driver row from round 5); rows-only and
-    # §2B-heart queries first:
+    # (3) the r5-stale tier (driver row from round 5); rows-only and
+    # §2B-heart queries first (CORRECTNESS_COVERAGE round == 5;
+    # regenerated from data via `python rehearse.py --coverage`):
     "percentile_approx_check",
     "multiway_star_join",
     "dedup_exact",
@@ -198,6 +136,19 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "salted_event_type_rollup",
     "shipmode_priority_counts",
     "shipping_priority",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). After round 8 lands, the oldest
+#: rows belong to the four r5-checked queries below (displaced from the
+#: r8 window by streaming_dup_rate_snapshot); the r9 window is these 4 +
+#: the r6-checked tier + newcomers, completing the 3-round cadence.
+#: Regenerate the plan from data with ``python rehearse.py --coverage``
+#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
+#: list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    # displaced from the r8 window by the round's new query — these
+    # lead the r9 window (their r5 rows become the registry's oldest):
     "source_quality_report",
     "supplier_share_of_nation",
     "transition_triangles",

@@ -80,6 +80,10 @@ def write_coverage_report(repo_root: str = _REPO) -> dict:
     cov = coverage_map(repo_root)
     rounds = [v["round"] for v in cov.values() if v["round"] is not None]
     report = {
+        # which recorded rounds this artifact reflects — the committed
+        # file shipped stale two rounds running (VERDICT r7 "What's
+        # wrong" #1) because nothing said what it was computed from
+        "reflects_rounds_through": max(rounds) if rounds else None,
         "queries": cov,
         "summary": {
             "registered": len(cov),
