@@ -140,6 +140,45 @@ HEADLINE = (
 )
 
 
+#: cold-tier slice size: the ~58-query pool outside HEADLINE is fully
+#: priced every 2 rounds (VERDICT r7 #5: 54 registered queries had never
+#: appeared in BENCH_DETAIL — every query gets a recorded time now)
+_COLD_K = 29
+
+
+def _next_round_no() -> int:
+    """The round this bench run belongs to = latest recorded round + 1
+    (the driver writes BENCH_r{N}.json AFTER running us)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _cold_tier(queries: dict, round_no: int, k: int = _COLD_K) -> list[str]:
+    """Rotating slice of the registered queries OUTSIDE the headline
+    set, mirroring the driver's correctness rotation: a deterministic
+    window over the sorted pool advances by k names per round, so every
+    registered query gets a recorded timing at least every
+    ceil(pool/k) rounds.  Timed after the suite wall (like the index
+    probes) so `suite_wall_sec` stays comparable across rounds."""
+    benched_elsewhere = set(HEADLINE) | {
+        "content_hash_point_lookup",  # probed in _bench_index_probes
+        "zorder_range_scan",
+    }
+    pool = sorted(n for n in queries if n not in benched_elsewhere)
+    if not pool:
+        return []
+    off = ((round_no - 1) * k) % len(pool)
+    sl = pool[off:off + k]
+    if len(sl) < k:
+        sl += pool[: k - len(sl)]
+    return sl
+
+
 def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None:
     """Time the materialized-index probe paths (the 100 TB read pattern:
     partition-pruned lookups against a write-time index).  Build cost is
@@ -293,6 +332,17 @@ def main() -> None:
     # comparable across rounds; index build+probe is timed separately.
     total = round(time.perf_counter() - t_suite, 3)
 
+    # cold tier: the rotating never-priced slice, timed OUTSIDE the
+    # suite wall so `value` stays comparable round-over-round
+    cold = _cold_tier(queries, _next_round_no())
+    for name in cold:
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+
     builds: dict[str, float] = {}
     try:
         _bench_index_probes(spark, sf_dir, timings, builds)
@@ -310,6 +360,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
+        "cold_tier": cold,
     }
     if builds:
         out["index_build"] = builds
@@ -369,6 +420,7 @@ def compact_output(out: dict, timings: dict, errors: dict) -> dict:
     (~6 KB) outran the driver's tail capture and the round's perf record
     came back unparseable."""
     compact = dict(out)
+    compact.pop("cold_tier", None)  # ~700 B of names; sidecar-only
     slowest = sorted(timings, key=timings.get, reverse=True)[:10]
     keep = set(slowest) | {"multiway_star_join"}
     compact["queries"] = {n: timings[n] for n in timings if n in keep}
