@@ -1,0 +1,171 @@
+"""JS-rendered page enrichment: the reference's Playwright page pool
+(crawler/js_renderer.py:11-36 — pool of 2 pages, ``wait_until=
+"networkidle"``, 20 s timeout) re-expressed as an optional `mapInPandas`
+enrichment stage over fetched rows.
+
+The reference class is DEAD CODE (never imported by crawler_core.py),
+so this stage is not on any default path either — it exists so a user
+who crawls JS-heavy sites can splice it between fetch and extract:
+
+    fetched = fetch_frontier(frontier)
+    rendered = render_pages(fetched)          # needs playwright
+    docs = extract_text(rendered)
+
+Design mirrors pipeline/fetch.py exactly:
+
+* **Import-gated dependency** (same pattern as PIL/PyMuPDF in
+  extract.py): `playwright_renderer` imports playwright lazily INSIDE
+  the worker; environments without a browser get a clear ImportError
+  at stage construction, not a mid-job executor crash.
+* **Injectable renderer**: `render_fn_factory` builds the render
+  callable per PARTITION (browser handles are not picklable), so tests
+  drive the full Spark plumbing with a fake renderer and the contract
+  is pinned without a browser in the container.
+* **Errors as data**: a render failure (timeout, navigation error)
+  keeps the fetched bytes and sets ``rendered = false`` — one hostile
+  page must not fail the stage (js_renderer.py's bare ``except`` on
+  page close is the same instinct).
+* **Politeness preserved**: rendering re-hits the site, so the stage
+  repartitions by domain like fetch and bounds in-flight renders with
+  the pool size — a 1000-executor cluster renders ``partitions ×
+  pool_size`` pages concurrently, never more.
+
+At 100 TB scale rendering is the most expensive per-row enrichment in
+the pipeline (a full browser navigation per page); the stage therefore
+renders ONLY rows that need it (HTML content-type) and passes every
+other row through untouched in the same batch — no second scan, no
+shuffle beyond the domain repartition it shares with fetch.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from data_integration_system_spark.functions.urls import domain_of
+from data_integration_system_spark.pipeline.fetch import FETCHED_SCHEMA
+
+#: render(url) -> rendered DOM html, or None on failure
+RenderFn = Callable[[str], "str | None"]
+
+RENDERED_SCHEMA = StructType(
+    list(FETCHED_SCHEMA.fields) + [StructField("rendered", BooleanType())]
+)
+
+#: the reference pool size (js_renderer.py:5) and navigation timeout
+#: (js_renderer.py:33 — 20000 ms)
+DEFAULT_POOL_SIZE = 2
+DEFAULT_TIMEOUT_S = 20
+
+
+def playwright_renderer(
+    pool_size: int = DEFAULT_POOL_SIZE, timeout_s: int = DEFAULT_TIMEOUT_S
+) -> RenderFn:
+    """Build the real Playwright-backed RenderFn: one headless chromium
+    per worker process with a ``pool_size``-page pool, ``networkidle``
+    wait — js_renderer.py:11-36 semantics.  Import-gated: raises
+    ImportError where playwright isn't installed (same contract as the
+    PIL/PyMuPDF gates in extract.py), which `render_pages` surfaces at
+    stage construction when this default factory is used."""
+    from playwright.sync_api import sync_playwright  # import gate
+
+    lock = threading.Lock()
+    state: dict = {}
+
+    def _pool():
+        with lock:
+            if "pages" not in state:
+                pw = sync_playwright().start()
+                browser = pw.chromium.launch(headless=True)
+                import queue
+
+                pages: queue.Queue = queue.Queue()
+                for _ in range(pool_size):
+                    pages.put(browser.new_page())
+                state.update(pw=pw, browser=browser, pages=pages)
+            return state["pages"]
+
+    def render(url: str) -> str | None:
+        pages = _pool()
+        page = pages.get()
+        try:
+            page.goto(url, wait_until="networkidle", timeout=timeout_s * 1000)
+            return page.content()
+        except Exception:
+            return None  # errors-as-data: caller keeps the fetched bytes
+        finally:
+            pages.put(page)
+
+    return render
+
+
+def _is_html(content_type: str | None) -> bool:
+    return bool(content_type) and "html" in content_type.lower()
+
+
+def render_pages(
+    fetched: DataFrame,
+    render_fn_factory: Callable[[], RenderFn] | None = None,
+    pool_size: int = DEFAULT_POOL_SIZE,
+) -> DataFrame:
+    """Enrich fetched rows with browser-rendered DOM content.
+
+    HTML rows (by content_type) are rendered through the factory's
+    RenderFn with at most ``pool_size`` in flight per partition; a
+    successful render replaces ``content`` with the DOM bytes (UTF-8)
+    and sets ``rendered = true``; failures and non-HTML rows pass
+    through byte-identical with ``rendered = false``.  Output schema =
+    input schema + ``rendered boolean`` (RENDERED_SCHEMA)."""
+    if render_fn_factory is None:
+        # fail at CONSTRUCTION when the default needs a missing
+        # dependency — not per-task on 1000 executors
+        import importlib.util
+
+        if importlib.util.find_spec("playwright") is None:
+            raise ImportError(
+                "render_pages needs playwright for its default renderer; "
+                "install it or inject render_fn_factory"
+            )
+        render_fn_factory = playwright_renderer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        render = render_fn_factory()
+
+        def one(url: str, content_type: str | None) -> str | None:
+            if not _is_html(content_type):
+                return None
+            try:
+                return render(url)
+            except Exception:
+                return None  # a throwing fake/renderer is still data
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            with ThreadPoolExecutor(max_workers=pool_size) as pool:
+                doms = list(pool.map(one, pdf["url"], pdf["content_type"]))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "depth": pdf["depth"].astype("int64"),
+                    "content": [
+                        d.encode("utf-8") if d is not None else c
+                        for d, c in zip(doms, pdf["content"])
+                    ],
+                    "content_type": pdf["content_type"],
+                    "charset": pdf["charset"],
+                    "rendered": [d is not None for d in doms],
+                }
+            )
+
+    partitioned = fetched.repartition(domain_of(F.col("url")))
+    return partitioned.select(
+        "url", "depth", "content", "content_type", "charset"
+    ).mapInPandas(run, RENDERED_SCHEMA)
