@@ -511,3 +511,106 @@ def test_media_header_parsers_survive_truncation(cut, kind):
     assert fr is None or isinstance(fr, list)
     ah = av.decode_avi_header(payload)
     assert ah is None or isinstance(ah, dict)
+
+
+def _flip(data: bytes, positions: list[int], bits: list[int]) -> bytes:
+    out = bytearray(data)
+    for p, b in zip(positions, bits):
+        out[p] ^= 1 << b
+    return bytes(out)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_jpeg_scan_segment_bitflips_never_raise(data):
+    """ADVICE-r7/VERDICT-r7 #8: decoders facing 100 TB of crawled bytes
+    see adversarial ENTROPY-CODED data, not just broken headers.  Any
+    bit flips inside the SOS scan segment must yield None or pixels of
+    exactly the header-declared geometry — never an exception, never an
+    allocation beyond w*h*ch (the headers stay intact, so a surviving
+    decode cannot change shape)."""
+    from data_integration_system_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    pix = bytes((13 * i) % 256 for i in range(32 * 24 * 3))
+    jp = encode_jpeg(pix, 32, 24, 3)
+    # walk the marker segments to the REAL SOS — a naive find(FFDA)
+    # can match inside a Huffman table's value bytes
+    pos = 2
+    while jp[pos:pos + 2] != b"\xff\xda":
+        assert jp[pos] == 0xFF
+        pos += 2 + int.from_bytes(jp[pos + 2:pos + 4], "big")
+    seg_start = pos + 2 + int.from_bytes(jp[pos + 2:pos + 4], "big")
+    seg_end = len(jp) - 2  # leave the EOI marker alone
+    assert seg_end - seg_start > 16  # real scan data to corrupt
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(
+        st.lists(st.integers(seg_start, seg_end - 1), min_size=n, max_size=n)
+    )
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    out = decode_jpeg_pixels(_flip(jp, poss, bits))
+    if out is not None:
+        w, h, ch, buf = out
+        assert (w, h) == (32, 24) and ch in (1, 3)
+        assert len(buf) == w * h * ch
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_gif_lzw_segment_bitflips_never_raise(data):
+    """Bit flips inside the LZW-coded sub-blocks (everything after the
+    min-code byte): decode_gif_pixels returns None or a full-canvas RGB
+    buffer — the LZW decoder's max_pixels bound caps allocation at the
+    header-declared geometry no matter what codes the corruption
+    mints."""
+    from data_integration_system_spark.operators import multimodal as mm
+    from tests.test_functions import _encode_gif
+
+    gif = _encode_gif(bytes((7 * i) % 256 for i in range(24 * 16)), 24, 16)
+    gct_len = (2 << (gif[10] & 7)) * 3
+    scan_start = 13 + gct_len + 10 + 1  # descriptor + min-code byte
+    scan_end = len(gif) - 2  # leave the trailer alone
+    assert scan_end - scan_start > 16
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(
+        st.lists(st.integers(scan_start, scan_end - 1), min_size=n, max_size=n)
+    )
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    out = mm.decode_gif_pixels(_flip(gif, poss, bits))
+    if out is not None:
+        w, h, ch, buf = out
+        assert (w, h, ch) == (24, 16, 3)
+        assert len(buf) == w * h * ch
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_avi_movi_segment_bitflips_never_raise(data):
+    """Bit flips anywhere in the movi payload (chunk headers, sizes,
+    and the MJPEG frame bytes): the container walk returns None or a
+    frame list whose every frame is a slice of the payload (total bytes
+    bounded by the input — no size-driven allocation), and each
+    surviving frame feeds the JPEG decoder under the same
+    no-raise/bounded contract."""
+    from data_integration_system_spark.operators import avicontainer as av
+    from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
+    from tests.test_functions import _make_avi
+
+    avi = _make_avi(3, 16, 16)
+    movi = avi.find(b"movi")
+    start, end = movi + 4, len(avi)
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(st.lists(st.integers(start, end - 1), min_size=n, max_size=n))
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    mutated = _flip(avi, poss, bits)
+    frames = av.decode_avi_frames(mutated)
+    assert frames is None or isinstance(frames, list)
+    if frames:
+        assert sum(len(f) for f in frames) <= len(mutated)
+        for f in frames:
+            jx = decode_jpeg_pixels(f)
+            if jx is not None:
+                w, h, ch, buf = jx
+                assert len(buf) == w * h * ch
