@@ -709,16 +709,46 @@ def _emb_lsh_bits(n_vectors: int) -> int:
     """Bits per LSH table for a corpus of ``n_vectors``: the smallest k
     holding the EXPECTED bucket at ~_EMB_TARGET_BUCKET members, floored
     at _LSH_BITS.  Constant buckets keep candidate pairs LINEAR in n —
-    the price is per-table recall (1-θ/π)^k falling as k grows; a
-    production deployment holds recall by raising L alongside k
-    (L ~ n^ρ, the standard LSH trade) or switches to the IVF-blocked
-    near-dup path (build_ivf_index) where block sizes are set by the
-    centroid count instead."""
+    the price is per-table recall (1-θ/π)^k falling as k grows, which
+    ``_emb_lsh_tables`` repays by raising L (the standard LSH trade);
+    corpora whose interesting pairs sit at LOW cosine should use the
+    IVF-blocked near-dup path (build_ivf_index) instead, where block
+    sizes are set by the centroid count."""
     import math as _math
 
     if n_vectors <= 0:
         return _LSH_BITS
     return max(_LSH_BITS, _math.ceil(_math.log2(max(n_vectors / _EMB_TARGET_BUCKET, 2.0))))
+
+
+#: the similarity a production near-dup pipeline acts on: L is sized to
+#: hold recall at THIS cosine as k grows.  The r8 rehearsal measured the
+#: fixed-L=6 recall collapsing with adaptive k (0.24 at k=6 -> 0.04 at
+#: k=10 -> 0.01 at k=13, SCALE_REHEARSAL_RECALL.json) — exactly the
+#: documented trade, now repaid instead of just documented.
+_EMB_DESIGN_COS = 0.8
+_EMB_TARGET_RECALL = 0.9
+#: L ceiling: past ~2M vectors the k needed for constant buckets would
+#: demand L beyond this to hold the design recall — the honest lever
+#: there is a larger target bucket (more verify work per bucket) or the
+#: IVF path, not unbounded table counts; the clamp is reported by the
+#: recall harness rather than silently absorbed.
+_EMB_MAX_TABLES = 48
+
+
+def _emb_lsh_tables(k: int) -> int:
+    """Tables L for ``k`` bits: smallest L with
+    1-(1-p^k)^L >= _EMB_TARGET_RECALL at the design cosine
+    (p = 1 - arccos(c)/π), floored at the classic 6 and clamped at
+    _EMB_MAX_TABLES.  k=6 (small corpora) resolves to L=8."""
+    import math as _math
+
+    p = 1.0 - _math.acos(_EMB_DESIGN_COS) / _math.pi
+    per_table = p ** k
+    if per_table >= 1.0:
+        return _LSH_TABLES
+    need = _math.log(1.0 - _EMB_TARGET_RECALL) / _math.log(1.0 - per_table)
+    return max(_LSH_TABLES, min(_EMB_MAX_TABLES, _math.ceil(need)))
 #: Embedding dimensionality is pipeline CONFIG (you know your embedding
 #: model), not something to probe from the data — a driver-side .first()
 #: during query construction would block plan building on a cluster
@@ -741,11 +771,14 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     buckets that survive adaptive k (dense near-identical regions) are
     capped like the MinHash path.  The recall cost of larger k is the
     standard LSH trade — production holds recall by raising L with k or
-    moves to the IVF-blocked path.  Rows-only (float thresholding is
-    not oracle-stable)."""
+    moves to the IVF-blocked path.  The verify step is BUCKET-LOCAL
+    (r8): pairwise cosines are computed inside each (table, bucket)
+    group, so shuffle volume is L·n·d member bytes, never
+    candidates × d — the d3 rehearsal measured the former pair-join
+    verify spilling >70 GB at 2M vectors.  Rows-only (float
+    thresholding is not oracle-stable)."""
     import hashlib
 
-    from data_integration_system_spark.functions.vectors import cosine
     from data_integration_system_spark.operators._common import parallelize_scan
 
     # spread the unsplittable small scan: the 36-plane projection, the
@@ -790,14 +823,17 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     # Adaptive bucket width: one cheap count() sizes k so the expected
     # bucket stays ~_EMB_TARGET_BUCKET members no matter the corpus —
     # candidates stay LINEAR in n (see _emb_lsh_bits; at the 2k-vector
-    # test scale this resolves to the original k=6, so small-scale
-    # behavior is unchanged).
+    # test scale this resolves to the original k=6) — and L rises with
+    # k (_emb_lsh_tables) so recall at the DESIGN cosine holds instead
+    # of collapsing with the bucket width (measured collapse:
+    # SCALE_REHEARSAL_RECALL.json).
     n_bits = _emb_lsh_bits(emb.count())
+    n_tables = _emb_lsh_tables(n_bits)
 
     planes_by_table = F.lit(
         [
             [[sign(t, p, j) for j in range(dim)] for p in range(n_bits)]
-            for t in range(_LSH_TABLES)
+            for t in range(n_tables)
         ]
     )
 
@@ -828,36 +864,74 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     # like the MinHash LSH path (drop_hot_keys reads keyed twice; it is
     # checkpointed above).
     keyed = drop_hot_keys(keyed, ["tbl", "bucket"], _EMB_MAX_BUCKET)
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    # distinct the candidate PAIRS before the exact-cosine verify: a pair
-    # colliding in several tables would otherwise pay the 64-dim cosine
-    # once per table (up to L×) instead of once.
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # BUCKET-LOCAL verify (r8): the former pair self-join + two
+    # embedding joins shipped (pair + embedding) rows through shuffles —
+    # candidates × ~0.5 KB, which the d3 rehearsal (2M vectors, ~190M
+    # candidates at the target bucket of 32) measured as >70 GB of
+    # shuffle spill: verify VOLUME scaled with candidates, not corpus.
+    # Verifying inside each (table, bucket) group instead ships every
+    # member embedding once per table (L·n·d bytes — ~16x less at
+    # B=32) and materializes NO per-pair rows: each group computes its
+    # B×B cosine matrix and emits only passing pairs.  The cosine is
+    # BIT-IDENTICAL to functions/vectors.cosine: outer products
+    # accumulated in dimension order reproduce the JVM aggregate's
+    # left-to-right float64 adds, and Decimal(repr(x)) HALF_UP
+    # reproduces F.round's BigDecimal.valueOf semantics — the rewrite
+    # changes the shuffle shape, not one output bit.
+    members = keyed.join(bits_df.select("vec_id", "embedding"), "vec_id")
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        nb = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-        # Spread the verify while the rows are still NARROW (two longs):
-        # the candidate relation is byte-small, so AQE's size-based
-        # coalescing runs the downstream joins + per-pair cosine on ~1
-        # partition — a CPU-bound/byte-cheap mismatch it cannot see.
-        # Repartitioning AFTER the embedding joins would ship the wide
-        # (pair + 2x64 floats) rows through a serial exchange instead
-        # (measured: 4.7 s there vs 1.3 s here, sf0.1).
-        .repartition(spark.sparkContext.defaultParallelism)
+        if nb < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        acc = np.zeros((nb, nb))
+        nrm2 = np.zeros(nb)
+        for j in range(mat.shape[1]):  # dim order == the JVM fold order
+            c = mat[:, j]
+            acc += np.outer(c, c)
+            nrm2 += c * c
+        nrm = np.sqrt(nrm2)
+        ia, ib = np.triu_indices(nb, 1)
+        denom = nrm[ia] * nrm[ib]
+        ok = denom > 0  # zero-norm -> NULL in the column form -> drop
+        sims = np.divide(acc[ia, ib], denom, out=np.zeros(len(ia)), where=ok)
+        # coarse pre-filter; exact HALF_UP rounding only on survivors
+        keep = ok & (sims >= _EMB_SIM_MIN - 1e-4)
+        if not keep.any():
+            return empty
+        q = Decimal("0.0001")
+        va, vb, cs = [], [], []
+        for i, k, s in zip(ia[keep], ib[keep], sims[keep]):
+            r = float(Decimal(repr(float(s))).quantize(q, rounding=ROUND_HALF_UP))
+            if r >= _EMB_SIM_MIN:
+                lo, hi = sorted((int(ids[i]), int(ids[k])))
+                va.append(lo)
+                vb.append(hi)
+                cs.append(r)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
+
+    verified = members.groupBy("tbl", "bucket").applyInPandas(
+        verify, "vec_a long, vec_b long, cos_sim double"
     )
-    ea = bits_df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    eb = bits_df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    # a pair found by several tables collapses on the VERIFIED output
+    # (tiny), not the candidate space; max() of bit-identical values
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", F.round(cosine("e_a", "e_b"), 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _EMB_SIM_MIN)
+        verified.groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 

@@ -264,8 +264,10 @@ def _run_timing(spark, pairs, out_file: str) -> None:
     print(f"wrote {out_file}")
 
 
-def time_queries_one(spark, pairs, name: str, done: dict) -> dict | None:
-    """Time one query across the pair, or None when already recorded."""
+def time_queries_one(spark, pairs, name: str, done: dict, ratio: float = 10.0) -> dict | None:
+    """Time one query across the pair, or None when already recorded.
+    ``ratio`` is the data-size ratio between the pair (10 for the
+    decades; 2 for the within-regime half-points)."""
     if "exponent" in done.get(name, {}):
         return None
     from data_integration_system_spark.registry import get_queries
@@ -275,10 +277,15 @@ def time_queries_one(spark, pairs, name: str, done: dict) -> dict | None:
     try:
         for tag, d in pairs:
             t0 = time.perf_counter()
-            fn(spark, d).count()
+            n = fn(spark, d).count()
             row[tag] = round(time.perf_counter() - t0, 3)
+            # output rows: linear output across a decade is the cheap
+            # witness that the pair/candidate space didn't explode
+            row[f"{tag}_rows"] = n
         small, big = pairs[0][0], pairs[1][0]
-        row["exponent"] = round(math.log(row[big] / row[small]) / math.log(10), 3)
+        row["exponent"] = round(
+            math.log(row[big] / row[small]) / math.log(ratio), 3
+        )
     except Exception as ex:
         row["error"] = f"{type(ex).__name__}: {ex}"[:300]
     print(f"  {name}: {row}")
@@ -428,6 +435,142 @@ def run_d3_timing(spark) -> None:
     print("wrote SCALE_REHEARSAL_D3.json")
 
 
+D3H = os.path.join(HERE, ".scale", "d3h")
+
+
+def generate_d3h(spark) -> None:
+    """The within-regime half-point: the first 500 replicas of d3
+    (2.5M docs / 1M vectors) — still PAST the adaptive thresholds
+    (m=2 engages at ~2.1M docs; emb k=15 at 1M vectors), so the
+    d3h -> d3 pair isolates within-regime scaling from the one-time
+    lane-step cost that dominates the cross-regime sf10 -> d3 decade."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(D3H, exist_ok=True)
+    cut = (D3_REPLICAS // 2) * KEY_OFFSET
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        tgt = f"{D3H}/{name}.parquet"
+        if os.path.exists(f"{tgt}/_SUCCESS"):
+            print(f"  {name}: exists, skipped")
+            continue
+        (
+            spark.read.parquet(f"{D3}/{name}.parquet")
+            .filter(F.col(key) < cut)
+            .repartition(32)
+            .write.mode("overwrite").parquet(tgt)
+        )
+        print(f"  {name}: written")
+
+
+def run_d3h_timing(spark) -> None:
+    """d3h vs d3 (2x, both in the engaged regime): the exponent here is
+    the honest within-regime slope; exponent over ratio=2."""
+    from data_integration_system_spark.registry import get_queries
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    pairs = [("d3h", D3H), ("d3", D3)]
+    result = dict(prev)
+    result.setdefault("queries_within_regime", {})
+    get_queries()["dedup_simhash"](spark, "/root/testdata/sf0.01").count()
+    for name in QUERIES_D3:
+        got = time_queries_one(
+            spark, pairs, name, result["queries_within_regime"], ratio=2.0
+        )
+        if got:
+            result["queries_within_regime"][name] = got
+        with open(path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    print("updated SCALE_REHEARSAL_D3.json queries_within_regime")
+
+
+#: planted twin ids live far above every replica's key range
+TWIN_OFFSET = 900_000_000_000
+#: twins planted at the DESIGN cosine the adaptive L targets
+TWIN_COS = 0.9
+N_TWINS = 200
+
+
+def plant_twin_corpus(
+    spark, src_dir: str, out_dir: str, n: int = N_TWINS, cos: float = TWIN_COS
+) -> int:
+    """Write ``out_dir/embeddings.parquet`` = the corpus plus ``n``
+    planted twins of its first vectors at EXACTLY ``cos`` similarity
+    (rotate each unit vector toward a seeded random orthogonal
+    direction, preserve the norm).  The synthetic corpus has no pairs
+    above ~0.44 cosine, so design-band recall is unmeasurable on it —
+    planted twins make the band real at any corpus scale.  Returns the
+    number of twins planted; truth = {(vec_id, vec_id + TWIN_OFFSET)}."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+
+    base = table(spark, src_dir, "embeddings")
+    sample = base.orderBy("vec_id").limit(n).collect()
+    rng = np.random.default_rng(0xD15E)
+    twins = []
+    for r in sample:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        nv = float(np.linalg.norm(v))
+        if nv == 0:
+            continue
+        u = v / nv
+        g = rng.standard_normal(len(v))
+        w = g - (g @ u) * u
+        wn = float(np.linalg.norm(w))
+        if wn == 0:
+            continue
+        w /= wn
+        t = (cos * u + math.sqrt(1.0 - cos * cos) * w) * nv
+        twins.append((int(r.vec_id) + TWIN_OFFSET, [float(x) for x in t], r.label))
+    twin_df = spark.createDataFrame(twins, base.schema)
+    os.makedirs(out_dir, exist_ok=True)
+    base.unionByName(twin_df).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return len(twins)
+
+
+def planted_twin_recall(spark, d: str) -> dict:
+    """Design-band recall at full corpus scale: plant N_TWINS twins at
+    TWIN_COS into a temp copy of the corpus, run the operator, count
+    the recovered (orig, twin) pairs.  This is the number the adaptive
+    L (_emb_lsh_tables) is sized to hold — the corpus-threshold recall
+    in measure_recall prices the adversarially-low 0.3 band instead."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.dedup import dedup_embedding_near
+
+    root = tempfile.mkdtemp(prefix="recall_twins_")
+    try:
+        n = plant_twin_corpus(spark, d, root)
+        got = (
+            dedup_embedding_near(spark, root)
+            .filter(
+                (F.col("vec_b") >= TWIN_OFFSET)
+                & (F.col("vec_a") == F.col("vec_b") - TWIN_OFFSET)
+            )
+            .count()
+        )
+        return {
+            "planted": n,
+            "found": got,
+            "recall_design_band": round(got / max(1, n), 4),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def measure_recall(spark, d: str) -> dict:
     """Blocking recall of the two approximate near-dup paths vs brute
     force on the replica-0 stratum (the original sf0.1 rows, present
@@ -451,6 +594,7 @@ def measure_recall(spark, d: str) -> dict:
     from data_integration_system_spark.operators._common import parallelize_scan
     from data_integration_system_spark.operators.dedup import (
         _emb_lsh_bits,
+        _emb_lsh_tables,
         _simhash_geometry,
         _simhash_signatures,
         dedup_embedding_near,
@@ -481,11 +625,13 @@ def measure_recall(spark, d: str) -> dict:
     row["embedding"] = {
         "n_vectors": n_vec,
         "k_bits": _emb_lsh_bits(n_vec),
+        "tables_L": _emb_lsh_tables(_emb_lsh_bits(n_vec)),
         "truth_pairs": len(want),
         "recall": round(len(want & got) / max(1, len(want)), 4),
         "truth_pairs_cos80": len(want_hi),
         "recall_cos80": round(len(want_hi & got) / max(1, len(want_hi)), 4),
     }
+    row["embedding"].update(planted_twin_recall(spark, d))
     print(f"  embedding @{d}: {row['embedding']}")
 
     docs = table(spark, d, "documents")
@@ -690,6 +836,8 @@ def main() -> None:
     ap.add_argument("--time-sf10", action="store_true", help="time sf1 vs sf10")
     ap.add_argument("--generate-d3", action="store_true", help="build .scale/d3")
     ap.add_argument("--time-d3", action="store_true", help="time sf10 vs d3")
+    ap.add_argument("--generate-d3h", action="store_true", help="build .scale/d3h")
+    ap.add_argument("--time-d3h", action="store_true", help="time d3h vs d3 (within-regime)")
     ap.add_argument("--recall", action="store_true", help="LSH recall vs brute force")
     ap.add_argument("--time-writes", action="store_true", help="write-path decade rows")
     args = ap.parse_args()
@@ -712,8 +860,13 @@ def main() -> None:
         _run_timing(spark, [("sf0.1", SF01), ("sf1", SF1)], "SCALE_REHEARSAL.json")
     if args.time_sf10:
         _run_timing(spark, [("sf1", SF1), ("sf10", SF10)], "SCALE_REHEARSAL_D2.json")
+    if args.generate_d3h:
+        print("generating", D3H)
+        generate_d3h(spark)
     if args.time_d3:
         run_d3_timing(spark)
+    if args.time_d3h:
+        run_d3h_timing(spark)
     if args.recall:
         run_recall(spark)
     if args.time_writes:

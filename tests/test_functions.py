@@ -1170,3 +1170,35 @@ def test_decode_batches_prefix_protocol():
         mm._fake_decode_len(true_len)
     assert (out.loc[2, "width"], out.loc[2, "height"], out.loc[2, "fmt"]) == \
         (1234, 777, "png")
+
+
+def test_embedding_lsh_design_band_recall_floor(spark):
+    """r8: L now scales with k (_emb_lsh_tables) to hold recall at the
+    DESIGN cosine (0.8) — the r8 rehearsal measured fixed-L=6 recall
+    collapsing with adaptive k (0.24 -> 0.01 across three scales).
+    Floor pinned on planted twins at cos=0.9 (the corpus itself has no
+    pairs above ~0.44): with k=6/L=8 theory gives ~0.98; pin >= 0.8 so
+    a plane/bucket/table-sizing regression is caught."""
+    import scale_rehearsal as sr
+
+    got = sr.planted_twin_recall(spark, "/root/testdata/sf0.001")
+    assert got["planted"] >= 150
+    assert got["recall_design_band"] >= 0.8, got
+
+
+def test_emb_lsh_tables_schedule():
+    """L schedule: floor 6 at tiny k, rises with k to hold the design
+    recall, clamped at the documented ceiling."""
+    from data_integration_system_spark.operators.dedup import (
+        _EMB_MAX_TABLES,
+        _emb_lsh_bits,
+        _emb_lsh_tables,
+    )
+
+    ls = [_emb_lsh_tables(k) for k in range(6, 20)]
+    assert ls == sorted(ls)  # monotone in k
+    assert _emb_lsh_tables(6) == 8
+    assert _emb_lsh_tables(13) <= _EMB_MAX_TABLES
+    assert _emb_lsh_tables(19) == _EMB_MAX_TABLES  # clamp engages
+    # the adaptive pairing at rehearsal scales
+    assert _emb_lsh_tables(_emb_lsh_bits(200_000)) >= 30

@@ -954,3 +954,17 @@ def test_fingerprint_overlap_sink_redelivery_counts_stable(spark, tmp_path):
     assert len(first) > 0
     assert {k for k, _ in replay} == set(first)  # no new (inflated) pairs
     assert all(v == first[k] for k, v in replay)  # identical counts
+
+
+def test_streaming_dup_rate_snapshot_query_matches_batch(spark):
+    """The REGISTERED streaming query (driver-facing, r8): its final
+    snapshot must equal the batch dup_rate_by_source on the same corpus
+    — the Kappa parity that lets the exact SQL oracle check a real
+    foreachBatch execution.  Also pins that the tempdir teardown left
+    the returned DataFrame consumable (localCheckpoint barrier)."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = [tuple(r) for r in qs["streaming_dup_rate_snapshot"](spark, SF).collect()]
+    want = [tuple(r) for r in qs["dup_rate_by_source"](spark, SF).collect()]
+    assert got == want and len(want) > 0
