@@ -571,34 +571,26 @@ def planted_twin_recall(spark, d: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def measure_recall(spark, d: str) -> dict:
-    """Blocking recall of the two approximate near-dup paths vs brute
-    force on the replica-0 stratum (the original sf0.1 rows, present
-    verbatim at every rehearsal scale, so truth is comparable while the
-    OPERATOR runs at full-corpus geometry — exactly the question: what
-    did the adaptive k/geometry cost at this n?).
+def measure_recall_embedding(spark, d: str) -> dict:
+    """Embedding-LSH blocking recall vs brute force on the replica-0
+    stratum (the original sf0.1 rows, present verbatim at every
+    rehearsal scale, so truth is comparable while the OPERATOR runs at
+    full-corpus geometry — exactly the question: what did the adaptive
+    k/geometry cost at this n?).
 
-    * embedding: truth = all stratum pairs at cosine >= 0.3 (the
-      operator's own threshold + rounding); recall reported overall AND
-      on the cosine >= 0.8 band (the near-dup band a production
-      pipeline actually acts on — the 0.3 corpus threshold is
-      adversarially low for sign-LSH, see test_embedding_lsh_recall_floor).
-    * simhash: truth = all stratum pairs at Hamming <= D over the same
-      signatures the operator uses; the pigeonhole guarantee makes
-      blocking exact, so anything below 1.0 is the hot-bucket cap's
-      doing (priced here, not assumed)."""
+    Truth = all stratum pairs at cosine >= 0.3 (the operator's own
+    threshold + rounding); recall reported overall AND on the cosine
+    >= 0.8 band (the near-dup band a production pipeline actually acts
+    on — the 0.3 corpus threshold is adversarially low for sign-LSH,
+    see test_embedding_lsh_recall_floor)."""
     from pyspark.sql import functions as F
 
     from data_integration_system_spark.catalog import table
     from data_integration_system_spark.functions.vectors import cosine
-    from data_integration_system_spark.operators._common import parallelize_scan
     from data_integration_system_spark.operators.dedup import (
         _emb_lsh_bits,
         _emb_lsh_tables,
-        _simhash_geometry,
-        _simhash_signatures,
         dedup_embedding_near,
-        dedup_simhash,
     )
 
     row: dict[str, dict] = {}
@@ -633,6 +625,26 @@ def measure_recall(spark, d: str) -> dict:
     }
     row["embedding"].update(planted_twin_recall(spark, d))
     print(f"  embedding @{d}: {row['embedding']}")
+    return row["embedding"]
+
+
+def measure_recall_simhash(spark, d: str) -> dict:
+    """Simhash blocking recall vs brute force on (half of) the
+    replica-0 stratum: truth = all stratum pairs at Hamming <= D over
+    the same signatures the operator uses; the pigeonhole guarantee
+    makes blocking exact, so anything below 1.0 is the hot-bucket
+    cap's doing (priced here, not assumed)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators._common import parallelize_scan
+    from data_integration_system_spark.operators.dedup import (
+        _simhash_geometry,
+        _simhash_signatures,
+        dedup_simhash,
+    )
+
+    row: dict[str, dict] = {}
 
     docs = table(spark, d, "documents")
     n_docs = docs.count()
@@ -675,10 +687,13 @@ def measure_recall(spark, d: str) -> dict:
         "recall": round(len(truth & got_s) / max(1, len(truth)), 4),
     }
     print(f"  simhash @{d}: {row['simhash']}")
-    return row
+    return row["simhash"]
 
 
 def run_recall(spark) -> None:
+    """Resumable at COMPONENT granularity: the d3 embedding pass alone
+    runs >1h, so each (tag, component) flushes to the JSON the moment
+    it lands and a killed campaign re-runs only what is missing."""
     path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
     prev: dict = {}
     if os.path.exists(path):
@@ -687,16 +702,30 @@ def run_recall(spark) -> None:
                 prev = json.load(fh)
         except (OSError, json.JSONDecodeError):
             prev = {}
+
+    def _flush() -> None:
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    parts = (
+        ("embedding", measure_recall_embedding),
+        ("simhash", measure_recall_simhash),
+    )
     for tag, d in (("sf1", SF1), ("sf10", SF10), ("d3", D3)):
-        if tag in prev:
+        row = prev.get(tag) or {}
+        if all(part in row for part, _ in parts):
             print(f"  {tag}: recorded, skipped")
             continue
         if not os.path.exists(d):
             print(f"  {tag}: no data at {d}, skipped")
             continue
-        prev[tag] = measure_recall(spark, d)
-        with open(path, "w") as fh:
-            json.dump(prev, fh, indent=1, sort_keys=True)
+        prev[tag] = row
+        for part, fn in parts:
+            if part in row:
+                print(f"  {tag}/{part}: recorded, skipped")
+                continue
+            row[part] = fn(spark, d)
+            _flush()
     print("wrote SCALE_REHEARSAL_RECALL.json")
 
 
