@@ -172,11 +172,15 @@ def _cold_tier(queries: dict, round_no: int, k: int = _COLD_K) -> list[str]:
     pool = sorted(n for n in queries if n not in benched_elsewhere)
     if not pool:
         return []
+    if k >= len(pool):
+        return pool
     off = ((round_no - 1) * k) % len(pool)
     sl = pool[off:off + k]
     if len(sl) < k:
         sl += pool[: k - len(sl)]
-    return sl
+    # wrap-around padding can revisit names if the pool shrinks between
+    # rounds — keep first occurrence only
+    return list(dict.fromkeys(sl))
 
 
 def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None:

@@ -699,26 +699,34 @@ _LSH_BITS = 6     # …of AT LEAST k sign-bits each: candidate iff ANY table
                   # ~2B at 200k, the OOM the sf10 scale rehearsal caught.
 #: expected vectors per (table, bucket) the adaptive k aims for
 _EMB_TARGET_BUCKET = 32
-#: skew backstop: buckets beyond 16x the target are dense near-identical
-#: regions (the exact-dedup tier's job) — dropped before the self-join,
-#: same quadratic-bucket defense as the MinHash LSH cap.
-_EMB_MAX_BUCKET = _EMB_TARGET_BUCKET * 16
+#: skew backstop: buckets beyond 16x the EXPECTED size are dense
+#: near-identical regions (the exact-dedup tier's job) — dropped before
+#: the self-join, same quadratic-bucket defense as the MinHash LSH cap;
+#: see _emb_max_bucket (scales with n once k hits _EMB_MAX_BITS).
 
 
 def _emb_lsh_bits(n_vectors: int) -> int:
     """Bits per LSH table for a corpus of ``n_vectors``: the smallest k
     holding the EXPECTED bucket at ~_EMB_TARGET_BUCKET members, floored
-    at _LSH_BITS.  Constant buckets keep candidate pairs LINEAR in n —
-    the price is per-table recall (1-θ/π)^k falling as k grows, which
-    ``_emb_lsh_tables`` repays by raising L (the standard LSH trade);
-    corpora whose interesting pairs sit at LOW cosine should use the
-    IVF-blocked near-dup path (build_ivf_index) instead, where block
-    sizes are set by the centroid count."""
+    at _LSH_BITS and CAPPED at _EMB_MAX_BITS — the largest k whose
+    required table count still fits under _EMB_MAX_TABLES at the design
+    recall.  Constant buckets keep candidate pairs LINEAR in n — the
+    price is per-table recall (1-θ/π)^k falling as k grows, which
+    ``_emb_lsh_tables`` repays by raising L (the standard LSH trade).
+    Past the cap (~1M vectors at target 32) the EXPECTED BUCKET grows
+    with n instead: the r8 bucket-local verify made big buckets cheap
+    (one B×d matmul per group, shuffle stays L·n·d), whereas letting k
+    run past the L ceiling silently cut design-band recall to ~0.71 at
+    2M vectors (the r8-measured clamp defect).  Corpora whose
+    interesting pairs sit at LOW cosine should use the IVF-blocked
+    near-dup path (build_ivf_index) instead, where block sizes are set
+    by the centroid count."""
     import math as _math
 
     if n_vectors <= 0:
         return _LSH_BITS
-    return max(_LSH_BITS, _math.ceil(_math.log2(max(n_vectors / _EMB_TARGET_BUCKET, 2.0))))
+    k = _math.ceil(_math.log2(max(n_vectors / _EMB_TARGET_BUCKET, 2.0)))
+    return max(_LSH_BITS, min(_EMB_MAX_BITS, k))
 
 
 #: the similarity a production near-dup pipeline acts on: L is sized to
@@ -728,19 +736,21 @@ def _emb_lsh_bits(n_vectors: int) -> int:
 #: documented trade, now repaid instead of just documented.
 _EMB_DESIGN_COS = 0.8
 _EMB_TARGET_RECALL = 0.9
-#: L ceiling: past ~2M vectors the k needed for constant buckets would
-#: demand L beyond this to hold the design recall — the honest lever
-#: there is a larger target bucket (more verify work per bucket) or the
-#: IVF path, not unbounded table counts; the clamp is reported by the
-#: recall harness rather than silently absorbed.
+#: L ceiling: past ~1M vectors the k needed for constant buckets would
+#: demand L beyond this to hold the design recall.  r8 measured what
+#: silently riding the clamp costs: at 2M vectors k reached 16, L
+#: clamped at 48, and closed-form design-band recall fell to ~0.71 vs
+#: the 0.9 target.  r9 repays it structurally: _emb_lsh_bits caps k at
+#: _EMB_MAX_BITS (the largest k whose UNclamped L fits here), so the
+#: recall guarantee holds at every corpus size and the growth lever
+#: past the cap is bucket width, not recall.
 _EMB_MAX_TABLES = 48
 
 
-def _emb_lsh_tables(k: int) -> int:
-    """Tables L for ``k`` bits: smallest L with
+def _emb_tables_needed(k: int) -> int:
+    """UNclamped closed-form L for ``k`` bits: smallest L with
     1-(1-p^k)^L >= _EMB_TARGET_RECALL at the design cosine
-    (p = 1 - arccos(c)/π), floored at the classic 6 and clamped at
-    _EMB_MAX_TABLES.  k=6 (small corpora) resolves to L=8."""
+    (p = 1 - arccos(c)/π)."""
     import math as _math
 
     p = 1.0 - _math.acos(_EMB_DESIGN_COS) / _math.pi
@@ -748,7 +758,43 @@ def _emb_lsh_tables(k: int) -> int:
     if per_table >= 1.0:
         return _LSH_TABLES
     need = _math.log(1.0 - _EMB_TARGET_RECALL) / _math.log(1.0 - per_table)
-    return max(_LSH_TABLES, min(_EMB_MAX_TABLES, _math.ceil(need)))
+    return _math.ceil(need)
+
+
+def _emb_max_bits() -> int:
+    """Largest k whose required table count fits under _EMB_MAX_TABLES
+    — the k where the LSH geometry stops being able to hold the design
+    recall and bucket growth takes over (resolves to 13 at the shipped
+    cos 0.8 / recall 0.9 / 48-table constants)."""
+    k = _LSH_BITS
+    while _emb_tables_needed(k + 1) <= _EMB_MAX_TABLES:
+        k += 1
+    return k
+
+
+_EMB_MAX_BITS = _emb_max_bits()
+
+
+def _emb_lsh_tables(k: int) -> int:
+    """Tables L for ``k`` bits: _emb_tables_needed floored at the
+    classic 6 and clamped at _EMB_MAX_TABLES.  k=6 (small corpora)
+    resolves to L=8.  Ks arriving from _emb_lsh_bits never hit the
+    clamp (they are capped at _EMB_MAX_BITS); the clamp only guards
+    direct callers."""
+    return max(_LSH_TABLES, min(_EMB_MAX_TABLES, _emb_tables_needed(k)))
+
+
+def _emb_max_bucket(n_vectors: int, k: int) -> int:
+    """Hot-bucket cap for the skew backstop: 16× the EXPECTED bucket at
+    this (n, k).  Below the k cap the expected bucket is
+    ~_EMB_TARGET_BUCKET and this is the historical constant 512; past
+    the cap the expected bucket grows as n/2^k, and a fixed cap would
+    start dropping TYPICAL buckets — silently zeroing recall on exactly
+    the corpora the k cap was added to protect."""
+    import math as _math
+
+    expected = max(_EMB_TARGET_BUCKET, _math.ceil(n_vectors / 2 ** k))
+    return expected * 16
 #: Embedding dimensionality is pipeline CONFIG (you know your embedding
 #: model), not something to probe from the data — a driver-side .first()
 #: during query construction would block plan building on a cluster
@@ -769,9 +815,14 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     measured fixed-k candidates growing quadratically (208k -> 20.6M ->
     ~2B pairs across two decades) and OOMing an 8 GiB heap.  Oversized
     buckets that survive adaptive k (dense near-identical regions) are
-    capped like the MinHash path.  The recall cost of larger k is the
-    standard LSH trade — production holds recall by raising L with k or
-    moves to the IVF-blocked path.  The verify step is BUCKET-LOCAL
+    capped like the MinHash path (the cap scales with the expected
+    bucket, _emb_max_bucket).  The recall cost of larger k is the
+    standard LSH trade — L rises with k to hold design-band recall, and
+    k itself is CAPPED at _EMB_MAX_BITS, the largest k whose required L
+    fits the table ceiling (r9: riding the L clamp instead cut recall
+    to a measured ~0.7 at 2M vectors; past the cap the bucket grows
+    with n, which the bucket-local verify absorbs as per-group matmul
+    width, not shuffle volume).  The verify step is BUCKET-LOCAL
     (r8): pairwise cosines are computed inside each (table, bucket)
     group, so shuffle volume is L·n·d member bytes, never
     candidates × d — the d3 rehearsal measured the former pair-join
@@ -827,7 +878,8 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     # k (_emb_lsh_tables) so recall at the DESIGN cosine holds instead
     # of collapsing with the bucket width (measured collapse:
     # SCALE_REHEARSAL_RECALL.json).
-    n_bits = _emb_lsh_bits(emb.count())
+    n_vec = emb.count()
+    n_bits = _emb_lsh_bits(n_vec)
     n_tables = _emb_lsh_tables(n_bits)
 
     planes_by_table = F.lit(
@@ -862,8 +914,10 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     # skew backstop: a bucket still oversized after the adaptive k is a
     # dense near-identical region — cap it before the self-join exactly
     # like the MinHash LSH path (drop_hot_keys reads keyed twice; it is
-    # checkpointed above).
-    keyed = drop_hot_keys(keyed, ["tbl", "bucket"], _EMB_MAX_BUCKET)
+    # checkpointed above).  The cap scales with the EXPECTED bucket so
+    # the past-_EMB_MAX_BITS regime (bucket grows with n) doesn't see
+    # typical buckets dropped as "hot".
+    keyed = drop_hot_keys(keyed, ["tbl", "bucket"], _emb_max_bucket(n_vec, n_bits))
 
     # BUCKET-LOCAL verify (r8): the former pair self-join + two
     # embedding joins shipped (pair + embedding) rows through shuffles —

@@ -95,11 +95,21 @@ def playwright_renderer(
         page = pages.get()
         try:
             page.goto(url, wait_until="networkidle", timeout=timeout_s * 1000)
-            return page.content()
+            content = page.content()
         except Exception:
+            # a crashed page would poison 1/pool_size of all future
+            # renders on a long-lived executor: retire it, pool a fresh one
+            try:
+                page.close()
+            except Exception:
+                pass
+            try:
+                pages.put(state["browser"].new_page())
+            except Exception:
+                pages.put(page)  # replacement failed; keep pool size stable
             return None  # errors-as-data: caller keeps the fetched bytes
-        finally:
-            pages.put(page)
+        pages.put(page)
+        return content
 
     return render
 
@@ -131,7 +141,9 @@ def render_pages(
                 "render_pages needs playwright for its default renderer; "
                 "install it or inject render_fn_factory"
             )
-        render_fn_factory = playwright_renderer
+        # forward pool_size so the browser pool matches the stage's
+        # concurrency bound (bare playwright_renderer would cap at 2)
+        render_fn_factory = lambda: playwright_renderer(pool_size=pool_size)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor

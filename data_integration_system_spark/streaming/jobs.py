@@ -914,7 +914,11 @@ def streaming_dup_rate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
         finally:
             q.stop()
         # materialize before the tempdir vanishes; order AFTER the barrier

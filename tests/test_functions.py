@@ -1202,3 +1202,41 @@ def test_emb_lsh_tables_schedule():
     assert _emb_lsh_tables(19) == _EMB_MAX_TABLES  # clamp engages
     # the adaptive pairing at rehearsal scales
     assert _emb_lsh_tables(_emb_lsh_bits(200_000)) >= 30
+
+
+def test_emb_lsh_recall_holds_at_every_corpus_size():
+    """r9 repay of the r8-measured d3 clamp defect: _emb_lsh_bits caps
+    k at _EMB_MAX_BITS = the largest k whose UNclamped L fits under
+    _EMB_MAX_TABLES, so the closed-form design-band recall is >= target
+    for ANY corpus size — at 2M vectors the r8 geometry (k=16, L
+    clamped 48) gave ~0.71; now k=13/L=45 holds 0.9 and the expected
+    bucket grows past the cap instead (hot-bucket cap scales with it)."""
+    import math
+
+    from data_integration_system_spark.operators.dedup import (
+        _EMB_DESIGN_COS,
+        _EMB_MAX_BITS,
+        _EMB_MAX_TABLES,
+        _EMB_TARGET_BUCKET,
+        _EMB_TARGET_RECALL,
+        _emb_lsh_bits,
+        _emb_lsh_tables,
+        _emb_max_bucket,
+        _emb_tables_needed,
+    )
+
+    p = 1.0 - math.acos(_EMB_DESIGN_COS) / math.pi
+    for n in (2_000, 60_000, 200_000, 2_000_000, 50_000_000, 10**9):
+        k = _emb_lsh_bits(n)
+        L = _emb_lsh_tables(k)
+        assert k <= _EMB_MAX_BITS
+        assert _emb_tables_needed(k) <= _EMB_MAX_TABLES  # clamp never bites
+        recall = 1.0 - (1.0 - p**k) ** L
+        assert recall >= _EMB_TARGET_RECALL - 1e-9, (n, k, L, recall)
+        # the skew cap never drops TYPICAL buckets: >= 16x expected
+        assert _emb_max_bucket(n, k) >= 16 * max(
+            _EMB_TARGET_BUCKET, math.ceil(n / 2**k)
+        )
+    # the d3 regime specifically: k capped at 13, bucket ~244, cap ~3904
+    assert _emb_lsh_bits(2_000_000) == 13
+    assert _emb_max_bucket(2_000_000, 13) == math.ceil(2_000_000 / 8192) * 16
