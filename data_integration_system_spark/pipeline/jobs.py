@@ -25,7 +25,9 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_system_spark.catalog import table
 from data_integration_system_spark.functions.skew import salted_agg
+from data_integration_system_spark.registry import query
 from data_integration_system_spark.functions.urls import ext_of
 from data_integration_system_spark.pipeline.crawl import (
     CrawlConfig,
@@ -212,22 +214,25 @@ def job_status_update(
     _append_job_row(spark, jobs_path, job_id, None, None, None, status, error)
 
 
-#: lifecycle rank: status transitions are monotonic, so the present
-#: state is the highest-ranked row (created_at breaks rank ties)
-_STATUS_RANK = (
-    F.when(F.col("status") == "PENDING", 0)
-    .when(F.col("status") == "RUNNING", 1)
-    .otherwise(2)
-)
+def _status_rank():
+    """Lifecycle rank: status transitions are monotonic, so the present
+    state is the highest-ranked row (created_at breaks rank ties).
+    Built lazily — Column construction needs an active SparkContext and
+    this module is imported by the registry before any session exists."""
+    return (
+        F.when(F.col("status") == "PENDING", 0)
+        .when(F.col("status") == "RUNNING", 1)
+        .otherwise(2)
+    )
 
 
-def current_jobs(spark: SparkSession, jobs_path: str) -> DataFrame:
-    """Present state of every job: submission fields from the earliest
-    row, status from the lifecycle-latest row.  One aggregation over the
-    log — at scale this is a single shuffle on job_id, and the log
-    compacts via the same keep-latest pattern as the page store."""
-    order = F.struct(_STATUS_RANK.alias("r"), F.col("created_at").alias("t"))
-    log = spark.read.parquet(jobs_path)
+def fold_job_log(log: DataFrame) -> DataFrame:
+    """Fold the append-only status log into present job state:
+    submission fields from the earliest row, status/error from the
+    lifecycle-latest row (rank, then created_at).  One aggregation —
+    at scale a single map-side-combined shuffle on job_id; no per-key
+    sort, no window."""
+    order = F.struct(_status_rank().alias("r"), F.col("created_at").alias("t"))
     return log.groupBy("job_id").agg(
         F.min_by("start_url", "created_at").alias("start_url"),
         F.min_by("root_domain", "created_at").alias("root_domain"),
@@ -236,6 +241,101 @@ def current_jobs(spark: SparkSession, jobs_path: str) -> DataFrame:
         F.max_by("error", order).alias("error"),
         F.min("created_at").alias("created_at"),
     )
+
+
+def current_jobs(spark: SparkSession, jobs_path: str) -> DataFrame:
+    """Present state of every job in the parquet log — the GET /jobs
+    read path (api/main.py:81-93) over the append-only log."""
+    return fold_job_log(spark.read.parquet(jobs_path))
+
+
+@query(
+    "current_jobs_fold",
+    oracle="""
+    WITH log AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS job_id,
+             'https://example.com/' || o_orderkey AS start_url,
+             'example.com' AS root_domain,
+             '{"max_pages_total": ' || (o_orderkey % 10) || '}' AS config,
+             'PENDING' AS status, '' AS error,
+             o_orderdate AS created_at
+      FROM orders
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), NULL, NULL, NULL,
+             'RUNNING', '', o_orderdate + INTERVAL 1 HOUR
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), NULL, NULL, NULL,
+             CASE WHEN o_orderkey % 6 = 1 THEN 'DONE' ELSE 'FAILED' END,
+             CASE WHEN o_orderkey % 6 = 1 THEN '' ELSE 'fetch failed' END,
+             o_orderdate + INTERVAL 2 HOUR
+      FROM orders WHERE o_orderkey % 6 IN (1, 4)
+    ), ranked AS (
+      SELECT *,
+             CASE status WHEN 'PENDING' THEN 0 WHEN 'RUNNING' THEN 1
+                  ELSE 2 END AS r,
+             row_number() OVER (
+               PARTITION BY job_id
+               ORDER BY CASE status WHEN 'PENDING' THEN 0
+                             WHEN 'RUNNING' THEN 1 ELSE 2 END DESC,
+                        created_at DESC) AS rn_latest,
+             row_number() OVER (PARTITION BY job_id ORDER BY created_at)
+               AS rn_first
+      FROM log
+    )
+    SELECT f.job_id, f.start_url, f.root_domain, f.config,
+           l.status, l.error, f.created_at
+    FROM ranked f JOIN ranked l
+      ON f.job_id = l.job_id AND f.rn_first = 1 AND l.rn_latest = 1
+    """,
+)
+def current_jobs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jobs-table present-state fold (S14/S15/T1's read side —
+    api/main.py:81-93, worker_daemon.py:20-58) exercised by the driver
+    gate on a deterministic fixture: every order becomes a submitted
+    job (PENDING at o_orderdate), 2/3 start RUNNING an hour later, and
+    1/3 reach a terminal DONE/FAILED state — then `fold_job_log` (the
+    exact production aggregation behind GET /jobs) folds the replayed
+    log into current state.
+
+    Scale: the log is union-all of three pruned projections of one
+    scan, and the fold is one map-side-combined shuffle on job_id —
+    min_by/max_by, no per-key sort, no window (the oracle's
+    row_number formulation is the slow shape this fold avoids)."""
+    o = table(spark, sf_dir, "orders")
+    jid = F.col("o_orderkey").cast("string").alias("job_id")
+    ns = F.lit(None).cast("string")
+    pending = o.select(
+        jid,
+        F.concat(F.lit("https://example.com/"), F.col("o_orderkey")).alias(
+            "start_url"
+        ),
+        F.lit("example.com").alias("root_domain"),
+        F.concat(
+            F.lit('{"max_pages_total": '),
+            (F.col("o_orderkey") % 10).cast("string"),
+            F.lit("}"),
+        ).alias("config"),
+        F.lit("PENDING").alias("status"),
+        F.lit("").alias("error"),
+        F.col("o_orderdate").alias("created_at"),
+    )
+    running = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        jid,
+        ns.alias("start_url"), ns.alias("root_domain"), ns.alias("config"),
+        F.lit("RUNNING").alias("status"),
+        F.lit("").alias("error"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR")).alias("created_at"),
+    )
+    done = F.col("o_orderkey") % 6 == 1
+    terminal = o.filter((F.col("o_orderkey") % 6).isin(1, 4)).select(
+        jid,
+        ns.alias("start_url"), ns.alias("root_domain"), ns.alias("config"),
+        F.when(done, "DONE").otherwise("FAILED").alias("status"),
+        F.when(done, "").otherwise("fetch failed").alias("error"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 HOUR")).alias("created_at"),
+    )
+    return fold_job_log(pending.unionByName(running).unionByName(terminal))
 
 
 def job_request_of(row) -> dict[str, Any]:

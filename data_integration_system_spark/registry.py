@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
         textops,
         windows,
     )
+    from data_integration_system_spark.pipeline import jobs as _pjobs  # noqa: F401
     from data_integration_system_spark.streaming import jobs  # noqa: F401
 
 
@@ -72,87 +73,88 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 8 window = 1 new + 4 r4-stale + 45 r5-stale = exactly 50
-    # (VERDICT r7 "Next round" #1: CORRECTNESS_r7 landed all-green, so
-    # the r7 head rotates OUT and _NEXT_ROTATION_FIRST folds in; the
-    # newcomer displaces the queue's tail — source_quality_report,
-    # supplier_share_of_nation, transition_triangles, weekly_retention
-    # — which lead the r9 queue below, completing the 3-round cadence
-    # at 154 registered).
+    # Round 9 window = 1 new + 4 r5-stale + 45 r6-stale = exactly 50
+    # (VERDICT r8 "Next round" #4: CORRECTNESS_r8 landed all-green, so
+    # the r8 head rotates OUT and _NEXT_ROTATION_FIRST folds in; the
+    # newcomer displaces 5 of the 50-query r6 tier — transition_degrees,
+    # transition_reachability, user_modal_event_type, user_value_ewma,
+    # weighted_resample — which lead the r10 queue below, holding the
+    # 3-round cadence at 155 registered).
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
-    "streaming_dup_rate_snapshot",
-    # (2) the 3 r4-stale queries displaced from the r7 window, plus the
-    # oldest rows-only row (r5) — VERDICT r7 #1 names all four:
-    "weekday_order_stats",
-    "volume_shipping",
-    "token_count_bpe",
-    "similarity_recall_at_k",
-    # (3) the r5-stale tier (driver row from round 5); rows-only and
-    # §2B-heart queries first (CORRECTNESS_COVERAGE round == 5;
-    # regenerated from data via `python rehearse.py --coverage`):
-    "percentile_approx_check",
-    "multiway_star_join",
-    "dedup_exact",
-    "dedup_exact_full",
-    "dedup_keep_latest",
-    "upsert_changed_rows",
-    "join_broadcast_dim",
-    "join_sortmerge_fact",
-    "semi_join_existing",
-    "anti_join_unvisited",
-    "range_join_events",
-    "asof_latest_event_per_order",
-    "session_windows",
-    "sliding_window_avg",
-    "tumbling_window_counts",
-    "window_rank_frames",
-    "bigram_lift_top",
-    "cross_source_duplicate_matrix",
-    "customer_rfm_scores",
-    "customer_spend_percentile",
-    "daily_active_users",
-    "discount_band_pivot",
-    "discount_band_unpivot",
-    "doc_length_histogram",
-    "dq_orders_report",
-    "dup_rate_by_source",
-    "event_type_gini_per_user",
-    "event_value_mad",
-    "excess_stock_suppliers",
-    "lang_confusion_matrix",
-    "lang_source_grouping_sets",
-    "lang_source_rollcall",
-    "local_supplier_volume",
-    "monthly_revenue_growth",
-    "new_vs_returning_users",
-    "order_date_gap_fill",
-    "order_gap_percentiles",
-    "order_priority_check",
-    "pareto_revenue_share",
-    "purchase_streak_islands",
-    "quantity_price_correlation",
-    "rolling_7day_event_volume",
-    "salted_event_type_rollup",
-    "shipmode_priority_counts",
-    "shipping_priority",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). After round 8 lands, the oldest
-#: rows belong to the four r5-checked queries below (displaced from the
-#: r8 window by streaming_dup_rate_snapshot); the r9 window is these 4 +
-#: the r6-checked tier + newcomers, completing the 3-round cadence.
-#: Regenerate the plan from data with ``python rehearse.py --coverage``
-#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
-#: list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    # displaced from the r8 window by the round's new query — these
-    # lead the r9 window (their r5 rows become the registry's oldest):
+    "current_jobs_fold",
+    # (2) the 4 r5-stale queries (the registry's oldest rows —
+    # VERDICT r8 #4 names them):
     "source_quality_report",
     "supplier_share_of_nation",
     "transition_triangles",
     "weekly_retention",
+    # (3) the r6-checked tier (CORRECTNESS_COVERAGE round == 6;
+    # regenerated via `python rehearse.py --coverage`); the r9-changed
+    # rows-only query first (embedding-LSH k cap landed this round):
+    "dedup_embedding_near",
+    "brand_supplier_counts",
+    "contamination_check",
+    "conversion_by_signup_week",
+    "daily_volume_anomalies",
+    "decontaminate_filter",
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    "dedup_minhash_near",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_ngram_novelty",
+    "domain_mix_weights",
+    "embedding_centroid_per_label",
+    "event_type_daily_trend",
+    "event_type_transitions",
+    "event_zscore_outliers",
+    "fingerprint_overlap_pairs",
+    "group_quantiles",
+    "idle_rich_customers",
+    "kmeans_assign_int",
+    "large_volume_orders",
+    "minhash_jaccard_error",
+    "multimodal_decode_meta",
+    "multimodal_resize_meta",
+    "nation_supplier_concentration",
+    "ntile_quartiles",
+    "order_fulfillment_lag",
+    "part_copurchase_pairs",
+    "part_name_near_matches",
+    "partsupp_profit",
+    "pii_redact",
+    "quality_filter_gopher",
+    "regional_nation_volume",
+    "returned_item_report",
+    "sample_stratified",
+    "segment_top_orders",
+    "session_opening_paths",
+    "signup_purchase_funnel",
+    "snapshot_reconcile",
+    "text_normalize",
+    "token_top_vocab",
+    "top_revenue_supplier",
+    "top_sources_per_lang",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). After round 9 lands, the oldest
+#: rows belong to the five r6-checked queries below (displaced from the
+#: r9 window by current_jobs_fold); the r10 window is these 5 + the
+#: r7-checked tier + newcomers, holding the 3-round cadence.
+#: Regenerate the plan from data with ``python rehearse.py --coverage``
+#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
+#: list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    # displaced from the r9 window by the round's new query — these
+    # lead the r10 window (their r6 rows become the registry's oldest):
+    "transition_degrees",
+    "transition_reachability",
+    "user_modal_event_type",
+    "user_value_ewma",
+    "weighted_resample",
 ]
 
 
