@@ -614,3 +614,135 @@ def test_avi_movi_segment_bitflips_never_raise(data):
             if jx is not None:
                 w, h, ch, buf = jx
                 assert len(buf) == w * h * ch
+
+
+def _png_field_positions(png: bytes) -> list[int]:
+    """Byte offsets of every chunk LENGTH and CRC field in a well-formed
+    PNG — the fields whose corruption desynchronizes the chunk walk."""
+    import struct
+
+    positions: list[int] = []
+    pos = 8
+    while pos + 8 <= len(png):
+        (clen,) = struct.unpack(">I", png[pos:pos + 4])
+        positions.extend(range(pos, pos + 4))  # length field
+        crc_at = pos + 8 + clen
+        positions.extend(range(crc_at, min(crc_at + 4, len(png))))
+        if png[pos + 4:pos + 8] == b"IEND":
+            break
+        pos += 12 + clen
+    return positions
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_png_chunk_length_crc_bitflips_never_raise(data):
+    """VERDICT-r8 #8: the r8 fuzz covered entropy segments; the PNG
+    CHUNK WALK (length/CRC fields) only saw truncation.  Bit flips in
+    any length or CRC field must yield None or a geometry-consistent
+    pixel buffer — never an exception, and never an allocation beyond
+    what the actually-inflated IDAT bytes support (the decoder sizes
+    its output from the inflated length, so a corrupted declared
+    geometry that disagrees with the data returns None before any
+    h×w×ch buffer exists)."""
+    from data_integration_system_spark.operators import multimodal as mm
+
+    pix = bytes((11 * i) % 256 for i in range(24 * 16 * 3))
+    png = mm.encode_png(pix, 24, 16, 3)
+    fields = _png_field_positions(png)
+    assert len(fields) >= 16  # IHDR/IDAT/IEND lengths + CRCs at minimum
+    n = data.draw(st.integers(1, 6))
+    poss = data.draw(st.lists(st.sampled_from(fields), min_size=n, max_size=n))
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    out = mm.decode_png_pixels(_flip(png, poss, bits))
+    if out is not None:
+        w, h, ch, buf = out
+        assert len(buf) == w * h * ch
+        assert 0 < w * h * ch <= 64 * len(png)  # inflate-bounded, no bomb
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_png_whole_file_bitflips_never_raise(data):
+    """Flips ANYWHERE in the PNG byte stream (magic, IHDR geometry,
+    filter bytes, deflate stream): decode returns None or an internally
+    consistent (w, h, ch, buf) — the filter-type walk, the zlib
+    inflate, and the stride check are all reachable failure points and
+    none may escape as an exception."""
+    from data_integration_system_spark.operators import multimodal as mm
+
+    pix = bytes((11 * i) % 256 for i in range(24 * 16 * 3))
+    png = mm.encode_png(pix, 24, 16, 3)
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(
+        st.lists(st.integers(0, len(png) - 1), min_size=n, max_size=n)
+    )
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    out = mm.decode_png_pixels(_flip(png, poss, bits))
+    if out is not None:
+        w, h, ch, buf = out
+        assert len(buf) == w * h * ch
+
+
+def _wav_size_field_positions(wav: bytes) -> list[int]:
+    """Byte offsets of the RIFF size field and every sub-chunk size
+    field in a well-formed WAV."""
+    import struct
+
+    positions = list(range(4, 8))  # RIFF size
+    i = 12
+    while i + 8 <= len(wav):
+        (size,) = struct.unpack("<I", wav[i + 4:i + 8])
+        positions.extend(range(i + 4, i + 8))
+        i += 8 + size + (size & 1)
+    return positions
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_wav_chunk_size_bitflips_never_raise(data):
+    """The WAV twin of the PNG chunk fuzz: bit flips in the RIFF/fmt/
+    data SIZE fields (the walk's only control data — WAV has no CRC)
+    must yield None or a (channels, rate, samples) tuple whose sample
+    count is bounded by the payload bytes — the walk may overshoot or
+    truncate, never raise or allocate beyond the input."""
+    from data_integration_system_spark.operators import multimodal as mm
+    from tests.test_functions import _make_wav
+
+    wav = _make_wav(channels=1, rate=8000, n_frames=64)
+    fields = _wav_size_field_positions(wav)
+    assert len(fields) >= 12
+    n = data.draw(st.integers(1, 6))
+    poss = data.draw(st.lists(st.sampled_from(fields), min_size=n, max_size=n))
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    mutated = _flip(wav, poss, bits)
+    hdr = mm.decode_audio_header(mutated)
+    assert hdr is None or isinstance(hdr, dict)
+    out = mm.decode_wav_samples(mutated)
+    if out is not None:
+        channels, rate, samples = out
+        assert channels >= 1 and rate >= 1
+        assert len(samples) <= len(mutated)  # data slice is input-bounded
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_wav_whole_file_bitflips_never_raise(data):
+    """Flips anywhere in the WAV byte stream, including the fmt tag and
+    the PCM payload: decode returns None or a bounded sample list (a
+    flipped fmt tag must fall to None — a-law/mu-law codewords misread
+    as PCM is the documented failure this guard exists for)."""
+    from data_integration_system_spark.operators import multimodal as mm
+    from tests.test_functions import _make_wav
+
+    wav = _make_wav(channels=1, rate=8000, n_frames=64)
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(
+        st.lists(st.integers(0, len(wav) - 1), min_size=n, max_size=n)
+    )
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    out = mm.decode_wav_samples(_flip(wav, poss, bits))
+    if out is not None:
+        channels, rate, samples = out
+        assert channels >= 1 and rate >= 1
+        assert len(samples) <= len(wav)
