@@ -378,7 +378,15 @@ def generate_d3(spark) -> None:
 
 
 #: the adaptive-LSH surfaces D3 re-times in their ENGAGED regimes
-QUERIES_D3 = ("dedup_simhash", "dedup_embedding_near")
+QUERIES_D3 = (
+    "dedup_simhash",
+    "dedup_embedding_near",
+    # r9 (VERDICT r8 #5): the remaining heavy operators with sf10 rows
+    # but no third decade — PPJoin's prefix-filter candidate count and
+    # the large-star/small-star round count are the untested claims
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+)
 
 
 def _annotate_geometry(spark, result: dict, pairs) -> None:
@@ -857,6 +865,85 @@ def run_write_timing(spark) -> None:
     print("updated SCALE_REHEARSAL.json write_paths")
 
 
+def run_write_timing_d2(spark) -> None:
+    """Decade-2 write rows (VERDICT r8 #6): the decade-1 write paths
+    were overhead-dominated (e ~ 0.0-0.17) — release at 500k docs and
+    the skewed-partition repair at 10x the bytes is where the
+    data-dominated regime should begin."""
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    pairs = [("sf1", SF1), ("sf10", SF10)]
+    prev["write_paths_d2"] = time_write_paths(
+        spark, pairs, prev.get("write_paths_d2", {})
+    )
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print("updated SCALE_REHEARSAL.json write_paths_d2")
+
+
+def run_index_build_timing(spark) -> None:
+    """Third-decade rows for the three materialized-index BUILDS
+    (VERDICT r8 #5): minhash LSH bands, IVF centroids+assignments, and
+    winnowing fingerprints, each built to a temp dir at sf10 then d3.
+    Build = the one-time write path whose exponent says whether the
+    index keeps being buildable as the corpus grows."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.operators.dedup import build_minhash_index
+    from data_integration_system_spark.operators.similarity import build_ivf_index
+    from data_integration_system_spark.operators.textops import (
+        build_fingerprint_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    done = prev.get("index_builds", {})
+    pairs = [("sf10", SF10), ("d3", D3)]
+    builders = {
+        "minhash_index_build": build_minhash_index,
+        "ivf_index_build": build_ivf_index,
+        "fingerprint_index_build": build_fingerprint_index,
+    }
+    for name, build in builders.items():
+        if "exponent" in done.get(name, {}):
+            print(f"  {name}: recorded, skipped")
+            continue
+        row: dict = {}
+        try:
+            for tag, d in pairs:
+                root = tempfile.mkdtemp(prefix="scale_idx_")
+                try:
+                    t0 = time.perf_counter()
+                    build(spark, d, f"{root}/idx")
+                    row[tag] = round(time.perf_counter() - t0, 3)
+                finally:
+                    shutil.rmtree(root, ignore_errors=True)
+            row["exponent"] = round(
+                math.log(row["d3"] / row["sf10"]) / math.log(10), 3
+            )
+        except Exception as ex:
+            row["error"] = f"{type(ex).__name__}: {ex}"[:300]
+        done[name] = row
+        prev["index_builds"] = done
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+        print(f"  {name}: {row}")
+    print("updated SCALE_REHEARSAL_D3.json index_builds")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true", help="build .scale/sf1")
@@ -869,6 +956,14 @@ def main() -> None:
     ap.add_argument("--time-d3h", action="store_true", help="time d3h vs d3 (within-regime)")
     ap.add_argument("--recall", action="store_true", help="LSH recall vs brute force")
     ap.add_argument("--time-writes", action="store_true", help="write-path decade rows")
+    ap.add_argument(
+        "--time-writes-d2", action="store_true",
+        help="write-path decade-2 rows (sf1 vs sf10)",
+    )
+    ap.add_argument(
+        "--time-index-builds", action="store_true",
+        help="index-build decade-3 rows (sf10 vs d3)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -900,6 +995,10 @@ def main() -> None:
         run_recall(spark)
     if args.time_writes:
         run_write_timing(spark)
+    if args.time_writes_d2:
+        run_write_timing_d2(spark)
+    if args.time_index_builds:
+        run_index_build_timing(spark)
 
 
 if __name__ == "__main__":
