@@ -430,7 +430,11 @@ def run_d3_timing(spark) -> None:
         except (OSError, json.JSONDecodeError):
             prev = {}
     pairs = [("sf10", SF10), ("d3", D3)]
-    result = {"queries": prev.get("queries", {})}
+    # preserve the OTHER campaign sections (queries_within_regime,
+    # index_builds) — rebuilding from just "queries" silently wiped
+    # them (caught r9 when --time-d3 dropped the d3h rows)
+    result = dict(prev)
+    result.setdefault("queries", {})
     _annotate_geometry(spark, result, pairs)
     # warmup on the small side of THIS run
     get_queries()["dedup_simhash"](spark, "/root/testdata/sf0.01").count()
