@@ -891,6 +891,34 @@ def run_write_timing_d2(spark) -> None:
     print("updated SCALE_REHEARSAL.json write_paths_d2")
 
 
+def run_write_timing_d3(spark) -> None:
+    """Decade-3 write rows for the DOCUMENT-side write paths (d3 has
+    documents+embeddings only, so the events-side surfaces — z-order,
+    compaction — stop at decade 2): release at 5M docs is where the
+    decade-2 verdict 'fixed costs dominate through 500k docs' gets its
+    falsification shot."""
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    pairs = [("sf10", SF10), ("d3", D3)]
+    done = prev.get("write_paths_d3", {})
+    full = time_write_paths(spark, pairs, done)
+    # drop the events-side surfaces (no events table at d3 — their
+    # rows would just be error strings)
+    prev["write_paths_d3"] = {
+        k: v for k, v in full.items()
+        if k in ("release_corpus", "hash_layout_build") or "exponent" in v
+    }
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print("updated SCALE_REHEARSAL.json write_paths_d3")
+
+
 def run_index_build_timing(spark) -> None:
     """Third-decade rows for the three materialized-index BUILDS
     (VERDICT r8 #5): minhash LSH bands, IVF centroids+assignments, and
@@ -968,6 +996,10 @@ def main() -> None:
         "--time-index-builds", action="store_true",
         help="index-build decade-3 rows (sf10 vs d3)",
     )
+    ap.add_argument(
+        "--time-writes-d3", action="store_true",
+        help="document-side write-path decade-3 rows (sf10 vs d3)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -1001,6 +1033,8 @@ def main() -> None:
         run_write_timing(spark)
     if args.time_writes_d2:
         run_write_timing_d2(spark)
+    if args.time_writes_d3:
+        run_write_timing_d3(spark)
     if args.time_index_builds:
         run_index_build_timing(spark)
 
