@@ -30,6 +30,12 @@ RUNTIME_CONF = {
     # the synthetic events table stores TIMESTAMP(NANOS) which Spark's
     # parquet reader rejects; read as long and convert in the catalog
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # plan metadata (scan Location, PushedFilters) truncates at 100
+    # chars by default — long store paths silently vanish from the
+    # detail string, breaking path-matched executed-plan metrics (the
+    # r9 time bomb: pytest's tmp dir number grew one digit and pushed
+    # a scan's dir name past the cutoff)
+    "spark.sql.maxMetadataStringLength": "512",
 }
 
 
