@@ -91,27 +91,43 @@ def playwright_renderer(
             return state["pages"]
 
     def render(url: str) -> str | None:
-        pages = _pool()
-        page = pages.get()
-        try:
-            page.goto(url, wait_until="networkidle", timeout=timeout_s * 1000)
-            content = page.content()
-        except Exception:
-            # a crashed page would poison 1/pool_size of all future
-            # renders on a long-lived executor: retire it, pool a fresh one
-            try:
-                page.close()
-            except Exception:
-                pass
-            try:
-                pages.put(state["browser"].new_page())
-            except Exception:
-                pages.put(page)  # replacement failed; keep pool size stable
-            return None  # errors-as-data: caller keeps the fetched bytes
-        pages.put(page)
-        return content
+        _pool()
+        return _render_with_pool(state, url, timeout_s * 1000)
 
     return render
+
+
+def _render_with_pool(state: dict, url: str, timeout_ms: int) -> str | None:
+    """One render against the page pool in ``state`` (duck-typed:
+    ``state['pages']`` is a Queue of page objects, ``state['browser']``
+    makes new ones) — factored out of the playwright closure so the
+    crash-recovery contract is testable without a browser."""
+    pages = state["pages"]
+    page = pages.get()
+    try:
+        page.goto(url, wait_until="networkidle", timeout=timeout_ms)
+        content = page.content()
+    except Exception:
+        # a crashed page would poison 1/pool_size of all future
+        # renders on a long-lived executor: retire it, pool a fresh one
+        try:
+            page.close()
+        except Exception:
+            pass
+        try:
+            pages.put(state["browser"].new_page())
+        except Exception:
+            pages.put(page)  # replacement failed; keep pool size stable
+        return None  # errors-as-data: caller keeps the fetched bytes
+    pages.put(page)
+    return content
+
+
+def _default_factory(pool_size: int) -> Callable[[], RenderFn]:
+    """The default render_fn_factory: playwright with the STAGE's
+    pool_size forwarded — a bare ``playwright_renderer`` would cap the
+    browser pool at 2 while ``pool_size`` threads contend for it."""
+    return lambda: playwright_renderer(pool_size=pool_size)
 
 
 def _is_html(content_type: str | None) -> bool:
@@ -141,9 +157,7 @@ def render_pages(
                 "render_pages needs playwright for its default renderer; "
                 "install it or inject render_fn_factory"
             )
-        # forward pool_size so the browser pool matches the stage's
-        # concurrency bound (bare playwright_renderer would cap at 2)
-        render_fn_factory = lambda: playwright_renderer(pool_size=pool_size)
+        render_fn_factory = _default_factory(pool_size)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor

@@ -153,3 +153,74 @@ def test_render_pages_repartitions_by_domain(spark):
     assert out.filter(F.col("rendered")).count() == 16
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "RepartitionByExpression" in plan
+
+
+def test_crashed_page_is_retired_not_repooled():
+    """ADVICE r8: after a goto exception the broken page must NOT go
+    back into the pool (one crashed page would poison 1/pool_size of
+    all later renders on a long-lived executor) — it is closed and a
+    fresh browser.new_page() takes its slot; if even replacement fails
+    the old page returns so the pool never shrinks."""
+    import queue
+
+    from data_integration_system_spark.pipeline.render import _render_with_pool
+
+    class Page:
+        def __init__(self, broken=False):
+            self.broken, self.closed = broken, False
+
+        def goto(self, url, **kw):
+            if self.broken:
+                raise RuntimeError("crash")
+
+        def content(self):
+            return "<html>ok</html>"
+
+        def close(self):
+            self.closed = True
+
+    class Browser:
+        def __init__(self, fail=False):
+            self.fail = fail
+
+        def new_page(self):
+            if self.fail:
+                raise RuntimeError("browser gone")
+            return Page()
+
+    bad = Page(broken=True)
+    pages: queue.Queue = queue.Queue()
+    pages.put(bad)
+    state = {"pages": pages, "browser": Browser()}
+    assert _render_with_pool(state, "http://x", 1000) is None
+    assert bad.closed  # retired, not leaked
+    replacement = pages.get_nowait()
+    assert replacement is not bad and not replacement.broken
+    pages.put(replacement)
+    assert _render_with_pool(state, "http://x", 1000) == "<html>ok</html>"
+
+    # replacement failure: the old page returns, pool size stable
+    bad2 = Page(broken=True)
+    pages2: queue.Queue = queue.Queue()
+    pages2.put(bad2)
+    state2 = {"pages": pages2, "browser": Browser(fail=True)}
+    assert _render_with_pool(state2, "http://x", 1000) is None
+    assert pages2.get_nowait() is bad2
+
+
+def test_default_factory_forwards_pool_size(monkeypatch):
+    """ADVICE r8: render_pages(pool_size=8) must hand 8 to the
+    playwright pool — the bare-factory form silently capped the
+    browser pool at 2 while 8 threads contended for it."""
+    from data_integration_system_spark.pipeline import render as r
+
+    seen = {}
+
+    def fake_renderer(pool_size=r.DEFAULT_POOL_SIZE, timeout_s=r.DEFAULT_TIMEOUT_S):
+        seen["pool_size"] = pool_size
+        return lambda url: None
+
+    monkeypatch.setattr(r, "playwright_renderer", fake_renderer)
+    factory = r._default_factory(8)
+    factory()
+    assert seen["pool_size"] == 8
