@@ -73,16 +73,18 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 9 window = 1 new + 4 r5-stale + 45 r6-stale = exactly 50
+    # Round 9 window = 2 new + 4 r5-stale + 44 r6-stale = exactly 50
     # (VERDICT r8 "Next round" #4: CORRECTNESS_r8 landed all-green, so
     # the r8 head rotates OUT and _NEXT_ROTATION_FIRST folds in; the
-    # newcomer displaces 5 of the 50-query r6 tier — transition_degrees,
-    # transition_reachability, user_modal_event_type, user_value_ewma,
-    # weighted_resample — which lead the r10 queue below, holding the
-    # 3-round cadence at 155 registered).
+    # two newcomers displace 6 of the 50-query r6 tier —
+    # top_sources_per_lang, transition_degrees, transition_reachability,
+    # user_modal_event_type, user_value_ewma, weighted_resample — which
+    # lead the r10 queue below, holding the 3-round cadence at 156
+    # registered).
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
     "current_jobs_fold",
+    "streaming_user_ewma_snapshot",
     # (2) the 4 r5-stale queries (the registry's oldest rows —
     # VERDICT r8 #4 names them):
     "source_quality_report",
@@ -136,7 +138,6 @@ _DRIVER_HEAD: list[str] = [
     "text_normalize",
     "token_top_vocab",
     "top_revenue_supplier",
-    "top_sources_per_lang",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -148,8 +149,10 @@ _DRIVER_HEAD: list[str] = [
 #: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
 #: list.
 _NEXT_ROTATION_FIRST: list[str] = [
-    # displaced from the r9 window by the round's new query — these
-    # lead the r10 window (their r6 rows become the registry's oldest):
+    # displaced from the r9 window by the round's two new queries —
+    # these lead the r10 window (their r6 rows become the registry's
+    # oldest):
+    "top_sources_per_lang",
     "transition_degrees",
     "transition_reachability",
     "user_modal_event_type",

@@ -926,3 +926,115 @@ def streaming_dup_rate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("source")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_user_ewma_snapshot",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v_e2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, v_e2 AS s_e2 FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (w.s_e2 + s.v_e2) // 2
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+           max_by(s_e2, rn) AS ewma_e2
+    FROM walk GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_user_ewma_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful per-user EWMA recurrence executed END-TO-END under
+    applyInPandasWithState — the second REAL streaming path under the
+    driver's exact oracle, and the first exercising Spark's stateful
+    machinery (r8's streaming_dup_rate_snapshot covered foreachBatch
+    over an order-insensitive grain; this one carries per-key state
+    across micro-batches for an ORDER-SENSITIVE recurrence).
+
+    Replay contract: the recurrence needs per-key in-order delivery
+    across batches (the Kafka-partition guarantee), so the fixture
+    trisects events by GLOBAL (ts, event_id) order — every user's
+    batch-b rows precede their batch-b+1 rows — and forces strictly
+    increasing file mtimes so the file source's oldest-first pacing is
+    deterministic.  Each micro-batch's update-mode output lands in a
+    batch_id-keyed ledger dir (overwrite per dir = idempotent under
+    retry); the final per-user row is the one with the largest
+    n_events, which the state monotonically grows.  The batch
+    user_value_ewma RECURSIVE-CTE SQL is therefore the exact oracle.
+
+    Scale shape: state is one (n, s_e2) pair per user — bounded by key
+    cardinality, not stream length; each trigger shuffles only that
+    batch's events once on user_id (the same single-shuffle shape as
+    the batch operator).  Reference anchor: workers/worker_daemon.py
+    poll loop as the streaming host, db/schema.sql:56-61 job-state
+    lifecycle as the per-key-state precedent."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.catalog import table
+
+    root = tempfile.mkdtemp(prefix="stream_ewma_")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        staged = ev.withColumn("b", tercile).localCheckpoint()
+        src = f"{root}/in"
+        for b in (1, 2, 3):
+            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            # strictly increasing mtimes pin oldest-first processing
+            # even when sequential writes share a clock tick
+            for f in _os.listdir(src):
+                p = _os.path.join(src, f)
+                if f.endswith(".parquet") and _os.stat(p).st_mtime < b * 1e6:
+                    _os.utime(p, (b * 1e6, b * 1e6))
+        stream = (
+            spark.readStream.schema(staged.drop("b").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        ledger = f"{root}/ledger"
+
+        def land(batch: DataFrame, batch_id: int) -> None:
+            batch.coalesce(1).write.mode("overwrite").parquet(
+                f"{ledger}/batch_id={batch_id}"
+            )
+
+        q = (
+            ewma_state_stream(stream)
+            .writeStream.foreachBatch(land)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        out = (
+            spark.read.option("basePath", ledger).parquet(ledger)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("ewma_e2", "n_events").alias("ewma_e2"),
+            )
+            .localCheckpoint()  # materialize before the tempdir vanishes
+        )
+        return out.orderBy("user_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
