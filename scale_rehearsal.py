@@ -919,6 +919,65 @@ def run_write_timing_d3(spark) -> None:
     print("updated SCALE_REHEARSAL.json write_paths_d3")
 
 
+D3E = os.path.join(HERE, ".scale", "d3e")
+
+
+def generate_d3e(spark) -> None:
+    """Build .scale/d3e: events ONLY, 10 x sf10 (100M rows, ~2 GB) —
+    the third decade for the EVENTS-side write paths (z-order layout,
+    skewed-partition compaction), which d3 cannot serve (it carries
+    documents+embeddings only).  Keys shift per replica exactly like
+    generate_d3's documents so event_id/user_id stay unique/disjoint
+    while the user_id skew shape (hash-mod) is preserved per replica."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+
+    os.makedirs(D3E, exist_ok=True)
+    tgt = f"{D3E}/events.parquet"
+    if os.path.exists(f"{tgt}/_SUCCESS"):
+        print("  d3e events: exists, skipped")
+        return
+    reps = spark.range(10).select(F.col("id").cast("long").alias("__k"))
+    ev = table(spark, SF10, "events").crossJoin(F.broadcast(reps))
+    out = ev.select(
+        (F.col("event_id") + F.col("__k") * KEY_OFFSET).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__k") * KEY_OFFSET).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(128)
+    out.write.mode("overwrite").parquet(tgt)
+    print("  d3e events: written")
+
+
+def run_write_timing_d3e(spark) -> None:
+    """Decade-3 rows for the EVENTS-side write paths (sf10 vs d3e):
+    z-order layout build and the skewed-partition compaction repair —
+    the two surfaces whose decade-2 verdict was 'fixed costs rule
+    through 60M events'."""
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    done = dict(prev.get("write_paths_d3e", {}))
+    # mask the document-side surfaces so time_write_paths skips them
+    # (d3e carries no documents table)
+    masked = {"release_corpus", "hash_layout_build"}
+    for name in masked:
+        done.setdefault(name, {"exponent": None, "skipped": "no documents at d3e"})
+    full = time_write_paths(spark, [("sf10", SF10), ("d3e", D3E)], done)
+    prev["write_paths_d3e"] = {k: v for k, v in full.items() if k not in masked}
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print("updated SCALE_REHEARSAL.json write_paths_d3e")
+
+
 def run_index_build_timing(spark) -> None:
     """Third-decade rows for the three materialized-index BUILDS
     (VERDICT r8 #5): minhash LSH bands, IVF centroids+assignments, and
@@ -1000,6 +1059,14 @@ def main() -> None:
         "--time-writes-d3", action="store_true",
         help="document-side write-path decade-3 rows (sf10 vs d3)",
     )
+    ap.add_argument(
+        "--generate-d3e", action="store_true",
+        help="build .scale/d3e (events only, 10x sf10)",
+    )
+    ap.add_argument(
+        "--time-writes-d3e", action="store_true",
+        help="events-side write-path decade-3 rows (sf10 vs d3e)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -1035,6 +1102,10 @@ def main() -> None:
         run_write_timing_d2(spark)
     if args.time_writes_d3:
         run_write_timing_d3(spark)
+    if args.generate_d3e:
+        generate_d3e(spark)
+    if args.time_writes_d3e:
+        run_write_timing_d3e(spark)
     if args.time_index_builds:
         run_index_build_timing(spark)
 
