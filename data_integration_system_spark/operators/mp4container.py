@@ -1,0 +1,324 @@
+"""Minimal MJPEG-in-MP4 (ISO BMFF) container codec, stdlib-only.
+
+The AVI sibling (operators.avicontainer) proved real frame sampling is
+feasible without a native codec when every sample is a complete baseline
+JPEG.  Real-world video corpora, however, are overwhelmingly MP4 — and
+in ISO BMFF the frames are NOT delimited chunks but opaque byte ranges
+in ``mdat`` that only the ``stbl`` sample tables can locate:
+
+* ``stsz`` — per-sample byte sizes,
+* ``stsc`` — the run-length sample→chunk map,
+* ``stco``/``co64`` — absolute chunk offsets,
+* ``stss`` — the sync (keyframe) sample numbers.
+
+This module implements exactly that walk: a spec-valid writer for the
+subset the reader covers (one ``'jpeg'`` video track, mdat-before-moov
+so offsets are literal), and an errors-as-data reader (malformed input
+returns None, never raises — the reference's contract,
+file_ingestion.py:61-63).  Keyframe-only sampling via ``stss`` is the
+100 TB shape: an hour-long video pays one table walk plus k JPEG
+decodes, never a full-stream scan.  H.264/HEVC pixel decode honestly
+stays behind an import-gated native tier, exactly like progressive JPEG
+in operators.jpegcodec.
+
+Reference anchor: the reference has no media handling at all; this is
+north-star scope (multimodal columns for a training-data pipeline), like
+the rest of operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: fixed sample cadence for synthesized fixtures (media timescale units)
+_TIMESCALE = 1000
+_SAMPLE_DELTA = 100  # 10 fps at timescale 1000
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _full(typ: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(typ, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    sync_every: int = 2,
+) -> bytes:
+    """Wrap pre-encoded JPEG frames as a complete, spec-valid MP4:
+    ``ftyp`` + ``mdat`` (frame bytes back to back) + ``moov`` with one
+    ``'vide'`` track whose ``stbl`` locates every frame.
+
+    The chunking is deliberately non-trivial so the reader's ``stsc``
+    expansion is really exercised: the first chunk holds two samples,
+    every later chunk one — two stsc runs whenever n > 2.  Samples
+    ``1, 1+sync_every, …`` (1-based) are declared sync samples in
+    ``stss``, giving keyframe-only sampling something real to select."""
+    n = len(frames)
+    sizes = [len(f) for f in frames]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"mp41")
+    mdat_data_off = len(ftyp) + 8  # mdat body starts after its header
+    mdat = _box(b"mdat", b"".join(frames))
+
+    # chunk plan: [2, 1, 1, ...] samples per chunk (or [n] when n <= 2)
+    per_chunk = [min(2, n)] + [1] * max(0, n - 2) if n else []
+    chunk_offsets: list[int] = []
+    pos, si = mdat_data_off, 0
+    for c in per_chunk:
+        chunk_offsets.append(pos)
+        pos += sum(sizes[si:si + c])
+        si += c
+
+    duration = n * _SAMPLE_DELTA
+    mvhd = _full(b"mvhd", struct.pack(
+        ">IIII", 0, 0, _TIMESCALE, duration
+    ) + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration
+    ) + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16), flags=7)
+    mdhd = _full(b"mdhd", struct.pack(
+        ">IIIIHH", 0, 0, _TIMESCALE, duration, 0x55C4, 0
+    ))
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                 + b"MJPEG sampler\x00")
+    vmhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1))
+    dinf = _box(b"dinf", dref)
+
+    # VisualSampleEntry 'jpeg': 6 reserved + dref idx, 16 bytes of
+    # pre_defined/reserved, width/height, 72/18/24-bit tail per spec
+    entry = _box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)
+                 + b"\x00" * 16
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">II", 0x00480000, 0x00480000)
+                 + struct.pack(">I", 0) + struct.pack(">H", 1)
+                 + b"\x00" * 32
+                 + struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", struct.pack(">III", 1, n, _SAMPLE_DELTA))
+    sync = list(range(1, n + 1, max(1, sync_every)))
+    stss = _full(b"stss", struct.pack(">I", len(sync))
+                 + b"".join(struct.pack(">I", s) for s in sync))
+    if n > 2:
+        stsc_entries = [(1, 2, 1), (2, 1, 1)]
+    elif n:
+        stsc_entries = [(1, n, 1)]
+    else:
+        stsc_entries = []
+    stsc = _full(b"stsc", struct.pack(">I", len(stsc_entries))
+                 + b"".join(struct.pack(">III", *e) for e in stsc_entries))
+    stsz = _full(b"stsz", struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _full(b"stco", struct.pack(">I", len(chunk_offsets))
+                 + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _iter_boxes(buf: bytes, lo: int, hi: int):
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack(">I", buf[i:i + 4])
+        typ = buf[i + 4:i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > hi:
+                return
+            (size,) = struct.unpack(">Q", buf[i + 8:i + 16])
+            body = i + 16
+        if size < 8 or i + size > hi:
+            return
+        yield typ, body, i + size
+        i += size
+
+
+def _find(buf: bytes, lo: int, hi: int, typ: bytes) -> tuple[int, int] | None:
+    for t, b, e in _iter_boxes(buf, lo, hi):
+        if t == typ:
+            return b, e
+    return None
+
+
+def decode_mp4_sample_table(payload: bytes) -> dict | None:
+    """The stbl walk: locate every sample of the first video track.
+
+    Returns ``{width, height, codec, timescale, duration,
+    samples: [(offset, size), ...], sync: [1-based sample numbers]}``
+    or None for non-MP4 / corrupt input (errors-as-data — any declared
+    range that falls outside the payload, an stsc chunk run past stco,
+    or a malformed table returns None rather than raising).
+
+    Cost model: the walk touches only moov bytes (a few KB even for
+    hour-long videos); no sample byte is read — extraction is the
+    caller's choice, so a frame COUNT never pays for pixels."""
+    n = len(payload)
+    if _find(payload, 0, n, b"ftyp") is None:
+        return None
+    try:
+        moov = _find(payload, 0, n, b"moov")
+        if moov is None:
+            return None
+        mdhd_ts = dur = None
+        for typ, lo, hi in _iter_boxes(payload, *moov):
+            if typ != b"trak":
+                continue
+            mdia = _find(payload, lo, hi, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = _find(payload, *mdia, b"hdlr")
+            if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+                continue
+            mdhd = _find(payload, *mdia, b"mdhd")
+            if mdhd is not None and mdhd[1] - mdhd[0] >= 20:
+                v = payload[mdhd[0]]
+                if v == 1 and mdhd[1] - mdhd[0] >= 32:
+                    mdhd_ts, dur = struct.unpack(
+                        ">IQ", payload[mdhd[0] + 20:mdhd[0] + 32])
+                elif v == 0:
+                    mdhd_ts, dur = struct.unpack(
+                        ">II", payload[mdhd[0] + 12:mdhd[0] + 20])
+            minf = _find(payload, *mdia, b"minf")
+            if minf is None:
+                continue
+            stbl = _find(payload, *minf, b"stbl")
+            if stbl is None:
+                continue
+            return _parse_stbl(payload, stbl, mdhd_ts, dur)
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _parse_stbl(payload: bytes, stbl: tuple[int, int],
+                timescale: int | None, duration: int | None) -> dict | None:
+    lo, hi = stbl
+    stsd = _find(payload, lo, hi, b"stsd")
+    width = height = None
+    codec = None
+    if stsd is not None and stsd[1] - stsd[0] >= 8:
+        b = stsd[0] + 8  # skip version/flags + entry_count
+        for t, el, eh in _iter_boxes(payload, b, stsd[1]):
+            codec = t.decode("ascii", "replace")
+            if eh - el >= 28:  # VisualSampleEntry: w/h at body +24
+                width, height = struct.unpack(">HH", payload[el + 24:el + 28])
+            break
+
+    def full_body(typ: bytes) -> tuple[int, int] | None:
+        r = _find(payload, lo, hi, typ)
+        if r is None or r[1] - r[0] < 4:
+            return None
+        return r[0] + 4, r[1]  # skip version/flags
+
+    # stsz: uniform size or per-sample table
+    r = full_body(b"stsz")
+    if r is None or r[1] - r[0] < 8:
+        return None
+    uniform, count = struct.unpack(">II", payload[r[0]:r[0] + 8])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        if r[0] + 8 + 4 * count > r[1]:
+            return None
+        sizes = list(struct.unpack(f">{count}I", payload[r[0] + 8:r[0] + 8 + 4 * count]))
+
+    # stco / co64: chunk offsets
+    r = full_body(b"stco")
+    wide = False
+    if r is None:
+        r = full_body(b"co64")
+        wide = True
+    if r is None or r[1] - r[0] < 4:
+        return None
+    (n_chunks,) = struct.unpack(">I", payload[r[0]:r[0] + 4])
+    step = 8 if wide else 4
+    if r[0] + 4 + step * n_chunks > r[1]:
+        return None
+    fmt = f">{n_chunks}Q" if wide else f">{n_chunks}I"
+    offsets = list(struct.unpack(fmt, payload[r[0] + 4:r[0] + 4 + step * n_chunks]))
+
+    # stsc: run-length sample->chunk map
+    r = full_body(b"stsc")
+    if r is None or r[1] - r[0] < 4:
+        return None
+    (n_runs,) = struct.unpack(">I", payload[r[0]:r[0] + 4])
+    if r[0] + 4 + 12 * n_runs > r[1]:
+        return None
+    runs = [struct.unpack(">III", payload[r[0] + 4 + 12 * k:r[0] + 16 + 12 * k])
+            for k in range(n_runs)]
+
+    # expand: absolute (offset, size) per sample, in sample order
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for k, (first, per, _sdi) in enumerate(runs):
+        last = runs[k + 1][0] - 1 if k + 1 < len(runs) else n_chunks
+        if first < 1 or last < first:
+            return None
+        for c in range(first, last + 1):
+            if si >= count:
+                break
+            pos = offsets[c - 1]
+            for _ in range(per):
+                if si >= count:
+                    break
+                size = sizes[si]
+                if pos + size > len(payload):
+                    return None  # declared range outside the file
+                samples.append((pos, size))
+                pos += size
+                si += 1
+    if si != count:
+        return None
+
+    # stss: sync samples (absent box = every sample is sync, per spec)
+    r = full_body(b"stss")
+    if r is None:
+        sync = list(range(1, count + 1))
+    else:
+        (n_sync,) = struct.unpack(">I", payload[r[0]:r[0] + 4])
+        if r[0] + 4 + 4 * n_sync > r[1]:
+            return None
+        sync = list(struct.unpack(f">{n_sync}I", payload[r[0] + 4:r[0] + 4 + 4 * n_sync]))
+        if any(s < 1 or s > count for s in sync):
+            return None
+
+    return {
+        "width": width, "height": height, "codec": codec,
+        "timescale": timescale, "duration": duration,
+        "samples": samples, "sync": sync,
+    }
+
+
+def extract_mp4_frames(
+    payload: bytes, keyframes_only: bool = False
+) -> list[tuple[int, bytes]] | None:
+    """Sample-table-driven frame extraction: ``[(0-based sample index,
+    sample bytes), ...]`` — all samples, or only the ``stss`` sync set.
+    None for non-MP4 / corrupt input.  Bytes are container payloads
+    (complete JPEGs for the writer above); pixel decode stays the
+    caller's choice of jpegcodec tier."""
+    st = decode_mp4_sample_table(payload)
+    if st is None:
+        return None
+    picks = (
+        sorted(s - 1 for s in set(st["sync"])) if keyframes_only
+        else range(len(st["samples"]))
+    )
+    out: list[tuple[int, bytes]] = []
+    for i in picks:
+        off, size = st["samples"][i]
+        out.append((i, payload[off:off + size]))
+    return out if out else None

@@ -66,33 +66,43 @@ DEFAULT_TIMEOUT_S = 20
 def playwright_renderer(
     pool_size: int = DEFAULT_POOL_SIZE, timeout_s: int = DEFAULT_TIMEOUT_S
 ) -> RenderFn:
-    """Build the real Playwright-backed RenderFn: one headless chromium
-    per worker process with a ``pool_size``-page pool, ``networkidle``
-    wait — js_renderer.py:11-36 semantics.  Import-gated: raises
-    ImportError where playwright isn't installed (same contract as the
-    PIL/PyMuPDF gates in extract.py), which `render_pages` surfaces at
-    stage construction when this default factory is used."""
+    """Build the real Playwright-backed RenderFn — js_renderer.py:11-36
+    semantics (headless chromium, ``networkidle`` wait, 20 s timeout).
+    Import-gated: raises ImportError where playwright isn't installed
+    (same contract as the PIL/PyMuPDF gates in extract.py), which
+    `render_pages` surfaces at stage construction.
+
+    Threading model (ADVICE r9): Playwright's sync API is
+    greenlet-bound to the thread that created each object — calling
+    ``browser.new_page()`` (or ``page.goto``) from another thread
+    raises ``greenlet.error: cannot switch to a different thread``.
+    State is therefore THREAD-AFFINE: each render worker thread lazily
+    starts its own playwright + chromium + single-page pool, so every
+    pool operation — including the crash-recovery replacement page in
+    `_render_with_pool` — runs on the thread that owns the browser.
+    Concurrency is bounded by the caller's thread pool (render_pages
+    runs ``pool_size`` workers), so total live browsers per executor =
+    ``pool_size``; the argument is kept so the stage's bound is visible
+    at the factory too.  Browsers live as long as their worker thread
+    (render_pages reuses one pool across all batches of a partition) —
+    the same long-lived-pool lifecycle as the reference."""
     from playwright.sync_api import sync_playwright  # import gate
 
-    lock = threading.Lock()
-    state: dict = {}
+    tls = threading.local()
 
-    def _pool():
-        with lock:
-            if "pages" not in state:
-                pw = sync_playwright().start()
-                browser = pw.chromium.launch(headless=True)
-                import queue
+    def _state() -> dict:
+        if not hasattr(tls, "state"):
+            pw = sync_playwright().start()
+            browser = pw.chromium.launch(headless=True)
+            import queue
 
-                pages: queue.Queue = queue.Queue()
-                for _ in range(pool_size):
-                    pages.put(browser.new_page())
-                state.update(pw=pw, browser=browser, pages=pages)
-            return state["pages"]
+            pages: queue.Queue = queue.Queue()
+            pages.put(browser.new_page())
+            tls.state = dict(pw=pw, browser=browser, pages=pages)
+        return tls.state
 
     def render(url: str) -> str | None:
-        _pool()
-        return _render_with_pool(state, url, timeout_s * 1000)
+        return _render_with_pool(_state(), url, timeout_s * 1000)
 
     return render
 
@@ -108,8 +118,10 @@ def _render_with_pool(state: dict, url: str, timeout_ms: int) -> str | None:
         page.goto(url, wait_until="networkidle", timeout=timeout_ms)
         content = page.content()
     except Exception:
-        # a crashed page would poison 1/pool_size of all future
-        # renders on a long-lived executor: retire it, pool a fresh one
+        # a crashed page would poison all future renders on this
+        # long-lived worker thread: retire it, pool a fresh one (the
+        # caller guarantees state is thread-affine, so new_page() runs
+        # on the thread that created the browser — ADVICE r9)
         try:
             page.close()
         except Exception:
@@ -172,11 +184,18 @@ def render_pages(
             except Exception:
                 return None  # a throwing fake/renderer is still data
 
+        # ONE pool for every batch of the partition: worker threads
+        # persist, so a thread-affine renderer (playwright_renderer)
+        # amortizes its per-thread browser across batches instead of
+        # relaunching chromium each batch
+        with ThreadPoolExecutor(max_workers=pool_size) as pool:
+            yield from _run_batches(batches, pool, one)
+
+    def _run_batches(batches, pool, one):
         for pdf in batches:
             if pdf.empty:
                 continue
-            with ThreadPoolExecutor(max_workers=pool_size) as pool:
-                doms = list(pool.map(one, pdf["url"], pdf["content_type"]))
+            doms = list(pool.map(one, pdf["url"], pdf["content_type"]))
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],

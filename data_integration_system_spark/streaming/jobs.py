@@ -847,6 +847,23 @@ def ewma_state_stream(events: DataFrame) -> DataFrame:
 from data_integration_system_spark.registry import query as _query
 
 
+def _pin_batch_mtimes(src: str, b: int) -> None:
+    """Stamp batch ``b``'s parquet files to mtime ``b * 1e6`` so the
+    file source's oldest-first pacing is deterministic even when
+    sequential writes share a clock tick.  Fresh files carry real epoch
+    mtimes (~1.7e9 s), far above the 1e6..3e6 pin range, so only
+    not-yet-pinned files (> 4e6) are stamped — earlier batches' pins
+    are never re-stamped (ADVICE r9: the original ``< b * 1e6`` guard
+    was inverted — dead code on fresh files, and destructive had it
+    ever fired)."""
+    import os as _os
+
+    for f in _os.listdir(src):
+        p = _os.path.join(src, f)
+        if f.endswith(".parquet") and _os.stat(p).st_mtime > 4e6:
+            _os.utime(p, (b * 1e6, b * 1e6))
+
+
 @_query(
     "streaming_dup_rate_snapshot",
     oracle=r"""
@@ -992,12 +1009,7 @@ def streaming_user_ewma_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
                 "append"
             ).parquet(src)
-            # strictly increasing mtimes pin oldest-first processing
-            # even when sequential writes share a clock tick
-            for f in _os.listdir(src):
-                p = _os.path.join(src, f)
-                if f.endswith(".parquet") and _os.stat(p).st_mtime < b * 1e6:
-                    _os.utime(p, (b * 1e6, b * 1e6))
+            _pin_batch_mtimes(src, b)
         stream = (
             spark.readStream.schema(staged.drop("b").schema)
             .option("maxFilesPerTrigger", "1")

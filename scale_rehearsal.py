@@ -906,14 +906,16 @@ def run_write_timing_d3(spark) -> None:
         except (OSError, json.JSONDecodeError):
             prev = {}
     pairs = [("sf10", SF10), ("d3", D3)]
-    done = prev.get("write_paths_d3", {})
+    done = dict(prev.get("write_paths_d3", {}))
+    # mask the events-side surfaces UP FRONT so time_write_paths never
+    # attempts them (ADVICE r9: the old post-hoc error filter paid the
+    # full sf10 timing cost before erroring at d3, and left no record
+    # of the skip — the d3e masking pattern is the right one)
+    masked = {"zorder_layout_build", "compact_partitions_repair"}
+    for name in masked:
+        done.setdefault(name, {"exponent": None, "skipped": "no events at d3"})
     full = time_write_paths(spark, pairs, done)
-    # drop the events-side surfaces (no events table at d3 — their
-    # rows would just be error strings)
-    prev["write_paths_d3"] = {
-        k: v for k, v in full.items()
-        if k in ("release_corpus", "hash_layout_build") or "exponent" in v
-    }
+    prev["write_paths_d3"] = {k: v for k, v in full.items() if k not in masked}
     with open(path, "w") as fh:
         json.dump(prev, fh, indent=1, sort_keys=True)
     print("updated SCALE_REHEARSAL.json write_paths_d3")
@@ -1035,6 +1037,53 @@ def run_index_build_timing(spark) -> None:
     print("updated SCALE_REHEARSAL_D3.json index_builds")
 
 
+def run_retime_minhash_build(spark, tag: str) -> None:
+    """Separate-process re-time of ONE leg of the minhash index build
+    (VERDICT r9 #1): the recorded d3 exponent 1.122 came from a paired
+    session, and both r9 same-session artifacts (ivf 1.311→0.622,
+    clusters 1.84→1.01) biased UPWARD — so each scale is re-timed in
+    its OWN process (`python scale_rehearsal.py --retime-minhash-build
+    sf10` then, in a fresh process, `... d3`).  Rows land under
+    ``index_builds_retime`` with a method note; the exponent is
+    computed once both legs exist."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.operators.dedup import build_minhash_index
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("index_builds_retime", {}))
+    row = dict(
+        section.get(
+            "minhash_index_build",
+            {"method": "one scale per process, fresh JVM (anti paired-session bias)"},
+        )
+    )
+    d = {"sf10": SF10, "d3": D3}[tag]
+    root = tempfile.mkdtemp(prefix="scale_idx_rt_")
+    try:
+        t0 = time.perf_counter()
+        build_minhash_index(spark, d, f"{root}/idx")
+        row[tag] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if "sf10" in row and "d3" in row:
+        row["exponent"] = round(math.log(row["d3"] / row["sf10"]) / math.log(10), 3)
+    section["minhash_index_build"] = row
+    prev["index_builds_retime"] = section
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print(f"  minhash_index_build retime: {row}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true", help="build .scale/sf1")
@@ -1066,6 +1115,10 @@ def main() -> None:
     ap.add_argument(
         "--time-writes-d3e", action="store_true",
         help="events-side write-path decade-3 rows (sf10 vs d3e)",
+    )
+    ap.add_argument(
+        "--retime-minhash-build", choices=["sf10", "d3"],
+        help="re-time ONE leg of the minhash index build in this process",
     )
     args = ap.parse_args()
 
@@ -1108,6 +1161,8 @@ def main() -> None:
         run_write_timing_d3e(spark)
     if args.time_index_builds:
         run_index_build_timing(spark)
+    if args.retime_minhash_build:
+        run_retime_minhash_build(spark, args.retime_minhash_build)
 
 
 if __name__ == "__main__":

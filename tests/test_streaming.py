@@ -968,3 +968,31 @@ def test_streaming_dup_rate_snapshot_query_matches_batch(spark):
     got = [tuple(r) for r in qs["streaming_dup_rate_snapshot"](spark, SF).collect()]
     want = [tuple(r) for r in qs["dup_rate_by_source"](spark, SF).collect()]
     assert got == want and len(want) > 0
+
+
+def test_ewma_fixture_mtimes_strictly_increase(tmp_path):
+    """ADVICE r9 (medium): the mtime pin that orders the EWMA replay's
+    micro-batches was inverted — fresh files (epoch mtimes ~1.7e9s)
+    never satisfied `< b*1e6`, so the 'strictly increasing mtimes'
+    guard was dead code.  Pin the fixed contract: after pinning batch
+    b, that batch's files read mtime b*1e6 and EARLIER batches' pins
+    are untouched (re-stamping batch 1 at b=2 would destroy the very
+    ordering the pin exists to provide)."""
+    import os
+
+    from data_integration_system_spark.streaming.jobs import _pin_batch_mtimes
+
+    src = tmp_path / "in"
+    src.mkdir()
+    seen: dict[str, float] = {}
+    for b in (1, 2, 3):
+        f = src / f"part-{b}.parquet"
+        f.write_bytes(b"x")  # fresh file: real epoch mtime
+        assert os.stat(f).st_mtime > 4e6
+        _pin_batch_mtimes(str(src), b)
+        for name, want in seen.items():
+            assert os.stat(src / name).st_mtime == want, "earlier pin re-stamped"
+        assert os.stat(f).st_mtime == b * 1e6
+        seen[f.name] = b * 1e6
+    pinned = sorted(os.stat(src / n).st_mtime for n in seen)
+    assert pinned == [1e6, 2e6, 3e6]  # strictly increasing across batches
