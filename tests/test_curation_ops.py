@@ -300,3 +300,79 @@ def test_release_corpus_with_split_fencing(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _fake_word_tokenizer_factory():
+    """Injected test tokenizer: whitespace words, each yielding TWO
+    'tokens' — distinguishable from both the regex proxy and any real
+    BPE, so the test proves the FACTORY's counts flow through.  Built
+    as a lambda so cloudpickle ships it by VALUE (a module-level def in
+    a test file pickles by reference and the Spark worker can't import
+    tests/*)."""
+    return lambda: (
+        "fake_2x_words",
+        lambda s: [w for w in s.split() for _ in (0, 1)],
+    )
+
+
+def test_token_counts_injected_tokenizer_contract(spark):
+    """VERDICT r9 #7: the pluggable tokenizer stage runs the injected
+    factory per partition and reports its counts + name per row —
+    the full Spark plumbing (Arrow batches, schema, NULL text) without
+    the real dependency, the render_fn_factory pattern for tokenizers."""
+    from data_integration_system_spark.operators.tokenize import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "one"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.tokenizer)
+        for r in token_counts(df, tokenizer_factory=_fake_word_tokenizer_factory()).collect()
+    }
+    assert out == {
+        1: (6, "fake_2x_words"),  # 3 words x 2
+        2: (2, "fake_2x_words"),
+        3: (0, "fake_2x_words"),  # NULL text counts 0, never raises
+        4: (0, "fake_2x_words"),
+    }
+
+
+def test_token_counts_default_factory_falls_back_to_regex(spark):
+    """This container has no tiktoken: the default factory must resolve
+    to the documented regex proxy (identical counts to the
+    token_count_bpe token classes), and the tokenizer column must say
+    so — a silent fallback that still claims tiktoken would corrupt
+    every budget downstream."""
+    import importlib.util
+
+    from data_integration_system_spark.operators.tokenize import (
+        default_tokenizer_factory,
+        token_counts,
+    )
+
+    assert importlib.util.find_spec("tiktoken") is None  # gate premise
+    name, encode = default_tokenizer_factory()
+    assert name == "regex_bpe_proxy"
+    assert len(encode("don't stop; x2")) == 7  # don ' t stop ; x 2
+
+    df = spark.createDataFrame([(7, "a1b2 -- ok")], "doc_id long, text string")
+    row = token_counts(df).collect()[0]
+    # a|1|b|2 (letter/digit runs) + -|- + ok = 7
+    assert (row.n_tokens, row.tokenizer) == (7, "regex_bpe_proxy")
+
+
+def test_token_budget_report_rolls_up_per_group(spark):
+    from data_integration_system_spark.operators.tokenize import (
+        token_budget_report,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "two words"), (2, "s1", "three little words"), (3, "s2", "one")],
+        "doc_id long, source string, text string",
+    )
+    counts = token_counts(docs, tokenizer_factory=_fake_word_tokenizer_factory())
+    rep = {r.source: r for r in token_budget_report(counts, docs).collect()}
+    assert (rep["s1"].n_docs, rep["s1"].n_tokens, rep["s1"].tokens_per_doc) == (2, 10, 5)
+    assert (rep["s2"].n_docs, rep["s2"].n_tokens, rep["s2"].tokens_per_doc) == (1, 2, 2)

@@ -746,3 +746,88 @@ def test_wav_whole_file_bitflips_never_raise(data):
         channels, rate, samples = out
         assert channels >= 1 and rate >= 1
         assert len(samples) <= len(wav)
+
+
+def _mp4_table_positions(mp4: bytes) -> list[int]:
+    """Byte offsets of the moov region — the sample tables whose
+    corruption desynchronizes the stbl walk (sizes, offsets, run
+    lengths, sync numbers).  moov is the LAST top-level box in the
+    writer's layout, so everything from its header on is control data."""
+    i = mp4.rfind(b"moov")
+    assert i > 0
+    return list(range(i - 4, len(mp4)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_mp4_sample_table_bitflips_never_raise(data):
+    """The MP4 twin of the PNG chunk fuzz (VERDICT r9 #3): bit flips
+    anywhere in moov — stsz sizes, stco offsets, stsc runs, stss sync
+    numbers, box lengths — must yield None or a table whose every
+    declared (offset, size) range lies inside the payload; extraction
+    and pixel decode of surviving samples stay under the same
+    no-raise/bounded contract.  This is the guard that matters at
+    100 TB: a crawled MP4 with a hostile stco must not become an
+    out-of-range read or a size-driven allocation."""
+    from data_integration_system_spark.operators import mp4container as m4
+    from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
+    from tests.test_functions import _make_mp4
+
+    mp4 = _make_mp4(4, 8, 8)
+    fields = _mp4_table_positions(mp4)
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(st.lists(st.sampled_from(fields), min_size=n, max_size=n))
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    mutated = _flip(mp4, poss, bits)
+    st_ = m4.decode_mp4_sample_table(mutated)
+    if st_ is not None:
+        for off, size in st_["samples"]:
+            assert 0 <= off and off + size <= len(mutated)
+        assert all(1 <= s <= len(st_["samples"]) for s in st_["sync"])
+        frames = m4.extract_mp4_frames(mutated, keyframes_only=True)
+        for _i, f in frames or []:
+            jx = decode_jpeg_pixels(f)
+            if jx is not None:
+                w, h, ch, buf = jx
+                assert len(buf) == w * h * ch
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_mp4_whole_file_bitflips_never_raise(data):
+    """Flips ANYWHERE in the MP4 byte stream (ftyp, mdat sample bytes,
+    every table): the walk returns None or an input-bounded table, and
+    full extraction never raises."""
+    from data_integration_system_spark.operators import mp4container as m4
+    from tests.test_functions import _make_mp4
+
+    mp4 = _make_mp4(3, 8, 8)
+    n = data.draw(st.integers(1, 8))
+    poss = data.draw(
+        st.lists(st.integers(0, len(mp4) - 1), min_size=n, max_size=n)
+    )
+    bits = data.draw(st.lists(st.integers(0, 7), min_size=n, max_size=n))
+    mutated = _flip(mp4, poss, bits)
+    st_ = m4.decode_mp4_sample_table(mutated)
+    if st_ is not None:
+        for off, size in st_["samples"]:
+            assert 0 <= off and off + size <= len(mutated)
+    out = m4.extract_mp4_frames(mutated)
+    assert out is None or all(
+        isinstance(b, bytes) and len(b) <= len(mutated) for _, b in out
+    )
+
+
+def test_mp4_every_truncation_never_raises():
+    """All prefixes of a well-formed MP4 (every box boundary, every
+    mid-table cut): None or an input-bounded table, never an
+    exception — the exhaustive twin of the bit-flip fuzz."""
+    from data_integration_system_spark.operators import mp4container as m4
+    from tests.test_functions import _make_mp4
+
+    mp4 = _make_mp4(4, 8, 8)
+    for cut in range(len(mp4)):
+        st_ = m4.decode_mp4_sample_table(mp4[:cut])
+        if st_ is not None:
+            for off, size in st_["samples"]:
+                assert off + size <= cut
