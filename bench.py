@@ -321,6 +321,14 @@ def main() -> None:
     ).collect()
     calibration = round(time.perf_counter() - t0, 3)
 
+    # previous round's recording, read up front: it picks the
+    # median-of-3 set below (and feeds the regression diff at the end).
+    # Only comparable at the SAME scale factor.
+    prev = _latest_round_bench()
+    if prev and prev.get("sf") != sf:
+        prev = None
+    prev_q = (prev or {}).get("queries", {})
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t_suite = time.perf_counter()
@@ -347,6 +355,29 @@ def main() -> None:
         except Exception as ex:
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
+    # Sub-second queries false-flag at this rig's noise floor: three
+    # consecutive rounds flagged DISJOINT sub-second sets (SCALE.md r9),
+    # so any query whose PREVIOUS recording was sub-second gets two
+    # extra reps and records the median-of-3 (VERDICT r9 #6).  Reps run
+    # OUTSIDE the suite wall so `value` stays comparable across rounds;
+    # the regression diff below reads the median, which a single
+    # scheduler hiccup can no longer flip.
+    median3: list[str] = []
+    for name, p in sorted(prev_q.items()):
+        if name not in timings or not (0 < p < 1.0):
+            continue
+        extra: list[float] = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).count()
+                extra.append(round(time.perf_counter() - t0, 3))
+            except Exception:
+                break
+        if len(extra) == 2:
+            timings[name] = sorted([timings[name], *extra])[1]
+            median3.append(name)
+
     builds: dict[str, float] = {}
     try:
         _bench_index_probes(spark, sf_dir, timings, builds)
@@ -370,14 +401,13 @@ def main() -> None:
         out["index_build"] = builds
     if errors:
         out["errors"] = errors
+    if median3:
+        out["median3"] = median3  # queries recorded as median-of-3
 
     # self-comparison vs the latest recorded round: queries >1.5x slower
-    # are flagged so a regression is visible in the round's JSON itself.
-    # Only comparable at the SAME scale factor — an sf0.01 run diffed
-    # against an sf0.1 recording would flag everything (or nothing).
-    prev = _latest_round_bench()
-    if prev and prev.get("sf") != sf:
-        prev = None
+    # are flagged so a regression is visible in the round's JSON itself
+    # (prev was loaded before the suite; sf-mismatched rounds already
+    # dropped).
     if prev:
         # normalize by machine speed when the previous round recorded a
         # calibration: a uniformly slower host must not flag every query.
@@ -425,6 +455,8 @@ def compact_output(out: dict, timings: dict, errors: dict) -> dict:
     came back unparseable."""
     compact = dict(out)
     compact.pop("cold_tier", None)  # ~700 B of names; sidecar-only
+    if "median3" in compact:  # names sidecar-only; count on the line
+        compact["n_median3"] = len(compact.pop("median3"))
     slowest = sorted(timings, key=timings.get, reverse=True)[:10]
     keep = set(slowest) | {"multiway_star_join"}
     compact["queries"] = {n: timings[n] for n in timings if n in keep}

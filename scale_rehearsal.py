@@ -1037,6 +1037,146 @@ def run_index_build_timing(spark) -> None:
     print("updated SCALE_REHEARSAL_D3.json index_builds")
 
 
+_CRAWL_BRANCH = 8
+_CRAWL_DOMAINS = 64
+
+
+def _crawl_url_of(i: int) -> str:
+    return f"http://site{i % _CRAWL_DOMAINS}.test/p{i}"
+
+
+def _crawl_site_fetch(n_pages: int, fail_from: int | None = None):
+    """Synthetic-site FetchFn: page i links to its ``_CRAWL_BRANCH``
+    children in an n_pages-node tree spread across ``_CRAWL_DOMAINS``
+    domains (so the crawl's domain repartition actually fans out).
+    ``fail_from`` injects a mid-crawl kill: fetching any page >= it
+    raises, failing the generation's Spark job exactly like an executor
+    crash — the resume-from-kill scenario."""
+
+    def fetch(url: str):
+        i = int(url.rsplit("p", 1)[1])
+        if fail_from is not None and i >= fail_from:
+            raise RuntimeError("injected mid-crawl kill")
+        lo = i * _CRAWL_BRANCH + 1
+        kids = range(lo, min(lo + _CRAWL_BRANCH, n_pages))
+        links = "".join(f'<a href="{_crawl_url_of(k)}">k</a>' for k in kids)
+        body = f"<html><body><p>page {i} {'w ' * 30}</p>{links}</body></html>"
+        return body.encode(), "text/html"
+
+    return fetch
+
+
+def _crawl_cfg(n_pages: int):
+    from data_integration_system_spark.pipeline.crawl import CrawlConfig
+
+    return CrawlConfig(
+        root_domain="site0.test",
+        same_domain_only=False,  # the synthetic site spans 64 domains
+        max_depth=64,
+        max_pages_total=n_pages + 1,
+        max_retries=0,  # injected kills must fail the job, not retry-loop
+    )
+
+
+def run_crawl_timing(spark) -> None:
+    """Decade rows for the crawl WRITE path (VERDICT r9 #5 — the last
+    library write surface with no scale row): the generation-
+    checkpointed durable-frontier BFS (pipeline/crawl.py) over a
+    synthetic in-process site at 20k / 200k / 2M pages (10x / 100x),
+    plus a kill-and-resume at the middle scale.  Wall includes every
+    per-generation commit (pages, frontier, visited, state) — the
+    durable-frontier tax is exactly what this row prices."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.pipeline.crawl import crawl
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("crawl", {}))
+
+    def flush() -> None:
+        prev["crawl"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    legs = [("d1_20k", 20_000), ("d2_200k", 200_000), ("d3_2m", 2_000_000)]
+    for tag, n in legs:
+        if "wall_sec" in section.get(tag, {}):
+            print(f"  crawl {tag}: recorded, skipped")
+            continue
+        root = tempfile.mkdtemp(prefix=f"scale_crawl_{tag}_")
+        try:
+            t0 = time.perf_counter()
+            pages = crawl(
+                spark, [_crawl_url_of(0)], _crawl_cfg(n),
+                _crawl_site_fetch(n), checkpoint_dir=f"{root}/ckpt",
+            )
+            n_pages = pages.count()
+            row = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "n_pages": n_pages,
+                "generations": len(
+                    [d for d in os.listdir(f"{root}/ckpt/pages")]
+                ),
+            }
+            section[tag] = row
+            print(f"  crawl {tag}: {row}")
+            flush()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    for a, b in (("d1_20k", "d2_200k"), ("d2_200k", "d3_2m")):
+        if "wall_sec" in section.get(a, {}) and "wall_sec" in section.get(b, {}):
+            section[b]["exponent_vs_prev"] = round(
+                math.log(section[b]["wall_sec"] / section[a]["wall_sec"])
+                / math.log(10), 3,
+            )
+    flush()
+
+    # kill-and-resume at the middle scale: gens 0..5 commit (37k pages),
+    # the kill lands mid-generation-6, resume finishes from the last
+    # committed state and the page count must match the clean run
+    tag, n = "resume_200k", 200_000
+    if "resume_wall_sec" not in section.get(tag, {}):
+        root = tempfile.mkdtemp(prefix="scale_crawl_resume_")
+        try:
+            row = {}
+            t0 = time.perf_counter()
+            try:
+                crawl(
+                    spark, [_crawl_url_of(0)], _crawl_cfg(n),
+                    _crawl_site_fetch(n, fail_from=100_000),
+                    checkpoint_dir=f"{root}/ckpt",
+                )
+                raise AssertionError("injected kill did not fire")
+            except Exception:
+                row["killed_after_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            pages = crawl(
+                spark, [_crawl_url_of(0)], _crawl_cfg(n),
+                _crawl_site_fetch(n), checkpoint_dir=f"{root}/ckpt",
+                resume=True,
+            )
+            row["resumed_n_pages"] = pages.count()
+            row["resume_wall_sec"] = round(time.perf_counter() - t0, 3)
+            row["pages_match_clean"] = (
+                row["resumed_n_pages"] == section.get("d2_200k", {}).get("n_pages")
+            )
+            section[tag] = row
+            print(f"  crawl {tag}: {row}")
+            flush()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    print("updated SCALE_REHEARSAL.json crawl")
+
+
 def run_retime_minhash_build(spark, tag: str) -> None:
     """Separate-process re-time of ONE leg of the minhash index build
     (VERDICT r9 #1): the recorded d3 exponent 1.122 came from a paired
@@ -1120,6 +1260,10 @@ def main() -> None:
         "--retime-minhash-build", choices=["sf10", "d3"],
         help="re-time ONE leg of the minhash index build in this process",
     )
+    ap.add_argument(
+        "--time-crawl", action="store_true",
+        help="crawl write-path decade rows (20k/200k/2M pages + resume)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -1163,6 +1307,8 @@ def main() -> None:
         run_index_build_timing(spark)
     if args.retime_minhash_build:
         run_retime_minhash_build(spark, args.retime_minhash_build)
+    if args.time_crawl:
+        run_crawl_timing(spark)
 
 
 if __name__ == "__main__":
