@@ -137,6 +137,8 @@ HEADLINE = (
     "multimodal_pixel_stats",  # PNG encode->decode->stats roundtrip
     "multimodal_audio_features",  # WAV synth->sample-decode->features
     "multimodal_video_frames",  # MJPEG AVI synth->sample->JPEG decode
+    # round-10 addition
+    "multimodal_mp4_frame_sample",  # ISO-BMFF stbl walk -> keyframe decode
 )
 
 

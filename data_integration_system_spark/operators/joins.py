@@ -1877,14 +1877,19 @@ def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     _banded_block_candidates."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # THRESHOLD Levenshtein (Spark 3.5+): the DP runs a 2k+1-wide band
+    # and bails at the bound instead of filling the full len² matrix —
+    # ~6x less work per surviving pair at these name lengths, and for
+    # kept rows (<= 2) the banded distance IS the true distance, so the
+    # oracle's plain levenshtein still value-hash-matches
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
             # length-band prune implied by the distance bound: evaluate
-            # the cheap length check BEFORE the O(len²) edit distance
+            # the cheap length check BEFORE the banded edit distance
             & (
                 F.abs(
                     F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
@@ -1897,7 +1902,8 @@ def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("part_b"),
             dist.cast("long").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 2)
+        # threshold form returns -1 above the bound; keep real matches
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
         .orderBy("part_a", "part_b")
     )
 

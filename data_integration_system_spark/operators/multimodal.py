@@ -542,6 +542,18 @@ def decode_video_header(payload: bytes) -> dict | None:
                     continue
                 if ts:
                     meta["duration_ms"] = dur * 1000 // ts
+    # geometry + frame count via the stbl walk when a video trak exists
+    # (r10, operators/mp4container.py) — still header-tier cost: the
+    # tables live in moov, a few KB even for hour-long videos
+    from data_integration_system_spark.operators.mp4container import (
+        decode_mp4_sample_table,
+    )
+
+    st = decode_mp4_sample_table(payload)
+    if st is not None:
+        meta["width"] = st["width"]
+        meta["height"] = st["height"]
+        meta["n_frames"] = len(st["samples"])
     return meta
 
 

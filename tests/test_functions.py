@@ -1242,7 +1242,7 @@ def test_emb_lsh_recall_holds_at_every_corpus_size():
     assert _emb_max_bucket(2_000_000, 13) == math.ceil(2_000_000 / 8192) * 16
 
 
-def _make_mp4(n_frames: int = 4, w: int = 8, h: int = 8) -> bytes:
+def _make_mjpeg_mp4(n_frames: int = 4, w: int = 8, h: int = 8) -> bytes:
     """A GENUINE MJPEG-in-MP4: each sample a flat-gray baseline JPEG at
     level (37*i)%256, wrapped by the spec-valid ISO BMFF writer."""
     from data_integration_system_spark.operators.jpegcodec import encode_jpeg
@@ -1292,9 +1292,12 @@ def test_mp4_sample_table_roundtrip_real_frames():
         assert set(buf) == {(37 * i) % 256}
     # all-samples extraction preserves order and bytes
     assert [b for _, b in m4.extract_mp4_frames(mp4)] == frames
-    # the header triage tier reads mvhd through the same box walk
+    # the header triage tier reads mvhd through the same box walk, and
+    # (r10) reports geometry + frame count from the stbl tables — still
+    # without touching a sample byte
     hdr = mm.decode_video_header(mp4)
-    assert hdr == {"fmt": "mp4", "brand": "isom", "duration_ms": 500}
+    assert hdr == {"fmt": "mp4", "brand": "isom", "duration_ms": 500,
+                   "width": 8, "height": 8, "n_frames": 5}
     # malformed input: None, never raise
     assert m4.decode_mp4_sample_table(b"not a container") is None
     assert m4.decode_mp4_sample_table(mp4[:60]) is None  # truncated: moov gone

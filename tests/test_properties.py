@@ -771,9 +771,9 @@ def test_mp4_sample_table_bitflips_never_raise(data):
     out-of-range read or a size-driven allocation."""
     from data_integration_system_spark.operators import mp4container as m4
     from data_integration_system_spark.operators.jpegcodec import decode_jpeg_pixels
-    from tests.test_functions import _make_mp4
+    from tests.test_functions import _make_mjpeg_mp4
 
-    mp4 = _make_mp4(4, 8, 8)
+    mp4 = _make_mjpeg_mp4(4, 8, 8)
     fields = _mp4_table_positions(mp4)
     n = data.draw(st.integers(1, 8))
     poss = data.draw(st.lists(st.sampled_from(fields), min_size=n, max_size=n))
@@ -799,9 +799,9 @@ def test_mp4_whole_file_bitflips_never_raise(data):
     every table): the walk returns None or an input-bounded table, and
     full extraction never raises."""
     from data_integration_system_spark.operators import mp4container as m4
-    from tests.test_functions import _make_mp4
+    from tests.test_functions import _make_mjpeg_mp4
 
-    mp4 = _make_mp4(3, 8, 8)
+    mp4 = _make_mjpeg_mp4(3, 8, 8)
     n = data.draw(st.integers(1, 8))
     poss = data.draw(
         st.lists(st.integers(0, len(mp4) - 1), min_size=n, max_size=n)
@@ -823,9 +823,9 @@ def test_mp4_every_truncation_never_raises():
     mid-table cut): None or an input-bounded table, never an
     exception — the exhaustive twin of the bit-flip fuzz."""
     from data_integration_system_spark.operators import mp4container as m4
-    from tests.test_functions import _make_mp4
+    from tests.test_functions import _make_mjpeg_mp4
 
-    mp4 = _make_mp4(4, 8, 8)
+    mp4 = _make_mjpeg_mp4(4, 8, 8)
     for cut in range(len(mp4)):
         st_ = m4.decode_mp4_sample_table(mp4[:cut])
         if st_ is not None:

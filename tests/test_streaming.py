@@ -996,3 +996,39 @@ def test_ewma_fixture_mtimes_strictly_increase(tmp_path):
         seen[f.name] = b * 1e6
     pinned = sorted(os.stat(src / n).st_mtime for n in seen)
     assert pinned == [1e6, 2e6, 3e6]  # strictly increasing across batches
+
+
+def test_streaming_quality_monitor_snapshot_matches_batch_checks(spark):
+    """The REGISTERED streaming DQ query (driver-facing, r10): its
+    final snapshot must equal the batch one-pass checks over the same
+    orders slice — the summable-grain Kappa parity that lets the exact
+    SQL oracle check a real dq_sink execution — and every rate must be
+    the integer n_violations*1e6 div n_rows of its own row."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.checks import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        run_checks,
+    )
+    from data_integration_system_spark.registry import get_queries
+
+    got = get_queries()["streaming_quality_monitor_snapshot"](spark, SF).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r.violation_rate_e6 == r.n_violations * 1_000_000 // r.n_rows
+
+    batch = {
+        r.check_name: (r.n_rows, r.n_violations)
+        for r in run_checks(
+            table(spark, SF, "orders"),
+            [
+                not_null("o_custkey"),
+                in_range("o_totalprice", 0, 1000000),
+                in_set("o_orderstatus", ("O", "F", "P")),
+                matches("o_orderpriority", "^[1-5]-"),
+            ],
+        ).collect()
+    }
+    assert {r.check_name: (r.n_rows, r.n_violations) for r in got} == batch
