@@ -1157,3 +1157,78 @@ def streaming_quality_monitor_snapshot(spark: SparkSession, sf_dir: str) -> Data
         return out.orderBy("check_name")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_length_profile_snapshot",
+    oracle="""
+    SELECT CAST(LEAST(n_chars // 50, 12) AS BIGINT) AS bin,
+           CAST(min(LEAST(n_chars // 50, 12)) * 50 AS BIGINT) AS bin_lo_chars,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) * 1000000 // SUM(count(*)) OVER () AS BIGINT)
+             AS share_e6
+    FROM documents
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def streaming_length_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental length-profile monitor, exercised END-TO-END as
+    a real Structured Streaming job — the fourth streaming surface
+    under the driver's exact-oracle gate (the live "is the ingest mix
+    drifting toward short/long documents" dashboard).  The documents
+    corpus replays through a file source in three deterministic
+    micro-batches; each trigger reduces its batch to the summable
+    (bin, n_docs, sum_chars) grain map-side, lands it in the
+    exactly-once ledger, and snapshot-swaps the length_histogram_report
+    rollup.  Counts and char-sums add across batches, so batch
+    boundaries cannot change the final answer — Kappa parity makes the
+    batch doc_length_histogram SQL the exact oracle for a streaming
+    execution.
+
+    Scale shape: per trigger one scan of the batch into a <=13-row
+    grain (bin computed in-scan: integer div + least, no UDF); the
+    ledger stays bins x batches tiny regardless of stream volume.
+    Reference anchor: workers/worker_daemon.py poll cadence, as a
+    corpus-profile monitor."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    root = tempfile.mkdtemp(prefix="stream_lenprof_")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        src = f"{root}/in"
+        # three deterministic single-file batches (append keeps one dir)
+        for b in range(3):
+            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("n_chars")
+        )
+        sink = length_histogram_sink(spark, f"{root}/ledger", f"{root}/report")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        # materialize before the tempdir vanishes; order AFTER the barrier
+        out = read_current(spark, f"{root}/report").localCheckpoint()
+        return out.orderBy("bin")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

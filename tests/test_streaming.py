@@ -1032,3 +1032,15 @@ def test_streaming_quality_monitor_snapshot_matches_batch_checks(spark):
         ).collect()
     }
     assert {r.check_name: (r.n_rows, r.n_violations) for r in got} == batch
+
+
+def test_streaming_length_profile_snapshot_matches_batch(spark):
+    """The REGISTERED streaming length-profile query (driver-facing,
+    r10): its final snapshot must equal the batch doc_length_histogram
+    on the same corpus — the summable-grain Kappa parity."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = [tuple(r) for r in qs["streaming_length_profile_snapshot"](spark, SF).collect()]
+    want = [tuple(r) for r in qs["doc_length_histogram"](spark, SF).collect()]
+    assert got == want and len(want) > 0
