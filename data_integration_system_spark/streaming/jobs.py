@@ -1232,3 +1232,84 @@ def streaming_length_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataF
         return out.orderBy("bin")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_retention_snapshot",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    )
+    SELECT a.week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS retention_e4
+    FROM uw a
+    LEFT JOIN uw b
+      ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+    GROUP BY a.week
+    ORDER BY a.week
+    """,
+)
+def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental cohort-retention monitor, exercised END-TO-END
+    as a real Structured Streaming job — the fifth streaming surface
+    under the driver's exact-oracle gate, and the one that completes
+    the grain taxonomy: dup-rate/DQ/length-profile ledgers are SUMMED,
+    the EWMA is ordered per-key state, and this ledger is
+    DISTINCT-KEYED — duplicate (user, week) rows across batches (the
+    same user active in several micro-batches of one week) must
+    COLLAPSE, not add, which holds because retention_report's first
+    step re-distincts the ledger (the generic sink pattern admits
+    idempotent-on-duplicates grains exactly for this).  Kappa parity
+    therefore makes the batch weekly_retention SQL the exact oracle.
+
+    Scale shape: per trigger the batch reduces map-side to its DISTINCT
+    (user, week) rows; the ledger is |users x weeks|-bounded regardless
+    of event volume; the report's self-join runs co-keyed on user_id
+    over that reduced relation.  Reference anchor:
+    workers/worker_daemon.py poll cadence as a cohort monitor."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    root = tempfile.mkdtemp(prefix="stream_reten_")
+    try:
+        ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        src = f"{root}/in"
+        # three deterministic single-file batches (append keeps one dir)
+        for b in range(3):
+            ev.filter(F.col("event_id") % 3 == b).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = retention_sink(spark, f"{root}/ledger", f"{root}/report")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        # materialize before the tempdir vanishes; order AFTER the barrier
+        out = read_current(spark, f"{root}/report").localCheckpoint()
+        return out.orderBy("week")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1044,3 +1044,16 @@ def test_streaming_length_profile_snapshot_matches_batch(spark):
     got = [tuple(r) for r in qs["streaming_length_profile_snapshot"](spark, SF).collect()]
     want = [tuple(r) for r in qs["doc_length_histogram"](spark, SF).collect()]
     assert got == want and len(want) > 0
+
+
+def test_streaming_retention_snapshot_matches_batch(spark):
+    """The REGISTERED streaming retention query (driver-facing, r10):
+    its final snapshot must equal the batch weekly_retention — the
+    DISTINCT-keyed-grain Kappa parity (the same user active in several
+    micro-batches of one week collapses, never double-counts)."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = [tuple(r) for r in qs["streaming_retention_snapshot"](spark, SF).collect()]
+    want = [tuple(r) for r in qs["weekly_retention"](spark, SF).collect()]
+    assert got == want and len(want) > 0
