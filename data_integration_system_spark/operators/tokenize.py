@@ -12,6 +12,10 @@ pipeline/render.py):
   when installed; environments without it fall back to the documented
   regex proxy (`regex_tokenizer`) — same counts as `token_count_bpe`,
   so the proxy is itself oracle-checked.
+* **Dependency-free real BPE**: `bpe_tokenizer(merges)` applies a
+  user-supplied GPT-2-family merge table with the standard
+  rank-ordered algorithm — tokenizer-exact counts without tiktoken
+  wherever the user can ship their model's merges.txt.
 * **Injectable factory**: the tokenizer is built per PARTITION from a
   picklable zero-arg factory (tokenizer objects hold caches/mmaps that
   must not ride the closure), so tests drive the full Spark plumbing
@@ -69,6 +73,48 @@ def tiktoken_tokenizer(encoding: str = "cl100k_base") -> tuple[str, EncodeFn]:
 
     enc = tiktoken.get_encoding(encoding)
     return f"tiktoken:{encoding}", enc.encode
+
+
+def bpe_tokenizer(
+    merges: list[tuple[str, str]], name: str = "bpe"
+) -> tuple[str, EncodeFn]:
+    """A REAL byte-pair-encoding tokenizer from a user-supplied merge
+    list (the ``merges.txt`` of any GPT-2-family vocab: ordered pairs,
+    highest priority first) — no third-party dependency, so
+    tokenizer-exact counts work even where tiktoken can't be installed,
+    as long as the user ships their model's merges.
+
+    Standard algorithm: the regex pre-tokenizer splits text into words;
+    each word starts as a character sequence and repeatedly applies the
+    highest-priority merge present until none applies.  Deterministic:
+    the merge RANK (not greedy left-to-right order) picks each step,
+    exactly like the reference implementations.
+
+    Cost: O(word_len²) worst case per word with a rank dict lookup per
+    adjacent pair — fine for natural-language words; the per-partition
+    factory builds the rank dict once."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        parts = list(word)
+        while len(parts) > 1:
+            best_i, best_rank = -1, len(ranks)
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]), len(ranks))
+                if r < best_rank:
+                    best_i, best_rank = i, r
+            if best_i < 0 or best_rank >= len(ranks):
+                break
+            parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+    def encode(text: str) -> list:
+        out: list[str] = []
+        for w in _BPE_PROXY_RE.findall(text):
+            out.extend(encode_word(w))
+        return out
+
+    return name, encode
 
 
 def default_tokenizer_factory() -> tuple[str, EncodeFn]:

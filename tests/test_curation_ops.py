@@ -376,3 +376,46 @@ def test_token_budget_report_rolls_up_per_group(spark):
     rep = {r.source: r for r in token_budget_report(counts, docs).collect()}
     assert (rep["s1"].n_docs, rep["s1"].n_tokens, rep["s1"].tokens_per_doc) == (2, 10, 5)
     assert (rep["s2"].n_docs, rep["s2"].n_tokens, rep["s2"].tokens_per_doc) == (1, 2, 2)
+
+
+def test_bpe_tokenizer_applies_merges_by_rank():
+    """The pure-Python BPE tier (r10): merges apply by RANK, not
+    left-to-right greed — the property that distinguishes real BPE from
+    a scanner.  With ranks [l+o, w+o, lo+w], 'lowlow' must merge the
+    'lo's first (rank 0), then 'lo'+'w' (rank 2): ['low', 'low'] — a
+    greedy left-to-right pass over pairs would produce the same tokens
+    here only by luck, so also pin a case where rank order inverts the
+    scan order: 'wo' (rank 1) beats 'lw'-adjacent merges absent from
+    the table."""
+    from data_integration_system_spark.operators.tokenize import bpe_tokenizer
+
+    name, encode = bpe_tokenizer([("l", "o"), ("w", "o"), ("lo", "w")], name="toy")
+    assert name == "toy"
+    assert encode("lowlow") == ["low", "low"]
+    # rank 1 fires before any unlisted pair; unmergeable tail stays chars
+    assert encode("worm") == ["wo", "r", "m"]
+    # pre-tokenizer splits words/digits/punct before merging
+    assert encode("low-wo 12") == ["low", "-", "wo", "1", "2"]
+    # no applicable merges: pure character sequence
+    assert encode("xyz") == ["x", "y", "z"]
+    # empty and whitespace-only inputs
+    assert encode("") == [] and encode("   ") == []
+
+
+def test_bpe_tokenizer_rides_the_spark_stage(spark):
+    """The BPE factory composes with token_counts like any other tier:
+    counts are post-merge token counts, label flows through."""
+    from data_integration_system_spark.operators.tokenize import (
+        bpe_tokenizer,
+        token_counts,
+    )
+
+    df = spark.createDataFrame([(1, "lowlow xyz")], "doc_id long, text string")
+    row = token_counts(
+        df,
+        tokenizer_factory=lambda: bpe_tokenizer(
+            [("l", "o"), ("lo", "w")], name="toy"
+        ),
+    ).collect()[0]
+    # 'lowlow' -> low, low (2) + 'xyz' -> x, y, z (3)
+    assert (row.n_tokens, row.tokenizer) == (5, "toy")
