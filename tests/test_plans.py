@@ -679,3 +679,48 @@ def test_concentration_one_fact_aggregation(spark):
     assert sorted(set(scan_read_schemas(df)["lineitem"])) == [
         "l_discount", "l_extendedprice", "l_suppkey",
     ]
+
+
+def test_mp4_frame_sample_blobs_never_shuffle(spark):
+    """The MP4 synthesize->sample chain is two ADJACENT Arrow stages:
+    the plan's only exchanges are the narrow doc_id spread BEFORE
+    synthesis (parallelize_scan: 8 bytes/row) and the presentation
+    sort AFTER sampling — no exchange ever carries a payload blob
+    (at 100 TB the mdat bytes are the whole cost)."""
+    df = get_queries()["multimodal_mp4_frame_sample"](spark, SF)
+    assert shuffle_count(df) <= 2
+    plan = formatted_plan(df)
+    # the two MapInPandas stages are adjacent: no Exchange between them
+    import re
+
+    ops = [
+        line.split(") ")[1].split(" ")[0].rstrip()
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) ", line)
+    ]
+    first_map = ops.index("MapInPandas")
+    last_map = len(ops) - 1 - ops[::-1].index("MapInPandas")
+    assert "Exchange" not in ops[first_map:last_map + 1], ops
+    # the source scan reads ONLY doc_id — payload synthesis is local
+    assert scan_read_schemas(df)["documents"] == ["doc_id"]
+
+
+def test_token_count_exact_reads_text_once(spark):
+    """The tokenize pass reads (doc_id, text); the budget join-back
+    reads (doc_id, source) — text must appear in exactly ONE scan
+    (re-tokenizing or shipping text through the join would scale
+    shuffle bytes with the corpus, not with the narrow count grain)."""
+    df = get_queries()["token_count_exact"](spark, SF)
+    schemas = [
+        tuple(cols) for rel, cols in scan_read_schemas(df).items()
+        if rel == "documents"
+    ]
+    # scan_read_schemas concatenates duplicate scans of one relation:
+    # fall back to the formatted plan when both scans share the name
+    plan = formatted_plan(df)
+    assert plan.count("ReadSchema") >= 1
+    text_scans = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "text" in line
+    ]
+    assert len(text_scans) == 1, text_scans
