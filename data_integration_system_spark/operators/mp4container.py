@@ -48,6 +48,7 @@ def encode_mp4_mjpeg(
     width: int,
     height: int,
     sync_every: int = 2,
+    wide_offsets: bool = False,
 ) -> bytes:
     """Wrap pre-encoded JPEG frames as a complete, spec-valid MP4:
     ``ftyp`` + ``mdat`` (frame bytes back to back) + ``moov`` with one
@@ -117,10 +118,20 @@ def encode_mp4_mjpeg(
         stsc_entries = []
     stsc = _full(b"stsc", struct.pack(">I", len(stsc_entries))
                  + b"".join(struct.pack(">III", *e) for e in stsc_entries))
-    stsz = _full(b"stsz", struct.pack(">II", 0, n)
-                 + b"".join(struct.pack(">I", s) for s in sizes))
-    stco = _full(b"stco", struct.pack(">I", len(chunk_offsets))
-                 + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    if sizes and len(set(sizes)) == 1:
+        # spec-preferred uniform form: sample_size set, no table
+        stsz = _full(b"stsz", struct.pack(">II", sizes[0], n))
+    else:
+        stsz = _full(b"stsz", struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+    # co64 when requested or forced (any offset past 32 bits — the
+    # >4 GB files real video corpora actually contain)
+    if wide_offsets or any(o > 0xFFFFFFFF for o in chunk_offsets):
+        stco = _full(b"co64", struct.pack(">I", len(chunk_offsets))
+                     + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+    else:
+        stco = _full(b"stco", struct.pack(">I", len(chunk_offsets))
+                     + b"".join(struct.pack(">I", o) for o in chunk_offsets))
     stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)

@@ -1177,6 +1177,51 @@ def run_crawl_timing(spark) -> None:
     print("updated SCALE_REHEARSAL.json crawl")
 
 
+def run_tokenize_timing(spark) -> None:
+    """Decade rows for the tokenizer-exact counting pass (r10,
+    operators/tokenize.py): per-doc counts + per-source budget rollup
+    on the regex tier at sf10 (~500k docs) and d3 (5M docs).  The pass
+    is an Arrow-batched CPU map at scan parallelism — the expected
+    shape is ~linear in corpus bytes with negligible shuffle (the
+    rollup joins the narrow count grain only)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.tokenize import (
+        regex_tokenizer,
+        token_budget_report,
+        token_counts,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("tokenize", {}))
+    for tag, d in (("sf10", SF10), ("d3", D3)):
+        if tag in section:
+            print(f"  tokenize {tag}: recorded, skipped")
+            continue
+        docs = table(spark, d, "documents")
+        t0 = time.perf_counter()
+        counts = token_counts(docs, tokenizer_factory=regex_tokenizer, spread=True)
+        n = token_budget_report(counts, docs, by="source").count()
+        section[tag] = {"wall_sec": round(time.perf_counter() - t0, 3), "groups": n}
+        print(f"  tokenize {tag}: {section[tag]}")
+    if "sf10" in section and "d3" in section:
+        section["exponent"] = round(
+            math.log(section["d3"]["wall_sec"] / section["sf10"]["wall_sec"])
+            / math.log(10), 3,
+        )
+    prev["tokenize"] = section
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print("updated SCALE_REHEARSAL_D3.json tokenize")
+
+
 def run_retime_minhash_build(spark, tag: str) -> None:
     """Separate-process re-time of ONE leg of the minhash index build
     (VERDICT r9 #1): the recorded d3 exponent 1.122 came from a paired
@@ -1264,6 +1309,10 @@ def main() -> None:
         "--time-crawl", action="store_true",
         help="crawl write-path decade rows (20k/200k/2M pages + resume)",
     )
+    ap.add_argument(
+        "--time-tokenize", action="store_true",
+        help="tokenizer-pass decade rows (sf10 vs d3 documents)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -1309,6 +1358,8 @@ def main() -> None:
         run_retime_minhash_build(spark, args.retime_minhash_build)
     if args.time_crawl:
         run_crawl_timing(spark)
+    if args.time_tokenize:
+        run_tokenize_timing(spark)
 
 
 if __name__ == "__main__":

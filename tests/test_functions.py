@@ -1324,3 +1324,29 @@ def test_mp4_stsc_chunk_plan_exercised():
     # chunk 1 holds samples 1-2 back to back; chunks 2,3 hold one each
     assert offs[1] == offs[0] + sizes[0]
     assert [mp4[o:o + s] for o, s in st["samples"]] == frames
+
+
+def test_mp4_uniform_stsz_and_co64_branches():
+    """The reader's two table variants the default writer path doesn't
+    emit: equal-sized samples take the spec-preferred UNIFORM stsz
+    (sample_size set, no table), and wide_offsets=True writes co64
+    (64-bit chunk offsets — the >4 GB-file form real corpora contain).
+    Both must roundtrip bit-exact through the same walk."""
+    from data_integration_system_spark.operators import mp4container as m4
+
+    frames = [bytes([i]) * 24 for i in range(4)]  # equal sizes -> uniform
+    plain = m4.encode_mp4_mjpeg(frames, 8, 8)
+    assert b"stco" in plain and plain.count(b"stsz") == 1
+    # uniform stsz has an 8-byte body (version/flags + size + count)
+    st = m4.decode_mp4_sample_table(plain)
+    assert [plain[o:o + s] for o, s in st["samples"]] == frames
+
+    wide = m4.encode_mp4_mjpeg(frames, 8, 8, wide_offsets=True)
+    assert b"co64" in wide and b"stco" not in wide
+    stw = m4.decode_mp4_sample_table(wide)
+    assert [wide[o:o + s] for o, s in stw["samples"]] == frames
+    assert stw["sync"] == st["sync"]
+    # distinct sizes still take the per-sample table
+    varied = m4.encode_mp4_mjpeg([b"a" * 9, b"b" * 30], 8, 8)
+    stv = m4.decode_mp4_sample_table(varied)
+    assert [s for _, s in stv["samples"]] == [9, 30]
