@@ -1313,3 +1313,110 @@ def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("week")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_tumbling_counts_snapshot",
+    oracle="""
+    SELECT epoch_ms(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600000) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_tumbling_counts_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time aggregation run END-TO-END — the sixth
+    streaming surface under the driver's exact-oracle gate, and the
+    first exercising Spark's BUILT-IN stateful machinery (the state
+    store behind groupBy(window), watermark-driven eviction) rather
+    than a foreachBatch grain ledger or applyInPandasWithState.
+
+    Replay: events in three GLOBAL ts-order micro-batches (the EWMA
+    fixture's tercile trisection + mtime pins), so no row is ever late
+    — the 10-minute watermark evicts only windows that can receive no
+    more data.  Update-mode emissions land per trigger in a
+    batch_id-keyed ledger; because per-window updates are CUMULATIVE
+    (the state carries the running count/decimal sum), each window's
+    row with the LARGEST batch_id is its final total — including
+    windows straddling a batch boundary, whose partial batch-b row is
+    superseded by batch b+1.  The batch tumbling_window_counts SQL is
+    therefore the exact oracle.
+
+    Scale shape: per trigger one shuffle of that batch's rows onto
+    window keys with map-side partials; state is one (count, sum) pair
+    per OPEN window — the watermark bounds it by the event-time spread,
+    not stream length.  Reference anchor: worker_daemon.py:24-28 poll
+    cadence as an event-time rollup."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators._common import dec
+
+    root = tempfile.mkdtemp(prefix="stream_tumble_")
+    try:
+        ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+        tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        staged = ev.withColumn("b", tercile).localCheckpoint()
+        src = f"{root}/in"
+        for b in (1, 2, 3):
+            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            _pin_batch_mtimes(src, b)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        windowed = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"), "n_events", "sum_value"
+            )
+        )
+        ledger = f"{root}/ledger"
+
+        def land(batch: DataFrame, batch_id: int) -> None:
+            batch.coalesce(1).write.mode("overwrite").parquet(
+                f"{ledger}/batch_id={batch_id}"
+            )
+
+        q = (
+            windowed.writeStream.foreachBatch(land)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        out = (
+            spark.read.option("basePath", ledger).parquet(ledger)
+            .groupBy("bucket_start")
+            .agg(
+                F.max_by(F.struct("n_events", "sum_value"), "batch_id").alias("s")
+            )
+            .select(
+                "bucket_start",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.sum_value").alias("sum_value"),
+            )
+            .localCheckpoint()  # materialize before the tempdir vanishes
+        )
+        return out.orderBy("bucket_start")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1057,3 +1057,19 @@ def test_streaming_retention_snapshot_matches_batch(spark):
     got = [tuple(r) for r in qs["streaming_retention_snapshot"](spark, SF).collect()]
     want = [tuple(r) for r in qs["weekly_retention"](spark, SF).collect()]
     assert got == want and len(want) > 0
+
+
+def test_streaming_tumbling_counts_snapshot_matches_batch(spark):
+    """The REGISTERED watermarked-aggregation query (driver-facing,
+    r10): the assembled final-update-per-window snapshot must equal the
+    batch tumbling_window_counts — including windows straddling a
+    micro-batch boundary, whose partial batch-b emission must be
+    superseded by the batch-b+1 cumulative update."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = [tuple(r) for r in qs["streaming_tumbling_counts_snapshot"](spark, SF).collect()]
+    want = sorted(
+        tuple(r) for r in qs["tumbling_window_counts"](spark, SF).collect()
+    )
+    assert got == want and len(want) > 1
