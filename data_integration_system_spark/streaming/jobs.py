@@ -1420,3 +1420,118 @@ def streaming_tumbling_counts_snapshot(spark: SparkSession, sf_dir: str) -> Data
         return out.orderBy("bucket_start")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_session_windows_snapshot",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_windows_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGING session-window aggregation run END-TO-END — the seventh
+    streaming surface under the driver's exact-oracle gate, and the
+    stateful machinery the tumbling snapshot can't exercise: session
+    state MERGES as data arrives (an event inside the gap of two open
+    sessions fuses them into one window whose identity — its start —
+    shifts), which is why the batch_id-supersede assembly used for
+    tumbling windows would be WRONG here (a superseded partial session
+    is not keyed by the merged session's start).  COMPLETE output mode
+    sidesteps identity drift: every trigger re-emits ALL sessions, so
+    the final trigger's emission IS the full answer — the ledger keeps
+    one dir per trigger and the snapshot reads only the largest
+    batch_id.  The batch session_windows lag+cumsum SQL is the exact
+    oracle (same >= gap convention, session_end = last event + gap).
+
+    Scale shape: complete mode retains all session state (no watermark
+    eviction) — correct for a bounded replay and priced honestly: a
+    production deployment of this monitor would use the watermarked
+    append form (streaming.jobs.sessionized) and accept closed-sessions
+    -only output.  Per trigger one shuffle of the batch onto user_id
+    with session merge in the state store.  Reference anchor:
+    db/postgres_store.py:58-68 stale-job timeout as session semantics."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.catalog import table
+
+    root = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+        tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        staged = ev.withColumn("b", tercile).localCheckpoint()
+        src = f"{root}/in"
+        for b in (1, 2, 3):
+            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            _pin_batch_mtimes(src, b)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sess = (
+            stream.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        ledger = f"{root}/ledger"
+
+        def land(batch: DataFrame, batch_id: int) -> None:
+            batch.coalesce(1).write.mode("overwrite").parquet(
+                f"{ledger}/batch_id={batch_id}"
+            )
+
+        q = (
+            sess.writeStream.foreachBatch(land)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        led = spark.read.option("basePath", ledger).parquet(ledger)
+        last = led.agg(F.max("batch_id")).head()[0]
+        out = (
+            led.filter(F.col("batch_id") == last)
+            .drop("batch_id")
+            .localCheckpoint()  # materialize before the tempdir vanishes
+        )
+        return out.orderBy("user_id", "session_start")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

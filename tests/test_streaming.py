@@ -1073,3 +1073,18 @@ def test_streaming_tumbling_counts_snapshot_matches_batch(spark):
         tuple(r) for r in qs["tumbling_window_counts"](spark, SF).collect()
     )
     assert got == want and len(want) > 1
+
+
+def test_streaming_session_windows_snapshot_matches_batch(spark):
+    """The REGISTERED merging-session-window query (driver-facing,
+    r10): the complete-mode final emission must equal the batch
+    session_windows — including sessions whose events straddle
+    micro-batch boundaries (state-store merge across triggers)."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = sorted(
+        tuple(r) for r in qs["streaming_session_windows_snapshot"](spark, SF).collect()
+    )
+    want = sorted(tuple(r) for r in qs["session_windows"](spark, SF).collect())
+    assert got == want and len(want) > 0
