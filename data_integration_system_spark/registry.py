@@ -89,6 +89,7 @@ _DRIVER_HEAD: list[str] = [
     "streaming_retention_snapshot",
     "streaming_tumbling_counts_snapshot",
     "streaming_session_windows_snapshot",
+    "streaming_funnel_pairs_snapshot",
     # (2) the 6 r6-stale queries (the registry's oldest rows —
     # VERDICT r9 #2 names them):
     "top_sources_per_lang",
@@ -97,7 +98,7 @@ _DRIVER_HEAD: list[str] = [
     "user_modal_event_type",
     "user_value_ewma",
     "weighted_resample",
-    # (3) the r7-checked tier (alphabetical; the 13 displaced by the
+    # (3) the r7-checked tier (alphabetical; the 14 displaced by the
     # newcomers + window math sit in _NEXT_ROTATION_FIRST):
     "agg_counts_by_group",
     "agg_cube_events",
@@ -135,17 +136,17 @@ _DRIVER_HEAD: list[str] = [
     "rare_token_score",
     "repetition_top_bigram",
     "scan_project",
-    "segment_median_order",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The r10 window's seven newcomers +
+#: of _DRIVER_HEAD when updating it). The r10 window's eight newcomers +
 #: window math displaced the alphabetical tail of the r7 tier — these
 #: lead the r11 window (their r7 rows become the registry's oldest).
 #: Regenerate the plan from data with ``python rehearse.py --coverage``
 #: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
 #: list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "segment_median_order",
     "set_ops",
     "similarity_ivf_topk",
     "similarity_topk",

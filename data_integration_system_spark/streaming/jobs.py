@@ -1535,3 +1535,117 @@ def streaming_session_windows_snapshot(spark: SparkSession, sf_dir: str) -> Data
         return out.orderBy("user_id", "session_start")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_funnel_pairs_snapshot",
+    oracle="""
+    SELECT a.user_id,
+           a.ts AS signup_ts,
+           b.ts AS purchase_ts,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+    ORDER BY a.user_id, signup_ts, purchase_ts
+    """,
+)
+def streaming_funnel_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join run END-TO-END — the eighth
+    streaming surface under the driver's exact-oracle gate and the last
+    distinct machinery class: two watermarked streams (signups,
+    purchases — both read from the same replayed events source) joined
+    on user_id with an event-time range (purchase within 1 hour of the
+    signup).  Spark buffers each side in join state, emits an inner
+    match EXACTLY ONCE as soon as both rows have arrived — including
+    pairs whose rows land in different micro-batches — and the
+    watermark + range condition bound state eviction so a buffered
+    signup outlives every purchase that could still match it.  The
+    append-emitted matches accumulate in a batch_id-keyed ledger whose
+    union IS the full pair set, so the plain batch interval-join SQL is
+    the exact oracle.
+
+    Watermark choice: the range spans 1 hour, so a 2-hour delay keeps
+    both sides' state strictly longer than any matchable gap — the
+    documented completeness condition for inner stream-stream joins
+    (delay >= join window).  Scale shape: per trigger one user_id
+    shuffle per side; state is the watermark-bounded tail of each
+    stream, not its history.  Reference anchor: crawler_core.py's
+    frontier↔visited interplay as two coordinated stateful streams."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.catalog import table
+
+    root = tempfile.mkdtemp(prefix="stream_ssjoin_")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        staged = ev.withColumn("b", tercile).localCheckpoint()
+        src = f"{root}/in"
+        for b in (1, 2, 3):
+            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            _pin_batch_mtimes(src, b)
+        schema = spark.read.parquet(src).schema
+
+        def side(kind: str, alias: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .filter(F.col("event_type") == kind)
+                .withWatermark("ts", "2 hours")
+                .select(
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                )
+            )
+
+        joined = side("signup", "s").join(
+            side("purchase", "p"),
+            F.expr(
+                "p_user = s_user AND p_ts >= s_ts "
+                "AND p_ts < s_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        ledger = f"{root}/ledger"
+
+        def land(batch: DataFrame, batch_id: int) -> None:
+            batch.coalesce(1).write.mode("overwrite").parquet(
+                f"{ledger}/batch_id={batch_id}"
+            )
+
+        q = (
+            joined.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "availableNow replay did not drain within 600s; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        out = (
+            spark.read.option("basePath", ledger).parquet(ledger)
+            .select(
+                F.col("s_user").alias("user_id"),
+                F.col("s_ts").alias("signup_ts"),
+                F.col("p_ts").alias("purchase_ts"),
+                (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
+            )
+            .localCheckpoint()  # materialize before the tempdir vanishes
+        )
+        return out.orderBy("user_id", "signup_ts", "purchase_ts")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

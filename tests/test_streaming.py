@@ -1088,3 +1088,40 @@ def test_streaming_session_windows_snapshot_matches_batch(spark):
     )
     want = sorted(tuple(r) for r in qs["session_windows"](spark, SF).collect())
     assert got == want and len(want) > 0
+
+
+def test_streaming_funnel_pairs_snapshot_matches_batch_join(spark):
+    """The REGISTERED stream-stream join query (driver-facing, r10):
+    the accumulated append emissions must equal the batch interval
+    join — every (signup, purchase-within-1h) pair exactly once,
+    including pairs whose two rows arrive in different micro-batches
+    (the join-state buffering the machinery exists for)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.registry import get_queries
+
+    got = sorted(
+        tuple(r)
+        for r in get_queries()["streaming_funnel_pairs_snapshot"](spark, SF).collect()
+    )
+    ev = table(spark, SF, "events").select("ts", "user_id", "event_type")
+    s = ev.filter("event_type = 'signup'").select(
+        F.col("user_id"), F.col("ts").alias("signup_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = sorted(
+        tuple(r)
+        for r in s.join(p, "user_id")
+        .filter(
+            "purchase_ts >= signup_ts AND purchase_ts < signup_ts + INTERVAL 1 HOUR"
+        )
+        .select(
+            "user_id", "signup_ts", "purchase_ts",
+            (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias("lag_us"),
+        )
+        .collect()
+    )
+    assert got == want and len(want) > 0
