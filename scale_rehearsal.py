@@ -1177,6 +1177,59 @@ def run_crawl_timing(spark) -> None:
     print("updated SCALE_REHEARSAL.json crawl")
 
 
+def run_streaming_timing(spark) -> None:
+    """Decade rows for the streaming MACHINERY surfaces (r10): the four
+    driver-gated snapshots that exercise real stateful execution —
+    built-in tumbling aggregation, merging session windows, the
+    applyInPandasWithState EWMA recurrence, and the stream-stream
+    interval join — each replayed end-to-end at sf0.1 then sf1 (10x
+    events).  The exponent separates per-trigger fixed cost (checkpoint
+    dirs, 3 triggers, ledger writes) from state/shuffle growth."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    names = [
+        "streaming_tumbling_counts_snapshot",
+        "streaming_session_windows_snapshot",
+        "streaming_user_ewma_snapshot",
+        "streaming_funnel_pairs_snapshot",
+    ]
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("streaming", {}))
+    for name in names:
+        row = dict(section.get(name, {}))
+        if "exponent" in row:
+            print(f"  {name}: recorded, skipped")
+            continue
+        try:
+            for tag, d in (("sf0.1", SF01), ("sf1", SF1)):
+                if tag in row:
+                    continue
+                t0 = time.perf_counter()
+                n = qs[name](spark, d).count()
+                row[tag] = round(time.perf_counter() - t0, 3)
+                row[f"{tag}_rows"] = n
+            row["exponent"] = round(
+                math.log(row["sf1"] / row["sf0.1"]) / math.log(10), 3
+            )
+        except Exception as ex:
+            row["error"] = f"{type(ex).__name__}: {ex}"[:300]
+        section[name] = row
+        prev["streaming"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+        print(f"  {name}: {row}")
+    print("updated SCALE_REHEARSAL.json streaming")
+
+
 def run_tokenize_timing(spark) -> None:
     """Decade rows for the tokenizer-exact counting pass (r10,
     operators/tokenize.py): per-doc counts + per-source budget rollup
@@ -1313,6 +1366,10 @@ def main() -> None:
         "--time-tokenize", action="store_true",
         help="tokenizer-pass decade rows (sf10 vs d3 documents)",
     )
+    ap.add_argument(
+        "--time-streaming", action="store_true",
+        help="streaming-machinery decade rows (sf0.1 vs sf1)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -1360,6 +1417,8 @@ def main() -> None:
         run_crawl_timing(spark)
     if args.time_tokenize:
         run_tokenize_timing(spark)
+    if args.time_streaming:
+        run_streaming_timing(spark)
 
 
 if __name__ == "__main__":
