@@ -294,6 +294,25 @@ def _parse_stbl(payload: bytes, stbl: tuple[int, int],
     if si != count:
         return None
 
+    # stts: per-sample start times (cumulative run-length deltas) — the
+    # table time-based sampling seeks with; absent/short box -> None
+    times: list[int] | None = None
+    r = full_body(b"stts")
+    if r is not None and r[1] - r[0] >= 4:
+        (n_tt,) = struct.unpack(">I", payload[r[0]:r[0] + 4])
+        if r[0] + 4 + 8 * n_tt <= r[1]:
+            times = []
+            t = 0
+            for k in range(n_tt):
+                cnt, delta = struct.unpack(
+                    ">II", payload[r[0] + 4 + 8 * k:r[0] + 12 + 8 * k]
+                )
+                for _ in range(min(cnt, count - len(times))):
+                    times.append(t)
+                    t += delta
+            if len(times) != count:
+                times = None  # stts disagrees with stsz: unusable
+
     # stss: sync samples (absent box = every sample is sync, per spec)
     r = full_body(b"stss")
     if r is None:
@@ -309,8 +328,62 @@ def _parse_stbl(payload: bytes, stbl: tuple[int, int],
     return {
         "width": width, "height": height, "codec": codec,
         "timescale": timescale, "duration": duration,
-        "samples": samples, "sync": sync,
+        "samples": samples, "sync": sync, "times": times,
     }
+
+
+def extract_mp4_frames_every(
+    payload: bytes, interval_s: float, snap_to_keyframe: bool = True
+) -> list[tuple[int, bytes]] | None:
+    """TIME-based frame sampling — the shape real video pipelines use
+    ("one frame every N seconds of an hour-long file"): seek each
+    target time t = 0, interval, 2·interval, … to the last sample whose
+    stts start time is <= t, optionally snapped BACK to the nearest
+    preceding stss keyframe (a decoder can only start at a sync sample
+    — seeking forward from it is the player convention).  Returns
+    deduplicated ``[(0-based index, sample bytes), …]`` in time order;
+    None for non-MP4 / corrupt / missing-stts input.
+
+    Cost: the stbl walk + one binary search per target time + k sample
+    reads — independent of total frame count."""
+    import bisect
+
+    st = decode_mp4_sample_table(payload)
+    if st is None or not st["samples"] or st["times"] is None:
+        return None
+    ts = st["timescale"] or _TIMESCALE
+    step = int(interval_s * ts)
+    if step <= 0:
+        return None
+    times = st["times"]
+    sync0 = sorted(s - 1 for s in set(st["sync"])) or [0]
+    # a sample is picked iff some target time t = k·step falls in its
+    # presentation span [start, next_start) — iterating SAMPLES, not
+    # targets, keeps the walk O(n) even when a corrupt stts/duration
+    # declares absurd times (a target sweep would loop duration/step
+    # times on hostile input).  The final span extends one step past
+    # the media end inclusive, the player seek convention: a 0.5 s
+    # cadence over a 0.5 s clip yields its last frame.
+    end = max((st["duration"] if st["duration"] else times[-1]), times[-1]) + 1
+    picks: list[int] = []
+    for i, lo in enumerate(times):
+        hi = times[i + 1] if i + 1 < len(times) else end
+        if hi <= lo:
+            continue
+        first_target = ((lo + step - 1) // step) * step
+        if first_target >= hi:
+            continue
+        j = i
+        if snap_to_keyframe:
+            k = bisect.bisect_right(sync0, i) - 1
+            j = sync0[k] if k >= 0 else sync0[0]
+        if not picks or picks[-1] != j:
+            picks.append(j)
+    out = []
+    for i in picks:
+        off, size = st["samples"][i]
+        out.append((i, payload[off:off + size]))
+    return out if out else None
 
 
 def extract_mp4_frames(

@@ -1350,3 +1350,33 @@ def test_mp4_uniform_stsz_and_co64_branches():
     varied = m4.encode_mp4_mjpeg([b"a" * 9, b"b" * 30], 8, 8)
     stv = m4.decode_mp4_sample_table(varied)
     assert [s for _, s in stv["samples"]] == [9, 30]
+
+
+def test_mp4_time_based_sampling_via_stts():
+    """stts-driven time seeking (r10): the fixture writes 0.1 s/sample
+    (delta 100 at timescale 1000).  Sampling every 0.25 s over five
+    samples targets t=0,0.25,0.5 -> floor-seek to samples 0,2,4; with
+    keyframe snap (stss = 1,3,5 -> 0-based 0,2,4) the picks land on
+    sync samples unchanged; without snap, a 0.15 s cadence floor-seeks
+    mid-GOP samples (1,3) too.  Returned bytes are the exact frames."""
+    from data_integration_system_spark.operators import mp4container as m4
+
+    frames = [bytes([i]) * (10 + i) for i in range(5)]
+    mp4 = m4.encode_mp4_mjpeg(frames, 8, 8, sync_every=2)
+    st = m4.decode_mp4_sample_table(mp4)
+    assert st["times"] == [0, 100, 200, 300, 400]
+
+    kf = m4.extract_mp4_frames_every(mp4, 0.25)
+    assert [i for i, _ in kf] == [0, 2, 4]
+    assert all(b == frames[i] for i, b in kf)
+    # without snap: 0.15 s cadence hits t=0,.15,.3,.45 -> samples 0,1,3,4
+    raw = m4.extract_mp4_frames_every(mp4, 0.15, snap_to_keyframe=False)
+    assert [i for i, _ in raw] == [0, 1, 3, 4]
+    # with snap the mid-GOP picks retreat to their preceding keyframe
+    snapped = m4.extract_mp4_frames_every(mp4, 0.15)
+    assert [i for i, _ in snapped] == [0, 2, 4]
+    # a coarser-than-duration interval still yields frame 0
+    assert [i for i, _ in m4.extract_mp4_frames_every(mp4, 60.0)] == [0]
+    # corrupt / non-MP4 / zero interval: None, never raise
+    assert m4.extract_mp4_frames_every(b"junk", 0.25) is None
+    assert m4.extract_mp4_frames_every(mp4, 0.0) is None
