@@ -402,6 +402,10 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]] | None:
     hdr = decode_audio_header(payload)
     if hdr is None or hdr.get("bits") not in (8, 16):
         return None
+    # a zero channel count or sample rate is malformed, not a layout —
+    # errors-as-data (hypothesis found the channels=0 bit flip in r10)
+    if not hdr.get("channels") or not hdr.get("sample_rate"):
+        return None
     # second chunk walk for the data payload AND the fmt tag (the header
     # walk records neither): only tag 1 = linear PCM decodes as a struct
     # cast — a-law (6) / mu-law (7) codewords at bits=8 would otherwise
