@@ -240,6 +240,16 @@ def _parse_stbl(payload: bytes, stbl: tuple[int, int],
         return None
     uniform, count = struct.unpack(">II", payload[r[0]:r[0] + 8])
     if uniform:
+        # Bound the declared count by what the file can physically hold
+        # BEFORE allocating: count samples of uniform (>=1) bytes each
+        # can't exceed the payload, so a hostile 4-byte edit
+        # (count=0x7FFFFFFF) must return None, not raise MemoryError —
+        # the never-raise errors-as-data contract covers resource
+        # exhaustion too.  The per-sample branch below is already
+        # bounded by its own box length; every later count-sized
+        # expansion (stts times, absent-stss sync) inherits this bound.
+        if count > len(payload) or uniform * count > len(payload):
+            return None
         sizes = [uniform] * count
     else:
         if r[0] + 8 + 4 * count > r[1]:

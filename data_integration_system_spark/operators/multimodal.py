@@ -1186,14 +1186,15 @@ def _mp4_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     for pdf in batches:
         rows = []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            st = decode_mp4_sample_table(bytes(b))
+            pb = bytes(b)  # materialize ONCE per row, not per keyframe
+            st = decode_mp4_sample_table(pb)
             if st is None:
                 continue  # errors-as-data: non-MP4 payloads emit nothing
             n = len(st["samples"])
             sync = sorted(set(st["sync"]))
             for s in sync:  # 1-based sync sample numbers
                 off, size = st["samples"][s - 1]
-                px = decode_jpeg_pixels(bytes(b)[off:off + size])
+                px = decode_jpeg_pixels(pb[off:off + size])
                 if px is None:
                     continue
                 w, h, _ch, buf = px

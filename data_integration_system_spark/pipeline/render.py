@@ -104,6 +104,24 @@ def playwright_renderer(
     def render(url: str) -> str | None:
         return _render_with_pool(_state(), url, timeout_s * 1000)
 
+    def close_thread_state() -> None:
+        """Tear down the CALLING thread's browser + playwright driver
+        (ADVICE r10: thread-local death doesn't close the chromium
+        subprocesses — without this, a long-lived executor leaks
+        pool_size browser processes per mapInPandas task).  Must run on
+        the thread that owns the state (sync API is greenlet-bound);
+        render_pages arranges that via barrier tasks on its own pool."""
+        state = getattr(tls, "state", None)
+        if state is None:
+            return
+        del tls.state
+        for op in (state["browser"].close, state["pw"].stop):
+            try:
+                op()
+            except Exception:
+                pass
+
+    render.close_thread_state = close_thread_state
     return render
 
 
@@ -144,6 +162,41 @@ def _default_factory(pool_size: int) -> Callable[[], RenderFn]:
 
 def _is_html(content_type: str | None) -> bool:
     return bool(content_type) and "html" in content_type.lower()
+
+
+def _close_worker_states(pool, pool_size: int, render) -> None:
+    """Run ``render.close_thread_state()`` once on EVERY worker thread
+    of ``pool`` before it shuts down.
+
+    A thread-affine renderer (playwright_renderer) keeps one browser
+    per worker thread, and Playwright's sync API is greenlet-bound —
+    closing from another thread raises without killing the chromium
+    subprocess.  The only thread that can tear a state down is the one
+    that owns it, so we submit ``pool_size`` tasks that each close
+    their OWN thread's state and then rendezvous on a barrier: no
+    worker can take a second close task until all have taken one, so
+    every live worker runs exactly one.  (ThreadPoolExecutor spawns up
+    to max_workers threads for queued tasks, so barrier parties are
+    always reachable; timeouts keep a wedged browser close from
+    hanging executor shutdown.)  Renderers without the attribute — all
+    the test fakes — are untouched."""
+    close = getattr(render, "close_thread_state", None)
+    if close is None:
+        return
+    from concurrent.futures import wait as _fut_wait
+
+    barrier = threading.Barrier(pool_size)
+
+    def _close_own() -> None:
+        try:
+            close()
+        finally:
+            try:
+                barrier.wait(timeout=30)
+            except threading.BrokenBarrierError:
+                pass
+
+    _fut_wait([pool.submit(_close_own) for _ in range(pool_size)], timeout=60)
 
 
 def render_pages(
@@ -187,9 +240,14 @@ def render_pages(
         # ONE pool for every batch of the partition: worker threads
         # persist, so a thread-affine renderer (playwright_renderer)
         # amortizes its per-thread browser across batches instead of
-        # relaunching chromium each batch
+        # relaunching chromium each batch; when the partition ends the
+        # per-thread renderer state is torn down ON its owning threads
+        # (ADVICE r10 — otherwise every task leaks pool_size browsers)
         with ThreadPoolExecutor(max_workers=pool_size) as pool:
-            yield from _run_batches(batches, pool, one)
+            try:
+                yield from _run_batches(batches, pool, one)
+            finally:
+                _close_worker_states(pool, pool_size, render)
 
     def _run_batches(batches, pool, one):
         for pdf in batches:

@@ -1156,6 +1156,11 @@ def run_crawl_timing(spark) -> None:
                     checkpoint_dir=f"{root}/ckpt",
                 )
                 raise AssertionError("injected kill did not fire")
+            except AssertionError:
+                # ADVICE r10 (low): the guard used to sit inside the
+                # broad except, so a NON-firing kill silently recorded
+                # a bogus kill time — re-raise it past the swallow.
+                raise
             except Exception:
                 row["killed_after_sec"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()

@@ -831,3 +831,32 @@ def test_mp4_every_truncation_never_raises():
         if st_ is not None:
             for off, size in st_["samples"]:
                 assert off + size <= cut
+
+
+def test_mp4_hostile_stsz_count_returns_none_not_memoryerror():
+    """Directed hostile-count case (ADVICE r10, high): the random
+    bit-flip fuzz above almost never lands a count like 0x7FFFFFFF in
+    the uniform-stsz branch, whose expansion used to allocate
+    [uniform] * count BEFORE any bound check — a 4-byte edit turned
+    decode into an uncaught MemoryError (OOM DoS from one crawled
+    file).  The walk must reject counts the payload cannot physically
+    hold and return None under the errors-as-data contract."""
+    import struct as _struct
+
+    from data_integration_system_spark.operators import mp4container as m4
+    from tests.test_functions import _make_mjpeg_mp4
+
+    mp4 = bytearray(_make_mjpeg_mp4(4, 8, 8))
+    i = bytes(mp4).rfind(b"stsz")
+    assert i > 0
+    # stsz body: version/flags (4) | uniform_size (4) | sample_count (4)
+    for uniform, count in [
+        (1, 0x7FFFFFFF),            # the reproduced ADVICE case
+        (0xFFFFFFFF, 0xFFFFFFFF),   # max-product variant
+        (2, len(mp4)),              # uniform*count just past the payload
+    ]:
+        hostile = bytearray(mp4)
+        hostile[i + 8:i + 16] = _struct.pack(">II", uniform, count)
+        assert m4.decode_mp4_sample_table(bytes(hostile)) is None
+    # sanity: count = actual payload-consistent value still decodes
+    assert m4.decode_mp4_sample_table(bytes(mp4)) is not None

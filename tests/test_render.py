@@ -224,3 +224,96 @@ def test_default_factory_forwards_pool_size(monkeypatch):
     factory = r._default_factory(8)
     factory()
     assert seen["pool_size"] == 8
+
+
+def test_close_worker_states_closes_every_worker_thread():
+    """ADVICE r10: per-thread renderer state (a browser per worker)
+    must be torn down ON its owning thread when the partition's pool
+    winds down — thread-local death doesn't close chromium
+    subprocesses.  Pin the barrier mechanics directly: every worker
+    thread that created state gets exactly one close, ON that thread,
+    and threads without state are a no-op."""
+    import threading as t
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_integration_system_spark.pipeline.render import _close_worker_states
+
+    pool_size = 4
+    created: set[int] = set()
+    closed: list[int] = []
+    lock = t.Lock()
+    tls = t.local()
+
+    def render(url):
+        tls.state = True
+        with lock:
+            created.add(t.get_ident())
+        return None
+
+    def close_thread_state():
+        if getattr(tls, "state", None) is None:
+            return
+        del tls.state
+        with lock:
+            closed.append(t.get_ident())
+
+    render.close_thread_state = close_thread_state
+    with ThreadPoolExecutor(max_workers=pool_size) as pool:
+        # create state on however many threads the pool actually spins up
+        list(pool.map(render, range(16)))
+        _close_worker_states(pool, pool_size, render)
+    assert set(closed) == created          # every state-owning thread closed
+    assert len(closed) == len(set(closed))  # exactly once each (no double close)
+
+
+def test_close_worker_states_ignores_plain_renderers():
+    """Fake renderers without close_thread_state (every other test
+    here) must pass through untouched — no tasks submitted."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_integration_system_spark.pipeline.render import _close_worker_states
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        _close_worker_states(pool, 2, lambda url: None)  # must not raise
+
+
+def test_render_pages_tears_down_thread_states(spark, tmp_path):
+    """End-to-end through the Spark stage (local mode shares the FS):
+    a thread-affine fake records which worker threads rendered and
+    which got a close — after the stage completes, every rendering
+    thread must have been closed exactly once."""
+    mark_dir = str(tmp_path)
+
+    def factory(mark_dir=mark_dir):
+        import os
+        import threading as t
+
+        tls = t.local()
+
+        def render(url: str) -> str | None:
+            tls.state = True
+            return f"<html>tid={t.get_ident()}</html>"
+
+        def close_thread_state():
+            if getattr(tls, "state", None) is None:
+                return
+            del tls.state
+            open(os.path.join(mark_dir, f"closed_{t.get_ident()}"), "a").write("x")
+
+        render.close_thread_state = close_thread_state
+        return render
+
+    rows = [(f"http://one.com/p{i}", 0, b"x", "text/html", "") for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "url string, depth long, content binary, content_type string, charset string"
+    ).coalesce(1)
+    out = render_pages(df, render_fn_factory=factory, pool_size=2).collect()
+    import os
+
+    rendered_tids = {
+        int(bytes(r.content).split(b"tid=")[1].split(b"<")[0]) for r in out
+    }
+    closed_tids = {
+        int(f.split("_")[1]) for f in os.listdir(mark_dir) if f.startswith("closed_")
+    }
+    assert rendered_tids <= closed_tids  # every rendering thread torn down
