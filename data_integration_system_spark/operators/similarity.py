@@ -229,6 +229,29 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def fit_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    lloyd_iters: int = _LLOYD_ITERS,
+) -> DataFrame:
+    """The centroid fit of build_ivf_index, exposed on its own: label
+    means seed Lloyd's iterations over the corpus slice.  Deterministic
+    for a given table, so an index whose corpus arrives INCREMENTALLY
+    (streaming ann_ingest_sink) against these centroids answers queries
+    identically to the one-shot batch build."""
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cent = _elementwise_means(
+        emb.select(F.col("label").alias("cent_id"), "embedding")
+    ).localCheckpoint()
+    for _ in range(lloyd_iters):
+        asg = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+        cent = _elementwise_means(asg).localCheckpoint()
+    return cent
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -245,12 +268,7 @@ def build_ivf_index(
 
     emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    cent = _elementwise_means(
-        emb.select(F.col("label").alias("cent_id"), "embedding")
-    ).localCheckpoint()
-    for _ in range(lloyd_iters):
-        asg = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
-        cent = _elementwise_means(asg).localCheckpoint()
+    cent = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
     assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
     # cluster by the partition column before the partitioned write:
     # a spread input would otherwise leave tasks × centroids sliver

@@ -74,78 +74,22 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 10 window (CORRECTNESS_r09 landed 42/42 exact + 8
-    # rows-only, zero err, so the whole r9 head rotates OUT; coverage
-    # histogram after `python rehearse.py --coverage`: r6=6, r7=50,
-    # r8=50, r9=50). Window = NEW-this-round + the 6 r6-stale queries
-    # from _NEXT_ROTATION_FIRST + the r7 tier, trimmed to exactly 50;
-    # each addition displaces an r7 refresh into _NEXT_ROTATION_FIRST.
+    # Round 11 window (CORRECTNESS_r10 landed 49/50 exact + 1
+    # rows-only-by-design, zero err, so the whole r10 head rotates OUT;
+    # coverage histogram after `python rehearse.py --coverage`: r7=14,
+    # r8=50, r9=50, r10=50).  Window = NEW-this-round + the 14
+    # r7-stale queries from _NEXT_ROTATION_FIRST + the r8 tier
+    # (alphabetical), trimmed to exactly 50; the displaced r8
+    # alphabetical tail sits in _NEXT_ROTATION_FIRST for r12.
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
-    "multimodal_mp4_frame_sample",
-    "streaming_quality_monitor_snapshot",
-    "token_count_exact",
-    "streaming_length_profile_snapshot",
-    "streaming_retention_snapshot",
-    "streaming_tumbling_counts_snapshot",
-    "streaming_session_windows_snapshot",
-    "streaming_funnel_pairs_snapshot",
-    # (2) the 6 r6-stale queries (the registry's oldest rows —
-    # VERDICT r9 #2 names them):
-    "top_sources_per_lang",
-    "transition_degrees",
-    "transition_reachability",
-    "user_modal_event_type",
-    "user_value_ewma",
-    "weighted_resample",
-    # (3) the r7-checked tier (alphabetical; the 14 displaced by the
-    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
-    "agg_counts_by_group",
-    "agg_cube_events",
-    "agg_distinct",
-    "agg_rollup",
-    "approx_distinct",
-    "cheapest_supplier_per_part",
-    "column_stats_lineitem",
-    "content_hash_point_lookup",
-    "customer_order_distribution",
-    "disjunctive_discount_revenue",
-    "embedding_norms",
-    "event_type_pagerank",
-    "exact_substring_dup_spans",
-    "filter_blocklist",
-    "filter_scope",
-    "filter_size_cap",
-    "forecast_revenue",
-    "json_config_extract",
-    "lone_returned_supplier_orders",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_pixel_stats",
-    "multimodal_video_frames",
-    "national_market_share",
-    "orders_above_customer_avg",
-    "pack_sequences",
-    "part_value_concentration",
-    "pivot_lang_counts",
-    "pricing_summary",
-    "priority_counts_with_lineitem",
-    "project_content_hash",
-    "project_domain",
-    "promo_revenue_share",
-    "rare_token_score",
-    "repetition_top_bigram",
-    "scan_project",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The r10 window's eight newcomers +
-#: window math displaced the alphabetical tail of the r7 tier — these
-#: lead the r11 window (their r7 rows become the registry's oldest).
-#: Regenerate the plan from data with ``python rehearse.py --coverage``
-#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
-#: list.
-_NEXT_ROTATION_FIRST: list[str] = [
+    "streaming_near_dup_snapshot",
+    "streaming_fingerprint_overlap_snapshot",
+    "streaming_ann_ingest_snapshot",
+    "streaming_sessionized_eviction_snapshot",
+    "token_count_bpe_exact",
+    # (2) the 14 r7-stale queries (the registry's oldest rows —
+    # VERDICT r10 #2 names them):
     "segment_median_order",
     "set_ops",
     "similarity_ivf_topk",
@@ -160,6 +104,68 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "topk_oldest_pending",
     "union_pages_files",
     "zorder_range_scan",
+    # (3) the r8-checked tier (alphabetical; the 19 displaced by the
+    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
+    "anti_join_unvisited",
+    "asof_latest_event_per_order",
+    "bigram_lift_top",
+    "cross_source_duplicate_matrix",
+    "customer_rfm_scores",
+    "customer_spend_percentile",
+    "daily_active_users",
+    "dedup_exact",
+    "dedup_exact_full",
+    "dedup_keep_latest",
+    "discount_band_pivot",
+    "discount_band_unpivot",
+    "doc_length_histogram",
+    "dq_orders_report",
+    "dup_rate_by_source",
+    "event_type_gini_per_user",
+    "event_value_mad",
+    "excess_stock_suppliers",
+    "join_broadcast_dim",
+    "join_sortmerge_fact",
+    "lang_confusion_matrix",
+    "lang_source_grouping_sets",
+    "lang_source_rollcall",
+    "local_supplier_volume",
+    "monthly_revenue_growth",
+    "multiway_star_join",
+    "new_vs_returning_users",
+    "order_date_gap_fill",
+    "order_gap_percentiles",
+    "order_priority_check",
+    "pareto_revenue_share",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). The r11 window's five newcomers +
+#: window math displaced the alphabetical tail of the r8 tier — these
+#: lead the r12 window (their r8 rows become the registry's oldest).
+#: Regenerate the plan from data with ``python rehearse.py --coverage``
+#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
+#: list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "percentile_approx_check",
+    "purchase_streak_islands",
+    "quantity_price_correlation",
+    "range_join_events",
+    "rolling_7day_event_volume",
+    "salted_event_type_rollup",
+    "semi_join_existing",
+    "session_windows",
+    "shipmode_priority_counts",
+    "shipping_priority",
+    "similarity_recall_at_k",
+    "sliding_window_avg",
+    "streaming_dup_rate_snapshot",
+    "token_count_bpe",
+    "tumbling_window_counts",
+    "upsert_changed_rows",
+    "volume_shipping",
+    "weekday_order_stats",
+    "window_rank_frames",
 ]
 
 

@@ -419,3 +419,47 @@ def test_bpe_tokenizer_rides_the_spark_stage(spark):
     ).collect()[0]
     # 'lowlow' -> low, low (2) + 'xyz' -> x, y, z (3)
     assert (row.n_tokens, row.tokenizer) == (5, "toy")
+
+
+def test_demo_merges_closed_form_matches_encoder():
+    """token_count_bpe_exact's oracle rests on one identity: with
+    DEMO_MERGES, every merge EVENT is a literal non-overlapping
+    occurrence of its product string, so
+
+        n_tokens = matched_chars - occ(th) - occ(the) - occ(in)
+                                 - occ(an) - occ(and)
+
+    Property-test it against the real encoder over an adversarial
+    alphabet (the merge letters themselves plus separators), where
+    every composition/overlap/priority interaction actually occurs —
+    random English would barely exercise the 'and'/'an' and 'the'/'th'
+    stacking."""
+    import random
+
+    from data_integration_system_spark.operators.tokenize import (
+        _BPE_PROXY_RE,
+        DEMO_MERGES,
+        bpe_tokenizer,
+    )
+
+    _, encode = bpe_tokenizer(DEMO_MERGES, name="bpe:demo5")
+
+    def closed_form(text: str) -> int:
+        chars = sum(len(m) for m in _BPE_PROXY_RE.findall(text))
+        occ = lambda p: len(text.split(p)) - 1  # noqa: E731 — non-overlapping count
+        return (
+            chars - occ("th") - occ("the") - occ("in") - occ("an") - occ("and")
+        )
+
+    rng = random.Random(11)
+    alphabet = "thean di. 1"
+    for _ in range(3000):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+        assert len(encode(t)) == closed_form(t), repr(t)
+    # directed composition cases (each killed a candidate closed form)
+    for t, want in [
+        ("the", 1), ("ththe", 2), ("thethe", 2), ("anand", 2),
+        ("and", 1), ("aand", 2), ("anin", 2), ("ina", 2), ("tthe", 2),
+        ("", 0), ("   ", 0), ("99!", 3),
+    ]:
+        assert len(encode(t)) == want == closed_form(t), t

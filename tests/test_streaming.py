@@ -1211,3 +1211,97 @@ def test_tumbling_state_survives_query_restart(spark, tmp_path):
     n_windows = final.count()
     restart_emitted = led.filter(F.col("batch_id") == ids[-1]).count()
     assert 0 < restart_emitted < n_windows
+
+
+def test_sessionized_eviction_fires_mid_replay_with_bounded_state(spark, tmp_path):
+    """The production watermarked session path (sessionized: APPEND mode
+    + 1h watermark), driven the way streaming_sessionized_eviction_
+    snapshot drives it, must (a) EVICT mid-replay — finalized sessions
+    emitted from intermediate triggers, not one terminal flush, (b) hold
+    state bounded by OPEN sessions (strictly fewer rows than total
+    sessions — the bound COMPLETE mode can't give), and (c) emit each
+    finalized session exactly once, matching the batch session set
+    filtered at the snapshot's 65-minute cutoff."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.streaming.jobs import (
+        _pin_batch_mtimes,
+        sessionized,
+    )
+
+    ev = table(spark, SF, "events").select("event_id", "ts", "user_id")
+    tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    staged = ev.withColumn("b", tercile).localCheckpoint()
+    src = str(tmp_path / "in")
+    for b in (1, 2, 3):
+        staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _pin_batch_mtimes(src, b)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ledger = str(tmp_path / "ledger")
+
+    def land(batch, batch_id):
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            f"{ledger}/batch_id={batch_id}"
+        )
+
+    q = (
+        sessionized(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.foreachBatch(land)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    batch_sess = (
+        spark.read.parquet(src)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .localCheckpoint()
+    )
+    n_total = batch_sess.count()
+
+    # (b) state never holds all sessions: watermark eviction keeps only
+    # sessions still open within the horizon
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in (p.get("stateOperators") or [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, "no stateOperators progress recorded"
+    assert max(state_rows) < n_total
+
+    # (a) eviction fired MID-replay: emissions in >= 2 distinct triggers
+    led = spark.read.option("basePath", ledger).parquet(ledger)
+    emitting = [r.batch_id for r in led.select("batch_id").distinct().collect()]
+    assert len(emitting) >= 2
+
+    # (c) exactly-once, and equal to the batch set under the cutoff
+    maxts = spark.read.parquet(src).agg(F.max("ts")).head()[0]
+    cutoff = maxts - datetime.timedelta(minutes=65)
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
+    emitted = [key(r) for r in led.filter(F.col("session_end") <= F.lit(cutoff)).collect()]
+    want = {key(r) for r in batch_sess.filter(F.col("session_end") <= F.lit(cutoff)).collect()}
+    assert len(emitted) == len(set(emitted))  # no double emission
+    assert set(emitted) == want and len(want) > 0
