@@ -1380,3 +1380,138 @@ def test_mp4_time_based_sampling_via_stts():
     # corrupt / non-MP4 / zero interval: None, never raise
     assert m4.extract_mp4_frames_every(b"junk", 0.25) is None
     assert m4.extract_mp4_frames_every(mp4, 0.0) is None
+
+
+def _make_mp4_with_codec(codec: str, n_frames: int = 4, w: int = 8, h: int = 8) -> bytes:
+    """Same genuine frames as _make_mjpeg_mp4, but the VisualSampleEntry
+    typed ``codec`` — the fixture for the import-gated native tier
+    (pixels only an injected/native decoder is allowed to open)."""
+    from data_integration_system_spark.operators.jpegcodec import encode_jpeg
+    from data_integration_system_spark.operators.mp4container import (
+        encode_mp4_mjpeg,
+    )
+
+    frames = [
+        encode_jpeg(bytes([(37 * i) % 256]) * (w * h), w, h, 1, quant=1)
+        for i in range(n_frames)
+    ]
+    return encode_mp4_mjpeg(frames, w, h, sync_every=2, codec=codec)
+
+
+def test_video_decoder_injected_fake_decodes_only_keyframes():
+    """The tiered video dispatch (VERDICT r10 #8) with an INJECTED fake
+    decoder: an avc1-typed track resolves to the fake, which must see
+    exactly the stss sync samples (one table walk + k decodes — never
+    the inter-frame bulk), in order, with the located sample bytes."""
+    from data_integration_system_spark.operators import mp4container as m4
+
+    mp4 = _make_mp4_with_codec("avc1", n_frames=5)
+    st = m4.decode_mp4_sample_table(mp4)
+    assert st["codec"] == "avc1"
+    seen = []
+
+    def fake(sample: bytes):
+        seen.append(sample)
+        return 8, 8, 3, b"\x00" * (8 * 8 * 3)
+
+    out = m4.extract_mp4_keyframe_pixels(mp4, decoder=fake)
+    # sync_every=2 over 5 frames -> sync samples 1,3,5 (1-based)
+    assert [i for i, *_ in out] == [0, 2, 4]
+    assert all((w, h, ch) == (8, 8, 3) for _, w, h, ch, _b in out)
+    # the fake received the exact located sample bytes, nothing more
+    want = [mp4[off:off + size] for s in (1, 3, 5)
+            for off, size in [st["samples"][s - 1]]]
+    assert seen == want
+
+
+def test_video_decoder_honest_none_without_native_tier():
+    """An avc1 corpus on a container WITHOUT PyAV degrades to the
+    honest None — the table walk still works (counts/offsets/sync
+    available) but no tier may fabricate pixels."""
+    import importlib.util
+
+    from data_integration_system_spark.operators import mp4container as m4
+
+    mp4 = _make_mp4_with_codec("avc1")
+    if importlib.util.find_spec("av") is not None:
+        pytest.skip("PyAV installed; the no-native-tier path not exercisable")
+    assert m4.resolve_video_decoder("avc1", None) is None
+    assert m4.extract_mp4_keyframe_pixels(mp4) is None
+    st = m4.decode_mp4_sample_table(mp4)  # metadata stays available
+    assert st is not None and len(st["samples"]) == 4
+
+
+def test_video_decoder_jpeg_tier_is_stdlib_and_preferred():
+    """'jpeg' samples decode on the deterministic stdlib tier with no
+    injection and regardless of native availability; pixels match the
+    direct jpegcodec decode."""
+    from data_integration_system_spark.operators import mp4container as m4
+    from data_integration_system_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+    )
+
+    mp4 = _make_mjpeg_mp4(4)
+    out = m4.extract_mp4_keyframe_pixels(mp4)
+    assert [i for i, *_ in out] == [0, 2]
+    for i, w, h, ch, buf in out:
+        frame = dict(m4.extract_mp4_frames(mp4))[i]
+        assert (w, h, ch, buf) == decode_jpeg_pixels(frame)
+    # injected decoder still wins even over the jpeg tier
+    marker = lambda s: (1, 1, 1, b"\xff")  # noqa: E731
+    assert m4.resolve_video_decoder("jpeg", None, marker) is marker
+
+
+def test_video_decoder_throwing_or_refusing_decoder_is_data():
+    """A decoder that raises or returns None for some samples degrades
+    those FRAMES, never the job (errors-as-data): surviving frames are
+    returned; all-refused returns None."""
+    from data_integration_system_spark.operators import mp4container as m4
+
+    mp4 = _make_mp4_with_codec("avc1", n_frames=5)
+
+    calls = []
+
+    def flaky(sample: bytes):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("hostile frame")
+        if len(calls) == 3:
+            return None
+        return 8, 8, 1, b"\x00" * 64
+
+    out = m4.extract_mp4_keyframe_pixels(mp4, decoder=flaky)
+    assert [i for i, *_ in out] == [0]  # sync 3 raised, sync 5 refused
+    assert m4.extract_mp4_keyframe_pixels(
+        mp4, decoder=lambda s: None
+    ) is None
+
+
+def test_video_decoder_extradata_reaches_native_tier():
+    """The stsd entry's avcC body must surface as ``extradata`` in the
+    sample table (a native H.264 context is useless without SPS/PPS);
+    absent config boxes leave None."""
+    import struct as _struct
+
+    from data_integration_system_spark.operators import mp4container as m4
+
+    plain = _make_mp4_with_codec("avc1")
+    assert m4.decode_mp4_sample_table(plain)["extradata"] is None
+
+    # splice an avcC child into the VisualSampleEntry: rebuild the stsd
+    # entry with a trailing config box, fixing every enclosing box size
+    conf = b"\x01\x64\x00\x1f\xff\xe1"  # a plausible AVCDecoderConfig head
+    raw = bytearray(plain)
+    i = bytes(raw).find(b"avc1") - 4  # entry box header start
+    (esize,) = _struct.unpack(">I", raw[i:i + 4])
+    avcc = _struct.pack(">I", 8 + len(conf)) + b"avcC" + conf
+    raw[i:i + 4] = _struct.pack(">I", esize + len(avcc))
+    insert_at = i + esize
+    raw[insert_at:insert_at] = avcc
+    # grow every ancestor box (stsd, stbl, minf, mdia, trak, moov)
+    for anc in (b"stsd", b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = bytes(raw).rfind(anc)
+        hdr = j - 4
+        (bsize,) = _struct.unpack(">I", raw[hdr:hdr + 4])
+        raw[hdr:hdr + 4] = _struct.pack(">I", bsize + len(avcc))
+    st = m4.decode_mp4_sample_table(bytes(raw))
+    assert st is not None and st["extradata"] == conf
