@@ -847,6 +847,17 @@ def ewma_state_stream(events: DataFrame) -> DataFrame:
 from data_integration_system_spark.registry import query as _query
 
 
+
+def _drain_deadline_s() -> int:
+    """availableNow replay guard for the snapshot queries: 600 s covers
+    every driver-scale replay with an order of magnitude to spare; the
+    scale campaigns override via SPARK_GRAFT_STREAM_DRAIN_S (the sf10
+    EWMA replay legitimately exceeds 600 s — r11's second streaming
+    decade hit the guard, not a hang)."""
+    import os as _os
+
+    return int(_os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S", "600"))
+
 def _pin_batch_mtimes(src: str, b: int) -> None:
     """Stamp batch ``b``'s parquet files to mtime ``b * 1e6`` so the
     file source's oldest-first pacing is deterministic even when
@@ -931,9 +942,9 @@ def streaming_dup_rate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1031,9 +1042,9 @@ def streaming_user_ewma_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1145,9 +1156,9 @@ def streaming_quality_monitor_snapshot(spark: SparkSession, sf_dir: str) -> Data
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1220,9 +1231,9 @@ def streaming_length_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataF
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1301,9 +1312,9 @@ def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1397,9 +1408,9 @@ def streaming_tumbling_counts_snapshot(spark: SparkSession, sf_dir: str) -> Data
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1518,9 +1529,9 @@ def streaming_session_windows_snapshot(spark: SparkSession, sf_dir: str) -> Data
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1629,9 +1640,9 @@ def streaming_funnel_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(_drain_deadline_s()):
                 raise TimeoutError(
-                    "availableNow replay did not drain within 600s; "
+                    "availableNow replay did not drain within the deadline; "
                     "refusing to return a partial snapshot"
                 )
         finally:
@@ -1677,9 +1688,9 @@ def _docs_trisected(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
 def _drain(q) -> None:
     """availableNow replay barrier shared by the snapshot queries."""
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(_drain_deadline_s()):
             raise TimeoutError(
-                "availableNow replay did not drain within 600s; "
+                "availableNow replay did not drain within the deadline; "
                 "refusing to return a partial snapshot"
             )
     finally:

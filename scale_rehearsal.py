@@ -1245,7 +1245,12 @@ def run_streaming_timing_d2(spark) -> None:
     The EWMA row includes its fixture's global ts-order ntile sort
     (single-task by construction — the replay-order contract), which is
     fixture cost, not machinery cost; the machinery signal is that the
-    exponent stays ~<= 1."""
+    exponent stays ~<= 1.
+
+    The sf10 EWMA replay legitimately exceeds the snapshots' 600 s
+    driver-scale drain guard (the r11 first attempt hit it), so the
+    campaign raises SPARK_GRAFT_STREAM_DRAIN_S for its own process."""
+    os.environ.setdefault("SPARK_GRAFT_STREAM_DRAIN_S", "5400")
     from data_integration_system_spark.registry import get_queries
 
     qs = get_queries()
@@ -1268,6 +1273,7 @@ def run_streaming_timing_d2(spark) -> None:
         if "exponent" in row:
             print(f"  {name}: recorded, skipped")
             continue
+        row.pop("error", None)  # a retried leg must not keep a stale error
         try:
             for tag, d in (("sf1", SF1), ("sf10", SF10)):
                 if tag in row:

@@ -1305,3 +1305,103 @@ def test_sessionized_eviction_fires_mid_replay_with_bounded_state(spark, tmp_pat
     want = {key(r) for r in batch_sess.filter(F.col("session_end") <= F.lit(cutoff)).collect()}
     assert len(emitted) == len(set(emitted))  # no double emission
     assert set(emitted) == want and len(want) > 0
+
+
+def test_streaming_near_dup_snapshot_query_matches_batch(spark):
+    """The REGISTERED online near-dup query (driver-facing, r11): its
+    final canonical pair set must equal batch dedup_minhash_near on the
+    full corpus — the Kappa contract, now through the registry path
+    (trisected replay + index-append + pruned probes)."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = sorted(
+        tuple(r) for r in qs["streaming_near_dup_snapshot"](spark, SF).collect()
+    )
+    want = sorted(tuple(r) for r in qs["dedup_minhash_near"](spark, SF).collect())
+    assert got == want and len(want) > 0
+
+
+def test_streaming_fingerprint_overlap_snapshot_query_matches_batch(spark):
+    """The REGISTERED online fingerprint-overlap query (driver-facing,
+    r11) vs batch fingerprint_overlap_pairs — same min_shared=5, same
+    canonical pair grain."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    got = sorted(
+        tuple(r)
+        for r in qs["streaming_fingerprint_overlap_snapshot"](spark, SF).collect()
+    )
+    want = sorted(
+        tuple(r) for r in qs["fingerprint_overlap_pairs"](spark, SF).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_streaming_ann_ingest_snapshot_query_matches_batch_index(spark, tmp_path):
+    """The REGISTERED online ANN-ingest query (driver-facing, r11): the
+    incrementally-grown index's top-k lists must equal the one-shot
+    batch build's for the standard query set (same fit_ivf_centroids
+    both sides — the fixed-centroids invariant)."""
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.registry import get_queries
+
+    got = sorted(
+        tuple(r)
+        for r in get_queries()["streaming_ann_ingest_snapshot"](spark, SF).collect()
+    )
+    full = str(tmp_path / "full")
+    build_ivf_index(spark, SF, full)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    want = sorted(
+        tuple(r)
+        for r in query_ivf_index(spark, full, queries)
+        .orderBy("q_id", "rnk")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sessionized_eviction_snapshot_matches_cutoff_sessions(spark):
+    """The REGISTERED production-session query (driver-facing, r11):
+    append-mode emissions filtered at the 65-minute cutoff must equal
+    the batch session_window set under the same cutoff, exactly once
+    each."""
+    import datetime
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.registry import get_queries
+
+    got = [
+        tuple(r)
+        for r in get_queries()["streaming_sessionized_eviction_snapshot"](
+            spark, SF
+        ).collect()
+    ]
+    ev = table(spark, SF, "events").select("ts", "user_id")
+    maxts = ev.agg(F.max("ts")).head()[0]
+    cutoff = maxts - datetime.timedelta(minutes=65)
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .filter(F.col("session_end") <= F.lit(cutoff))
+        .collect()
+    )
+    assert len(got) == len(set(got))  # exactly-once
+    assert sorted(got) == want and len(want) > 0
