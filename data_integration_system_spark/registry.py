@@ -77,9 +77,9 @@ _DRIVER_HEAD: list[str] = [
     # Round 11 window (CORRECTNESS_r10 landed 49/50 exact + 1
     # rows-only-by-design, zero err, so the whole r10 head rotates OUT;
     # coverage histogram after `python rehearse.py --coverage`: r7=14,
-    # r8=50, r9=50, r10=50).  Window = NEW-this-round + the 14
-    # r7-stale queries from _NEXT_ROTATION_FIRST + the r8 tier
-    # (alphabetical), trimmed to exactly 50; the displaced r8
+    # r8=50, r9=50, r10=50).  Window = 6 NEW-this-round + the 14
+    # r7-stale queries from _NEXT_ROTATION_FIRST + the first 30 of the
+    # r8 tier (alphabetical), exactly 50; the displaced 20-query r8
     # alphabetical tail sits in _NEXT_ROTATION_FIRST for r12.
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
@@ -88,6 +88,7 @@ _DRIVER_HEAD: list[str] = [
     "streaming_ann_ingest_snapshot",
     "streaming_sessionized_eviction_snapshot",
     "token_count_bpe_exact",
+    "similarity_pq_topk",
     # (2) the 14 r7-stale queries (the registry's oldest rows —
     # VERDICT r10 #2 names them):
     "segment_median_order",
@@ -104,7 +105,7 @@ _DRIVER_HEAD: list[str] = [
     "topk_oldest_pending",
     "union_pages_files",
     "zorder_range_scan",
-    # (3) the r8-checked tier (alphabetical; the 19 displaced by the
+    # (3) the r8-checked tier (alphabetical; the 20 displaced by the
     # newcomers + window math sit in _NEXT_ROTATION_FIRST):
     "anti_join_unvisited",
     "asof_latest_event_per_order",
@@ -136,17 +137,17 @@ _DRIVER_HEAD: list[str] = [
     "order_date_gap_fill",
     "order_gap_percentiles",
     "order_priority_check",
-    "pareto_revenue_share",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The r11 window's five newcomers +
+#: of _DRIVER_HEAD when updating it). The r11 window's six newcomers +
 #: window math displaced the alphabetical tail of the r8 tier — these
 #: lead the r12 window (their r8 rows become the registry's oldest).
 #: Regenerate the plan from data with ``python rehearse.py --coverage``
 #: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
 #: list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "pareto_revenue_share",
     "percentile_approx_check",
     "purchase_streak_islands",
     "quantity_price_correlation",

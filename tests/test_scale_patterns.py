@@ -822,3 +822,104 @@ def test_cluster_for_partitioned_write_task_count(spark, tmp_path):
     dirs = _glob.glob(f"{path}/bucket=*")
     assert len(dirs) == 64
     assert len(files) == 64  # 1 file per value, not tasks x values
+
+
+def test_pq_codebooks_deterministic_and_bounded(spark):
+    """The PQ fit must be bit-deterministic (seedless by construction:
+    hash-ordered sample + first-k-distinct init) and driver-bounded —
+    rebuilds on the same corpus agree exactly, the serving invariant
+    that lets codes and codebooks be written at different times."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        fit_pq_codebooks,
+    )
+
+    corpus = table(spark, SF, "embeddings").filter(F.col("vec_id") >= _N_QUERIES)
+    b1 = fit_pq_codebooks(corpus)
+    b2 = fit_pq_codebooks(corpus)
+    assert b1 == b2
+    assert len(b1) == _PQ_M and all(len(b) <= _PQ_K for b in b1)
+    sub = len(b1[0][0])
+    assert sub * _PQ_M == 64  # the embedding dim, split exactly
+
+
+def test_pq_codes_are_m_bytes(spark):
+    """The compression claim is literal: every encoded row is exactly m
+    bytes (32x smaller than 64 float32s) — the whole point of the
+    compressed-scan tier."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_M,
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    corpus = table(spark, SF, "embeddings").filter(F.col("vec_id") >= _N_QUERIES)
+    books = fit_pq_codebooks(corpus)
+    rows = pq_encode(corpus, books).collect()
+    assert len(rows) == corpus.count()
+    assert all(len(bytes(r.codes)) == _PQ_M for r in rows)
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """The registered similarity_pq_topk (ADC shortlist 8x k + exact
+    re-rank) must recover the large majority of the brute-force top-5;
+    rank-1 neighbors — what dedup/retrieval actually key on — must be
+    near-perfect.  Floors are deliberately below measured values (the
+    operator is approximate by construction; the pin is that the
+    shortlist isn't broken, not a lucky constant)."""
+    from data_integration_system_spark.registry import get_queries
+
+    qs = get_queries()
+    pq = {(r.q_id, r.c_id) for r in qs["similarity_pq_topk"](spark, SF).collect()}
+    bf_rows = qs["similarity_topk"](spark, SF).collect()
+    bf = {(r.q_id, r.c_id) for r in bf_rows}
+    top1 = {(r.q_id, r.c_id) for r in bf_rows if r.rnk == 1}
+    assert len(bf) > 0
+    assert len(pq & bf) / len(bf) >= 0.6
+    assert len(pq & top1) / len(top1) >= 0.75
+    # exact re-rank means every reported cos_sim is TRUE cosine: any
+    # pair PQ shares with brute force must carry the identical value
+    bf_val = {(r.q_id, r.c_id): r.cos_sim for r in bf_rows}
+    for r in qs["similarity_pq_topk"](spark, SF).collect():
+        if (r.q_id, r.c_id) in bf_val:
+            assert r.cos_sim == bf_val[(r.q_id, r.c_id)]
+
+
+def test_pq_index_build_query_matches_inline(spark, tmp_path):
+    """The materialized PQ index (codes + codebooks + meta on disk)
+    must answer exactly like the inline fit+encode path — codebook
+    write/read roundtrip cannot perturb a single code or rank — and
+    pure-compressed mode (no vectors relation) must rank by ADC."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_pq_index,
+        query_pq_index,
+    )
+    from data_integration_system_spark.registry import get_queries
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, SF, idx)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    got = sorted(
+        tuple(r) for r in query_pq_index(spark, idx, queries, vectors=corpus).collect()
+    )
+    want = sorted(
+        tuple(r) for r in get_queries()["similarity_pq_topk"](spark, SF).collect()
+    )
+    assert got == want and len(want) > 0
+    adc_only = query_pq_index(spark, idx, queries)  # compressed-only mode
+    rows = adc_only.collect()
+    assert {r.q_id for r in rows} == {r[0] for r in queries.collect()}
+    for q_id in {r.q_id for r in rows}:
+        ds = [r.adc_dist for r in rows if r.q_id == q_id]
+        assert ds == sorted(ds)  # ADC ranks ascending
