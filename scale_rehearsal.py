@@ -1387,6 +1387,80 @@ def run_retime_minhash_build(spark, tag: str) -> None:
     print(f"  minhash_index_build retime: {row}")
 
 
+def run_pq_timing(spark) -> None:
+    """Decade rows for the PQ tier (r11, operators/similarity.py): build
+    (deterministic fit + 32x-compressed encode + write) and query (ADC
+    shortlist + exact re-rank) at sf10 (~500k vectors) and d3 (2M).
+    Expected shape: build ~linear in corpus (one encode pass; the fit's
+    collect is sample-capped so it goes FLAT across decades); query
+    ~linear in codes bytes with a constant re-rank (shortlist size is
+    corpus-independent)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_pq_index,
+        query_pq_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("pq", {}))
+    for tag, d in (("sf10", SF10), ("d3", D3)):
+        if tag in section:
+            print(f"  pq {tag}: recorded, skipped")
+            continue
+        root = tempfile.mkdtemp(prefix="scale_pq_")
+        try:
+            emb = table(spark, d, "embeddings")
+            queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+            )
+            corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+                "vec_id", "embedding"
+            )
+            t0 = time.perf_counter()
+            build_pq_index(spark, d, f"{root}/pq")
+            build_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n = query_pq_index(
+                spark, f"{root}/pq", queries, vectors=corpus
+            ).count()
+            query_s = round(time.perf_counter() - t0, 3)
+            section[tag] = {"build_sec": build_s, "query_sec": query_s, "rows": n}
+            print(f"  pq {tag}: {section[tag]}")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        prev["pq"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+    if "sf10" in section and "d3" in section and "build_exponent" not in section:
+        # d3 embeddings = 2M vs sf10 = 200k: a true decade
+        section["build_exponent"] = round(
+            math.log(section["d3"]["build_sec"] / section["sf10"]["build_sec"])
+            / math.log(10), 3,
+        )
+        section["query_exponent"] = round(
+            math.log(section["d3"]["query_sec"] / section["sf10"]["query_sec"])
+            / math.log(10), 3,
+        )
+        prev["pq"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+    print("updated SCALE_REHEARSAL_D3.json pq")
+
+
 def run_retime_embedding_near(spark, tag: str) -> None:
     """Separate-process re-time of ONE leg of the dedup_embedding_near
     within-regime pair (VERDICT r10 #6): the recorded 1.05 came from a
@@ -1470,6 +1544,10 @@ def main() -> None:
         help="re-time ONE leg of the embedding within-regime pair in this process",
     )
     ap.add_argument(
+        "--time-pq", action="store_true",
+        help="PQ build/query decade rows (sf10 vs d3)",
+    )
+    ap.add_argument(
         "--time-crawl", action="store_true",
         help="crawl write-path decade rows (20k/200k/2M pages + resume)",
     )
@@ -1530,6 +1608,8 @@ def main() -> None:
         run_retime_minhash_build(spark, args.retime_minhash_build)
     if args.retime_embedding_near:
         run_retime_embedding_near(spark, args.retime_embedding_near)
+    if args.time_pq:
+        run_pq_timing(spark)
     if args.time_crawl:
         run_crawl_timing(spark)
     if args.time_tokenize:
