@@ -1387,6 +1387,87 @@ def run_retime_minhash_build(spark, tag: str) -> None:
     print(f"  minhash_index_build retime: {row}")
 
 
+def run_pq_recall(spark) -> None:
+    """Design-band recall for the PQ tier at d3 (2M vectors), via the
+    planted-twin protocol the sign-LSH campaign uses: plant N_TWINS
+    twins at cos 0.9 into a temp copy of the corpus, PQ-search with the
+    original vectors, count twins recovered in the exact-re-ranked
+    top-5.  With corpus background pairs topping out ~0.44 cosine, a
+    healthy shortlist recovers essentially all twins; a broken codebook
+    or LUT shows up as recall collapse, not a subtle drift."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        fit_pq_codebooks,
+        pq_encode,
+        pq_shortlist,
+    )
+    from data_integration_system_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    row = dict(prev.get("d3", {}))
+    if "pq" in row:
+        print("  d3/pq: recorded, skipped")
+        return
+    out = tempfile.mkdtemp(prefix="scale_pq_recall_")
+    try:
+        n = plant_twin_corpus(spark, D3, out)
+        emb = spark.read.parquet(f"{out}/embeddings.parquet")
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        books = fit_pq_codebooks(corpus)
+        codes = pq_encode(corpus, books).localCheckpoint()
+        q_rows = [
+            (int(r.vec_id), list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < TWIN_OFFSET)
+            .orderBy("vec_id")
+            .limit(N_TWINS)
+            .collect()
+        ]
+        top_k = 5
+        short = pq_shortlist(codes, q_rows, books, 8 * top_k)
+        qdf = spark.createDataFrame(
+            q_rows, "q_id long, qe array<float>"
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+        hits = (
+            short.join(
+                corpus.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+            )
+            .join(F.broadcast(qdf), "q_id")
+            .select("q_id", F.col("vec_id").alias("c_id"), cosine("qe", "ce").alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .filter(F.col("c_id") == F.col("q_id") + TWIN_OFFSET)
+            .count()
+        )
+        row["pq"] = {
+            "design_band_recall_at_5": round(hits / n, 4),
+            "n_twins": n,
+            "twin_cos": TWIN_COS,
+        }
+        prev["d3"] = row
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+        print(f"  d3/pq recall: {row['pq']}")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_pq_timing(spark) -> None:
     """Decade rows for the PQ tier (r11, operators/similarity.py): build
     (deterministic fit + 32x-compressed encode + write) and query (ADC
@@ -1548,6 +1629,10 @@ def main() -> None:
         help="PQ build/query decade rows (sf10 vs d3)",
     )
     ap.add_argument(
+        "--recall-pq", action="store_true",
+        help="PQ planted-twin design-band recall at d3",
+    )
+    ap.add_argument(
         "--time-crawl", action="store_true",
         help="crawl write-path decade rows (20k/200k/2M pages + resume)",
     )
@@ -1610,6 +1695,8 @@ def main() -> None:
         run_retime_embedding_near(spark, args.retime_embedding_near)
     if args.time_pq:
         run_pq_timing(spark)
+    if args.recall_pq:
+        run_pq_recall(spark)
     if args.time_crawl:
         run_crawl_timing(spark)
     if args.time_tokenize:
