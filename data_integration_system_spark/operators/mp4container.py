@@ -436,9 +436,8 @@ def extract_mp4_frames(
 #: 4CC -> libav codec name for the import-gated native tier
 _NATIVE_CODECS = {"avc1": "h264", "avc3": "h264", "hvc1": "hevc", "hev1": "hevc"}
 
-#: injected decoder signature: (sample_bytes) -> (w, h, channels, pixel
-#: bytes) or None — the same tuple shape as jpegcodec.decode_jpeg_pixels
-SampleDecodeFn = "Callable[[bytes], tuple[int, int, int, bytes] | None]"
+# injected decoder signature: (sample_bytes) -> (w, h, channels, pixel
+# bytes) or None — the same tuple shape as jpegcodec.decode_jpeg_pixels
 
 
 def _pyav_sample_decoder(codec: str, extradata: bytes | None):
