@@ -452,16 +452,28 @@ def _pyav_sample_decoder(codec: str, extradata: bytes | None):
     name = _NATIVE_CODECS.get(codec)
     if name is None:
         return None
-    ctx = av.CodecContext.create(name, "r")
-    if extradata:
-        ctx.extradata = extradata
+    av.CodecContext.create(name, "r")  # codec availability checked at RESOLUTION
 
     def decode(sample: bytes) -> tuple[int, int, int, bytes] | None:
+        # a FRESH context per sample + an explicit flush: a shared
+        # stateful context with decoder output delay (non-IDR keyframes,
+        # B-frame reordering) can emit a PREVIOUS packet's frame, mis-
+        # attributing pixels to this sample index (ADVICE r11).  Flushing
+        # a fresh context drains exactly this packet's frames, and the
+        # LAST one is the fed sample's.  Keyframes are few per video, so
+        # the per-sample context cost is noise next to the decode.
         try:
-            frames = ctx.decode(av.Packet(sample))
+            ctx = av.CodecContext.create(name, "r")
+            if extradata:
+                ctx.extradata = extradata
+            frames = list(ctx.decode(av.Packet(sample)))
+            try:
+                frames += list(ctx.decode())  # flush (EOF) drains delay
+            except Exception:
+                pass  # some codecs raise on flush-after-one-packet
             if not frames:
                 return None
-            arr = frames[0].to_ndarray(format="rgb24")
+            arr = frames[-1].to_ndarray(format="rgb24")
             h, w, ch = arr.shape
             return w, h, ch, arr.tobytes()
         except Exception:

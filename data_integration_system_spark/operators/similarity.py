@@ -813,6 +813,24 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _codebooks_from_rows(cb_rows: list, m: int) -> list:
+    """Rebuild nested codebook lists from (subspace, code, centroid) rows
+    by grouping ACTUAL rows per subspace — never assuming a uniform k.
+    fit_pq_codebooks can emit fewer than k centroids on low-cardinality
+    sub-vector data (first-k-distinct init), so a ``[None]*k`` template
+    would leave object-dtype holes and crash the ADC scan (ADVICE r11).
+    Codes in the data are argmin indices into each book, so a dense
+    code-ordered list is exactly the fit-time book."""
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(r.subspace, []).append((r.code, list(r.centroid)))
+    books = [[c for _, c in sorted(by_sub.get(j, []))] for j in range(m)]
+    for j, book in enumerate(books):
+        if not book:
+            raise ValueError(f"codebooks table has no rows for subspace {j}")
+    return books
+
+
 def build_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     """Materialize the PQ tier: ``{index}/codes`` (the m-byte relation),
     ``{index}/codebooks`` (m·k rows), ``{index}/meta``.  Build cost is
@@ -830,8 +848,10 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    # k is informational (read-back groups actual codebook rows, never
+    # trusts k): record the LARGEST subspace so a ragged fit is visible
     spark.createDataFrame(
-        [(len(books), len(books[0]))], "m int, k int"
+        [(len(books), max(len(b) for b in books))], "m int, k int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -853,9 +873,7 @@ def query_pq_index(
     meta = spark.read.parquet(f"{index_path}/meta").head()
     m = meta["m"]
     cb = spark.read.parquet(f"{index_path}/codebooks").collect()
-    books: list = [[None] * meta["k"] for _ in range(m)]
-    for r in cb:
-        books[r.subspace][r.code] = list(r.centroid)
+    books = _codebooks_from_rows(cb, m)
     codes = spark.read.parquet(f"{index_path}/codes")
     q_rows = [(r[0], list(r[1])) for r in queries.collect()]
     short = pq_shortlist(codes, q_rows, books, shortlist_x * top_k)

@@ -177,9 +177,13 @@ def _close_worker_states(pool, pool_size: int, render) -> None:
     worker can take a second close task until all have taken one, so
     every live worker runs exactly one.  (ThreadPoolExecutor spawns up
     to max_workers threads for queued tasks, so barrier parties are
-    always reachable; timeouts keep a wedged browser close from
-    hanging executor shutdown.)  Renderers without the attribute — all
-    the test fakes — are untouched."""
+    always reachable.)  The timeouts bound THIS call — they unblock the
+    other workers and the caller, not a worker wedged inside
+    browser.close(); the caller must not join the pool afterwards
+    (render_pages shuts it down with wait=False), accepting a leaked
+    wedged thread + browser as the documented residual rather than a
+    hung Spark task.  Renderers without the attribute — all the test
+    fakes — are untouched."""
     close = getattr(render, "close_thread_state", None)
     if close is None:
         return
@@ -243,11 +247,18 @@ def render_pages(
         # relaunching chromium each batch; when the partition ends the
         # per-thread renderer state is torn down ON its owning threads
         # (ADVICE r10 — otherwise every task leaks pool_size browsers)
-        with ThreadPoolExecutor(max_workers=pool_size) as pool:
-            try:
-                yield from _run_batches(batches, pool, one)
-            finally:
-                _close_worker_states(pool, pool_size, render)
+        pool = ThreadPoolExecutor(max_workers=pool_size)
+        try:
+            yield from _run_batches(batches, pool, one)
+        finally:
+            _close_worker_states(pool, pool_size, render)
+            # wait=False: _close_worker_states already bounded the close
+            # rendezvous at 60 s; a `with` exit would shutdown(wait=True)
+            # and JOIN a worker wedged inside browser.close(), hanging
+            # the Spark task indefinitely (ADVICE r11).  A wedged worker
+            # thread (and its chromium) is leaked instead — documented
+            # residual; the task always returns.
+            pool.shutdown(wait=False)
 
     def _run_batches(batches, pool, one):
         for pdf in batches:

@@ -923,3 +923,47 @@ def test_pq_index_build_query_matches_inline(spark, tmp_path):
     for q_id in {r.q_id for r in rows}:
         ds = [r.adc_dist for r in rows if r.q_id == q_id]
         assert ds == sorted(ds)  # ADC ranks ascending
+
+
+def test_pq_index_ragged_codebooks_roundtrip(spark, tmp_path):
+    """Low-cardinality sub-vector data makes fit_pq_codebooks emit FEWER
+    than k centroids per subspace (first-k-distinct init); the index
+    read-back must rebuild codebooks from the ACTUAL rows — the old
+    [None]*k template left object-dtype holes that crashed the ADC scan
+    (ADVICE r11, similarity.py:856)."""
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_K,
+        build_pq_index,
+        fit_pq_codebooks,
+        query_pq_index,
+    )
+
+    # two distinct 64-dim patterns -> every subspace sees <=2 distinct
+    # sub-vectors, so every codebook is ragged (2 << k=16)
+    pat = [[0.1] * 32 + [0.9] * 32, [0.9] * 32 + [0.1] * 32]
+    rows = [(i, pat[i % 2], i % 2) for i in range(40)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    corpus = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") >= _N_QUERIES
+    )
+    books = fit_pq_codebooks(corpus)
+    assert all(len(b) < _PQ_K for b in books)  # the ragged precondition
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, sf, idx)
+    queries = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    )
+    got = query_pq_index(spark, idx, queries, vectors=corpus).collect()
+    assert len(got) == 8 * 5  # every query answers a full top-5
+    # pattern-0 queries must retrieve pattern-0 corpus vectors at rank 1
+    for r in got:
+        if r.rnk == 1:
+            assert r.c_id % 2 == r.q_id % 2
