@@ -803,7 +803,12 @@ _EMB_DIM = 64
 
 
 @query("dedup_embedding_near", oracle=None)
-def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) -> DataFrame:
+def dedup_embedding_near(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = _EMB_DIM,
+    top_k_neighbors: int | None = None,
+) -> DataFrame:
     """North-star embedding near-dup: pairs with cosine >= threshold,
     blocked by multi-table random-hyperplane LSH (L=6 tables × k sign
     bits, planes derived from sha256 so the whole thing is
@@ -935,6 +940,9 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
     # changes the shuffle shape, not one output bit.
     members = keyed.join(bits_df.select("vec_id", "embedding"), "vec_id")
 
+    if top_k_neighbors is not None:
+        return _emb_topk_collapse(members, top_k_neighbors)
+
     def verify(pdf):
         import numpy as np
         import pandas as pd
@@ -988,6 +996,120 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str, dim: int = _EMB_DIM) 
         .agg(F.max("cos_sim").alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _emb_topk_collapse(members: DataFrame, cap: int) -> DataFrame:
+    """Bounded-output verify for the embedding near-dup: each (table,
+    bucket) group emits per MEMBER only its ``cap`` nearest passing
+    neighbors (directed rows), a global per-doc window re-cuts to the
+    true top-``cap`` across tables, and the directed survivors collapse
+    to undirected pairs.
+
+    Why this exists: at a noise-floor threshold (0.3 on the synthetic
+    corpus) the FULL pair set is quadratic in corpus size — a data
+    property any exact-verify near-dup pays to emit (SCALE.md r11:
+    output exponent 2.0 with wall chasing it at 1.167).  Dedup
+    semantics don't need every noise-floor pair, they need each doc's
+    nearest neighbors above threshold; the cap bounds emission at
+    O(L·n·cap) INSIDE the bucket groups, so wall decouples from the
+    quadratic pair count.  Exactness contract (pytest-pinned): with
+    cap >= the max true degree the result is IDENTICAL to the uncapped
+    pair set — if b is in a's global top-cap, then in every bucket
+    where they co-land b also ranks inside a's within-bucket top-cap,
+    so the pre-cut loses nothing the global cut would keep.  A pair
+    survives if EITHER endpoint keeps it (standard kNN-graph
+    semantics); ranking uses the exact unrounded cosine, ties to the
+    lower neighbor id."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def verify_capped(pdf):
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        nb = len(pdf)
+        if nb < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        acc = np.zeros((nb, nb))
+        nrm2 = np.zeros(nb)
+        for j in range(mat.shape[1]):  # dim order == the JVM fold order
+            c = mat[:, j]
+            acc += np.outer(c, c)
+            nrm2 += c * c
+        nrm = np.sqrt(nrm2)
+        ia, ib = np.triu_indices(nb, 1)
+        denom = nrm[ia] * nrm[ib]
+        ok = denom > 0
+        sims = np.divide(acc[ia, ib], denom, out=np.zeros(len(ia)), where=ok)
+        keep = ok & (sims >= _EMB_SIM_MIN - 1e-4)
+        if not keep.any():
+            return empty
+        # directed view of the passing pairs; per-src top-cap by exact
+        # cosine (desc), ties to the lower neighbor id — the SAME order
+        # the global window uses, so the pre-cut composes exactly
+        src = np.concatenate([ia[keep], ib[keep]])
+        dst = np.concatenate([ib[keep], ia[keep]])
+        s = np.concatenate([sims[keep], sims[keep]])
+        order = np.lexsort((ids[dst], -s, ids[src]))  # src, -cos, dst_id
+        src, dst, s = src[order], dst[order], s[order]
+        starts = np.flatnonzero(
+            np.r_[True, ids[src][1:] != ids[src][:-1]]
+        )
+        take = np.zeros(len(src), dtype=bool)
+        for b, e in zip(starts, np.r_[starts[1:], len(src)]):
+            take[b:min(b + cap, e)] = True
+        q = Decimal("0.0001")
+        out_s, out_d, out_c = [], [], []
+        for i, k, v in zip(src[take], dst[take], s[take]):
+            r = float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            if r >= _EMB_SIM_MIN:
+                out_s.append(int(ids[i]))
+                out_d.append(int(ids[k]))
+                out_c.append(r)
+        return pd.DataFrame({"src": out_s, "dst": out_d, "cos_sim": out_c})
+
+    directed = members.groupBy("tbl", "bucket").applyInPandas(
+        verify_capped, "src long, dst long, cos_sim double"
+    )
+    # collapse across tables FIRST (max of bit-identical values), then
+    # the global per-doc top-cap, then undirected pairs — all on the
+    # O(L·n·cap) directed survivors, never the pair space
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    top = (
+        directed.groupBy("src", "dst")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+    )
+    return (
+        top.select(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
+            "cos_sim",
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("dedup_embedding_topk", oracle=None)
+def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output embedding near-dup: dedup_embedding_near with the
+    top_k_neighbors=3 contract — same LSH blocking, same bucket-local
+    exact verify, but each doc emits at most its 3 nearest passing
+    neighbors, so output (and the wall chasing it) is O(n·k) even at a
+    noise-floor threshold where the full pair set is quadratic in the
+    corpus (SCALE.md r11).  Rows-only (float thresholding + LSH);
+    cap-equals-uncapped exactness is pytest-pinned."""
+    return dedup_embedding_near(spark, sf_dir, top_k_neighbors=3)
 
 
 @query(

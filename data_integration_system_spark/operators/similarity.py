@@ -634,12 +634,16 @@ def fit_pq_codebooks(
     return books
 
 
-def pq_encode(corpus: DataFrame, codebooks: list) -> DataFrame:
+def pq_encode(
+    corpus: DataFrame, codebooks: list, carry: tuple = ()
+) -> DataFrame:
     """Arrow-batched encode at scan parallelism: (vec_id, codes) where
     ``codes`` is an m-byte binary — one uint8 per subspace, the index of
     the nearest codebook centroid of the L2-NORMALIZED sub-vector.  The
     code relation is the only thing later scans read; embeddings are
-    touched once, here."""
+    touched once, here.  ``carry`` names integer columns that pass
+    through unchanged (the IVF-PQ composition carries cent_id so codes
+    land in their centroid's partition)."""
     import pandas as pd
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
@@ -650,7 +654,9 @@ def pq_encode(corpus: DataFrame, codebooks: list) -> DataFrame:
         m = len(books)
         for pdf in batches:
             if pdf.empty:
-                yield pd.DataFrame({"vec_id": [], "codes": []})
+                yield pd.DataFrame(
+                    {"vec_id": [], "codes": [], **{c: [] for c in carry}}
+                )
                 continue
             x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
             norms = np.linalg.norm(x, axis=1, keepdims=True)
@@ -665,13 +671,15 @@ def pq_encode(corpus: DataFrame, codebooks: list) -> DataFrame:
                 {
                     "vec_id": pdf["vec_id"].astype("int64"),
                     "codes": [c.tobytes() for c in codes],
+                    **{c: pdf[c].astype("int64") for c in carry},
                 }
             )
 
-    return corpus.select("vec_id", "embedding").mapInPandas(
+    return corpus.select("vec_id", "embedding", *carry).mapInPandas(
         run,
         StructType(
             [StructField("vec_id", LongType()), StructField("codes", BinaryType())]
+            + [StructField(c, LongType()) for c in carry]
         ),
     )
 
@@ -681,13 +689,20 @@ def pq_shortlist(
     query_rows: list,
     codebooks: list,
     shortlist: int,
+    probe_sets: dict | None = None,
 ) -> DataFrame:
     """ADC scan: for each (q_id, qe) in ``query_rows`` (a SMALL collected
     list — the query side broadcasts via the closure, the corpus never
     moves), score every code row with per-subspace L2 lookup tables and
     keep each partition's per-query top-``shortlist``; a final window
     cuts the global shortlist.  Emits (q_id, vec_id, adc) — adc is the
-    approximate squared L2 between unit vectors (monotone in cosine)."""
+    approximate squared L2 between unit vectors (monotone in cosine).
+
+    ``probe_sets`` (IVF-PQ composition) maps q_id -> iterable of probed
+    cent_ids; when given, ``codes_df`` must carry a ``cent_id`` column
+    and each query scores ONLY rows inside its own probe set — the scan
+    itself is already pruned to the UNION of probe sets by partition
+    filters, this mask restores the per-query semantics on top."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
@@ -701,6 +716,11 @@ def pq_shortlist(
 
         books = [np.asarray(b, dtype=np.float64) for b in codebooks]
         m = len(books)
+        probes = (
+            {int(q): np.asarray(sorted(c), dtype=np.int64) for q, c in probe_sets.items()}
+            if probe_sets is not None
+            else None
+        )
         luts = []
         for q_id, qe in query_rows:
             q = np.asarray(qe, dtype=np.float64)
@@ -727,17 +747,35 @@ def pq_shortlist(
                 b"".join(pdf["codes"]), dtype=np.uint8
             ).reshape(len(pdf), m)
             ids = pdf["vec_id"].to_numpy()
+            cents = (
+                pdf["cent_id"].to_numpy().astype(np.int64)
+                if probes is not None
+                else None
+            )
             cols = np.arange(m)
             for q_id, lut in luts:
-                adc = lut[cols, codes].sum(axis=1)
+                q_ids, q_codes = ids, codes
+                if probes is not None:
+                    mask = np.isin(cents, probes[q_id])
+                    if not mask.any():
+                        continue
+                    q_ids, q_codes = ids[mask], codes[mask]
+                adc = lut[cols, q_codes].sum(axis=1)
                 take = min(shortlist, len(adc))
                 idx = np.argpartition(adc, take - 1)[:take]
-                best[q_id].append((ids[idx], adc[idx]))
+                best[q_id].append((q_ids[idx], adc[idx]))
         out_q, out_v, out_a = [], [], []
         if rows_seen:
             for q_id, parts in best.items():
+                if not parts:  # probe mask matched nothing here
+                    continue
                 ids = np.concatenate([p[0] for p in parts])
                 adc = np.concatenate([p[1] for p in parts])
+                # redelivered appends duplicate code rows with IDENTICAL
+                # adc (encode is deterministic); dedup by id BEFORE the
+                # top-S cut or duplicates eat shortlist slots
+                _, uidx = np.unique(ids, return_index=True)
+                ids, adc = ids[uidx], adc[uidx]
                 take = min(shortlist, len(adc))
                 idx = np.argpartition(adc, take - 1)[:take]
                 out_q.extend([q_id] * take)
@@ -757,7 +795,13 @@ def pq_shortlist(
     )
     w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        # cross-PARTITION duplicates (a replayed append lands in new
+        # files) survive the in-partition dedup; drop them before the
+        # global cut so no duplicate holds two shortlist slots.  scored
+        # is partitions × queries × S rows — the dedup never touches
+        # the code relation.
+        scored.dropDuplicates(["q_id", "vec_id"])
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= shortlist)
         .drop("rn")
     )
@@ -840,6 +884,13 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     books = fit_pq_codebooks(corpus)
     pq_encode(corpus, books).write.mode("overwrite").parquet(f"{index_path}/codes")
+    _write_pq_codebooks(spark, books, index_path)
+
+
+def _write_pq_codebooks(spark: SparkSession, books: list, index_path: str) -> None:
+    """``{index}/codebooks`` (one row per (subspace, code)) + ``{index}/
+    meta``; k is informational (read-back groups actual rows, never
+    trusts k) — record the LARGEST subspace so a ragged fit is visible."""
     rows = [
         (j, c, [float(v) for v in cent])
         for j, book in enumerate(books)
@@ -848,11 +899,31 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    # k is informational (read-back groups actual codebook rows, never
-    # trusts k): record the LARGEST subspace so a ragged fit is visible
     spark.createDataFrame(
         [(len(books), max(len(b) for b in books))], "m int, k int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def append_pq_index(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Incrementally index new vectors against the EXISTING codebooks —
+    the PQ sibling of append_ivf_index: encode (vec_id, embedding) rows
+    with the stored books and append the m-byte code rows.  Codebooks
+    are deliberately NOT refit by an append — pq_encode against FIXED
+    books is deterministic, so an index grown incrementally answers
+    queries identically to a one-shot build over the same corpus (the
+    invariant the append test pins).  Distribution drift is the
+    scheduled build_pq_index rebuild's job — the same grow-online /
+    refit-offline serving cadence as the IVF tier."""
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    cb = spark.read.parquet(f"{index_path}/codebooks").collect()
+    books = _codebooks_from_rows(cb, meta["m"])
+    pq_encode(new_vectors, books).write.mode("append").parquet(
+        f"{index_path}/codes"
+    )
 
 
 def query_pq_index(
@@ -876,7 +947,23 @@ def query_pq_index(
     books = _codebooks_from_rows(cb, m)
     codes = spark.read.parquet(f"{index_path}/codes")
     q_rows = [(r[0], list(r[1])) for r in queries.collect()]
+    # redelivery safety lives inside pq_shortlist (in-partition +
+    # pre-cut dedup), so a replayed append can't hold two ranks here
     short = pq_shortlist(codes, q_rows, books, shortlist_x * top_k)
+    return _finish_topk(short, queries, vectors, top_k)
+
+
+def _finish_topk(
+    short: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame | None,
+    top_k: int,
+) -> DataFrame:
+    """Shared tail of the PQ-family query paths: exact cosine re-rank of
+    the shortlist against the original ``vectors`` (the production
+    cadence — PQ prunes, the lake's originals verify), or pure-ADC
+    ranking when no vectors relation is supplied.  The joins ship
+    |q|·shortlist rows; the query side broadcasts."""
     if vectors is None:
         w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
         return (
@@ -907,3 +994,174 @@ def query_pq_index(
             F.round("sim", 4).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (IVFADC — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 §IV): PQ codes laid out INSIDE
+# IVF centroid partitions.  IVF alone prunes partitions but scans raw
+# vectors; PQ alone compresses 32x but ADC-scans the WHOLE code
+# relation per query batch.  Composed, a query reads ~nprobe/k of the
+# CODES — both prunings multiply, which is the 100 TB serving shape:
+# partition pruning bounds I/O, code compression bounds the bytes of
+# what's left, and only the shortlist pays an exact re-rank.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 3
+
+
+def _probe_sets(qdf: DataFrame, cent: DataFrame, nprobe: int) -> dict:
+    """Per-query probe assignment: ``{q_id: {cent_id, ...}}`` for the
+    ``nprobe`` nearest centroids (cosine, ties to lowest cent_id).  The
+    collect is |q|·nprobe rows — the index-probe protocol's driver-side
+    step that turns probe choices into literal partition filters."""
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "cent_id")
+    rows = (
+        qdf.crossJoin(F.broadcast(cent))
+        .select("q_id", "cent_id", cosine("qe", "centroid").alias("d"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in rows:
+        sets.setdefault(int(r.q_id), set()).add(int(r.cent_id))
+    return sets
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    lloyd_iters: int = _LLOYD_ITERS,
+) -> None:
+    """Materialize the composed index: ``{index}/codes`` PARTITIONED BY
+    cent_id (each vector's m-byte PQ code lives in its IVF partition),
+    plus ``{index}/centroids`` and the PQ ``codebooks``/``meta``.  Both
+    fits are the existing deterministic ones (fit_ivf_centroids,
+    fit_pq_codebooks), so incremental growth against the FROZEN
+    centroids+codebooks answers identically to a rebuild on the same
+    corpus — the same grow-online/refit-offline cadence as the IVF and
+    PQ tiers it composes."""
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+        parallelize_scan,
+    )
+
+    emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cent = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
+    books = fit_pq_codebooks(corpus)
+    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    codes = pq_encode(assigned, books, carry=("cent_id",))
+    cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    _write_pq_codebooks(spark, books, index_path)
+
+
+def append_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Online append: assign new (vec_id, embedding) rows to their
+    nearest FROZEN centroid, encode against the FROZEN codebooks, and
+    append the code rows into that centroid's partition.  Neither
+    structure moves on append (or earlier codes would become
+    unreachable through the pruned probe); drift is the scheduled
+    build_ivfpq_index rebuild's job."""
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
+    cent = spark.read.parquet(f"{index_path}/centroids").localCheckpoint()
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    books = _codebooks_from_rows(
+        spark.read.parquet(f"{index_path}/codebooks").collect(), meta["m"]
+    )
+    assigned = _nearest_centroid(
+        new_vectors.select("vec_id", "embedding"), cent
+    )
+    codes = pq_encode(assigned, books, carry=("cent_id",))
+    cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    vectors: DataFrame | None = None,
+    top_k: int = _TOP_K,
+    nprobe: int = _IVFPQ_NPROBE,
+    shortlist_x: int = _PQ_SHORTLIST_X,
+) -> DataFrame:
+    """Serve top-k from the composed index: probe selection on the tiny
+    centroids table -> the probed cent_ids become LITERAL partition
+    filters on the codes scan (PartitionFilters — unprobed partitions
+    are never read, and what IS read is m bytes/vector); the per-query
+    probe mask inside pq_shortlist keeps each query's candidates to its
+    OWN probes; the shortlist re-ranks exactly against ``vectors`` when
+    supplied.  ``queries`` is (q_id, qe)."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    books = _codebooks_from_rows(
+        spark.read.parquet(f"{index_path}/codebooks").collect(), meta["m"]
+    )
+    qdf = queries.toDF("q_id", "qe")
+    sets = _probe_sets(qdf, cent, nprobe)
+    probed = sorted({c for s in sets.values() for c in s})
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cent_id").isin(probed)  # literal -> PartitionFilters
+    )
+    q_rows = [(r[0], list(r[1])) for r in queries.collect()]
+    short = pq_shortlist(
+        codes, q_rows, books, shortlist_x * top_k, probe_sets=sets
+    )
+    return _finish_topk(short, queries, vectors, top_k)
+
+
+@query("similarity_ivfpq_topk", oracle=None)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN top-k (IVFADC), inline form: k-means centroid
+    fit + PQ codebook fit (both deterministic), corpus encoded to
+    m-byte codes carrying its centroid assignment, each query
+    ADC-scanning ONLY its nprobe probed clusters' codes, exact cosine
+    re-rank of the shortlist.  Doubly approximate (probe miss + code
+    quantization) -> rows-only; the recall floor vs brute force is
+    pinned in pytest, and the materialized path
+    (build/append/query_ivfpq_index) is pinned identical to this
+    inline plan.
+
+    Scale shape: the ADC scan reads nprobe/k of the CODE relation —
+    m bytes per vector of 1/k'th of the corpus (the two prunings
+    multiply); the shuffle carries queries x shortlist rows; the
+    re-rank joins |q|·shortlist ids against the original vectors with
+    the query side broadcast.  This is the missing rung between the
+    IVF tier (pruned but raw) and the PQ tier (compressed but full-
+    scan) — the composition a 100 TB serving layer actually runs."""
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cent = fit_ivf_centroids(spark, sf_dir)
+    books = fit_pq_codebooks(corpus)
+    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    codes = pq_encode(assigned, books, carry=("cent_id",))
+    qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    sets = _probe_sets(qdf, cent, _IVFPQ_NPROBE)
+    probed = sorted({c for s in sets.values() for c in s})
+    codes = codes.filter(F.col("cent_id").isin(probed))
+    q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+    short = pq_shortlist(
+        codes, q_rows, books, _PQ_SHORTLIST_X * _TOP_K, probe_sets=sets
+    )
+    return _finish_topk(
+        short, qdf, corpus.select("vec_id", "embedding"), _TOP_K
+    ).orderBy("q_id", "rnk")

@@ -74,79 +74,20 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 11 window (CORRECTNESS_r10 landed 49/50 exact + 1
-    # rows-only-by-design, zero err, so the whole r10 head rotates OUT;
-    # coverage histogram after `python rehearse.py --coverage`: r7=14,
-    # r8=50, r9=50, r10=50).  Window = 6 NEW-this-round + the 14
-    # r7-stale queries from _NEXT_ROTATION_FIRST + the first 30 of the
-    # r8 tier (alphabetical), exactly 50; the displaced 20-query r8
-    # alphabetical tail sits in _NEXT_ROTATION_FIRST for r12.
+    # Round 12 window (CORRECTNESS_r11 landed 45/50 exact + 5
+    # rows-only-by-design, zero err, so the whole r11 head rotates OUT;
+    # coverage histogram after `python rehearse.py --coverage`: r8=20,
+    # r9=50, r10=50, r11=50).  Window = 3 NEW-this-round + the 20
+    # r8-stale queries from _NEXT_ROTATION_FIRST + the first 27 of the
+    # r9 tier (alphabetical), exactly 50; the displaced 23-query r9
+    # alphabetical tail sits in _NEXT_ROTATION_FIRST for r13.
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
-    "streaming_near_dup_snapshot",
-    "streaming_fingerprint_overlap_snapshot",
-    "streaming_ann_ingest_snapshot",
-    "streaming_sessionized_eviction_snapshot",
-    "token_count_bpe_exact",
-    "similarity_pq_topk",
-    # (2) the 14 r7-stale queries (the registry's oldest rows —
-    # VERDICT r10 #2 names them):
-    "segment_median_order",
-    "set_ops",
-    "similarity_ivf_topk",
-    "similarity_topk",
-    "small_qty_revenue",
-    "stale_timeout_filter",
-    "string_metrics",
-    "text_lang_id",
-    "text_quality_score",
-    "text_stats",
-    "tfidf_top_terms",
-    "topk_oldest_pending",
-    "union_pages_files",
-    "zorder_range_scan",
-    # (3) the r8-checked tier (alphabetical; the 20 displaced by the
-    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
-    "anti_join_unvisited",
-    "asof_latest_event_per_order",
-    "bigram_lift_top",
-    "cross_source_duplicate_matrix",
-    "customer_rfm_scores",
-    "customer_spend_percentile",
-    "daily_active_users",
-    "dedup_exact",
-    "dedup_exact_full",
-    "dedup_keep_latest",
-    "discount_band_pivot",
-    "discount_band_unpivot",
-    "doc_length_histogram",
-    "dq_orders_report",
-    "dup_rate_by_source",
-    "event_type_gini_per_user",
-    "event_value_mad",
-    "excess_stock_suppliers",
-    "join_broadcast_dim",
-    "join_sortmerge_fact",
-    "lang_confusion_matrix",
-    "lang_source_grouping_sets",
-    "lang_source_rollcall",
-    "local_supplier_volume",
-    "monthly_revenue_growth",
-    "multiway_star_join",
-    "new_vs_returning_users",
-    "order_date_gap_fill",
-    "order_gap_percentiles",
-    "order_priority_check",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The r11 window's six newcomers +
-#: window math displaced the alphabetical tail of the r8 tier — these
-#: lead the r12 window (their r8 rows become the registry's oldest).
-#: Regenerate the plan from data with ``python rehearse.py --coverage``
-#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
-#: list.
-_NEXT_ROTATION_FIRST: list[str] = [
+    "similarity_ivfpq_topk",
+    "dedup_embedding_topk",
+    "streaming_jobs_fold_snapshot",
+    # (2) the 20 r8-stale queries (the registry's oldest rows —
+    # VERDICT r11 #2 names them):
     "pareto_revenue_share",
     "percentile_approx_check",
     "purchase_streak_islands",
@@ -167,6 +108,68 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "volume_shipping",
     "weekday_order_stats",
     "window_rank_frames",
+    # (3) the r9-checked tier (alphabetical; the 23 displaced by the
+    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
+    "brand_supplier_counts",
+    "contamination_check",
+    "conversion_by_signup_week",
+    "current_jobs_fold",
+    "daily_volume_anomalies",
+    "decontaminate_filter",
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    "dedup_embedding_near",
+    "dedup_minhash_near",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_ngram_novelty",
+    "domain_mix_weights",
+    "embedding_centroid_per_label",
+    "event_type_daily_trend",
+    "event_type_transitions",
+    "event_zscore_outliers",
+    "fingerprint_overlap_pairs",
+    "group_quantiles",
+    "idle_rich_customers",
+    "kmeans_assign_int",
+    "large_volume_orders",
+    "minhash_jaccard_error",
+    "multimodal_decode_meta",
+    "multimodal_resize_meta",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). The r12 window's three newcomers +
+#: window math displaced the alphabetical tail of the r9 tier — these
+#: lead the r13 window (their r9 rows become the registry's oldest).
+#: Regenerate the plan from data with ``python rehearse.py --coverage``
+#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
+#: list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "nation_supplier_concentration",
+    "ntile_quartiles",
+    "order_fulfillment_lag",
+    "part_copurchase_pairs",
+    "part_name_near_matches",
+    "partsupp_profit",
+    "pii_redact",
+    "quality_filter_gopher",
+    "regional_nation_volume",
+    "returned_item_report",
+    "sample_stratified",
+    "segment_top_orders",
+    "session_opening_paths",
+    "signup_purchase_funnel",
+    "snapshot_reconcile",
+    "source_quality_report",
+    "streaming_user_ewma_snapshot",
+    "supplier_share_of_nation",
+    "text_normalize",
+    "token_top_vocab",
+    "top_revenue_supplier",
+    "transition_triangles",
+    "weekly_retention",
 ]
 
 

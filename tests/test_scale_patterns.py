@@ -967,3 +967,233 @@ def test_pq_index_ragged_codebooks_roundtrip(spark, tmp_path):
     for r in got:
         if r.rnk == 1:
             assert r.c_id % 2 == r.q_id % 2
+
+
+def test_append_pq_index_matches_full_build(spark, tmp_path):
+    """Incremental PQ indexing: cold-start from a built index's
+    codebooks, appending the corpus codes in two halves, must answer
+    every query identically to the one-shot build — pq_encode against
+    FIXED books is deterministic, so the ADC scan can't tell the
+    indexes apart (codebook refits are the scheduled rebuild's job,
+    same contract as append_ivf_index)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        append_pq_index,
+        build_pq_index,
+        query_pq_index,
+    )
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "incremental")
+    build_pq_index(spark, SF, full)
+    # incremental index: same codebooks/meta, codes arrive as two appends
+    spark.read.parquet(f"{full}/codebooks").write.parquet(f"{inc}/codebooks")
+    spark.read.parquet(f"{full}/meta").write.parquet(f"{inc}/meta")
+    emb = table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    append_pq_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 0))
+    append_pq_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 1))
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = corpus.select("vec_id", "embedding")
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_pq_index(spark, full, queries, vectors=vecs).collect()
+    }
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_pq_index(spark, inc, queries, vectors=vecs).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # at-least-once redelivery: a replayed append duplicates code rows
+    # (identical adc by determinism) but must not change any query's
+    # top-k — a duplicate would otherwise hold two ranks
+    append_pq_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 0))
+    replay = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_pq_index(spark, inc, queries, vectors=vecs).collect()
+    }
+    assert replay == want
+    # pure-ADC mode is replay-stable too
+    adc_rows = query_pq_index(spark, inc, queries).collect()
+    assert len(adc_rows) == len({(r.q_id, r.c_id) for r in adc_rows})
+
+
+def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
+    """The materialized IVF-PQ index must answer exactly like the inline
+    similarity_ivfpq_topk plan (both fits deterministic), and the codes
+    scan must show cent_id PartitionFilters — the probe protocol prunes
+    PARTITIONS, it doesn't post-filter a full scan."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivfpq_index,
+        query_ivfpq_index,
+        similarity_ivfpq_topk,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, SF, idx)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    df = query_ivfpq_index(spark, idx, queries, vectors=vecs)
+    indexed = {(r.q_id, r.c_id, r.rnk, r.cos_sim) for r in df.collect()}
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cent_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    inline = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in similarity_ivfpq_topk(spark, SF).collect()
+    }
+    assert indexed == inline and len(inline) > 0
+
+
+def test_append_ivfpq_index_matches_full_build(spark, tmp_path):
+    """Incremental IVF-PQ growth: cold-start from a built index's FROZEN
+    centroids + codebooks, appending the corpus in two halves, answers
+    identically to the one-shot build; a replayed append (at-least-once
+    redelivery) changes nothing."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "incremental")
+    build_ivfpq_index(spark, SF, full)
+    for side in ("centroids", "codebooks", "meta"):
+        spark.read.parquet(f"{full}/{side}").write.parquet(f"{inc}/{side}")
+    emb = table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    append_ivfpq_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 0))
+    append_ivfpq_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 1))
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = corpus.select("vec_id", "embedding")
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, full, queries, vectors=vecs).collect()
+    }
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, inc, queries, vectors=vecs).collect()
+    }
+    assert got == want and len(want) > 0
+
+    append_ivfpq_index(spark, inc, corpus.filter(F.col("vec_id") % 2 == 1))
+    replay = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, inc, queries, vectors=vecs).collect()
+    }
+    assert replay == want
+
+
+def test_ivfpq_planted_twin_recall(spark, tmp_path):
+    """On a corpus with real cluster structure (the regime IVF pruning
+    assumes), every query's planted near-twin (cos ~0.99) must come back
+    at rank 1 through the composed index: the twin's cluster is probed,
+    its code survives the ADC shortlist, and the exact re-rank puts it
+    first.  This is the recall statement that matters at 100 TB — the
+    structureless uniform corpus bounds recall for ANY cluster-pruned
+    method (same finding as the sign-LSH geometry work)."""
+    import numpy as np
+
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 64))
+    n_per = 60
+    rows = []
+    for c in range(4):
+        for i in range(n_per):
+            v = centers[c] + 0.15 * rng.normal(size=64)
+            rows.append((100 + c * n_per + i, [float(x) for x in v], c))
+    # 8 queries: tiny perturbations of specific corpus vectors (the twins)
+    twin_ids = [100 + c * n_per + 3 * c for c in range(4)] + [
+        100 + c * n_per + 7 + c for c in range(4)
+    ]
+    by_id = {r[0]: r for r in rows}
+    for q in range(_N_QUERIES):
+        tid = twin_ids[q]
+        tv = np.asarray(by_id[tid][1])
+        qv = tv + 0.01 * rng.normal(size=64)
+        rows.append((q, [float(x) for x in qv], by_id[tid][2]))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, sf, idx)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    got = query_ivfpq_index(spark, idx, queries, vectors=vecs).collect()
+    rank1 = {r.q_id: r.c_id for r in got if r.rnk == 1}
+    hits = sum(rank1.get(q) == twin_ids[q] for q in range(_N_QUERIES))
+    assert hits == _N_QUERIES  # every twin recovered at rank 1
+
+
+def test_emb_topk_cap_equals_uncapped_at_max_degree(spark):
+    """The bounded-output contract: with cap >= the max true degree the
+    capped mode is IDENTICAL to the full pair set (the within-bucket
+    pre-cut and the global window both become non-binding, and the
+    rounding path is shared); with cap=1 the output is a subset with
+    per-doc degree <= 1 outgoing and every doc's BEST neighbor kept."""
+    from collections import Counter
+
+    from data_integration_system_spark.operators.dedup import (
+        dedup_embedding_near,
+    )
+
+    full = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_near(spark, SF).collect()
+    }
+    assert full  # the corpus produces pairs at this threshold
+    deg = Counter()
+    for a, b in full:
+        deg[a] += 1
+        deg[b] += 1
+    cap = max(deg.values())
+    capped = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_near(spark, SF, top_k_neighbors=cap).collect()
+    }
+    assert capped == full
+
+    one = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_near(spark, SF, top_k_neighbors=1).collect()
+    }
+    assert set(one) <= set(full)
+    assert all(one[p] == full[p] for p in one)  # values untouched by capping
+    # every doc's single BEST neighbor pair survives (kNN-graph floor)
+    best: dict = {}
+    for (a, b), s in full.items():
+        for doc, other in ((a, b), (b, a)):
+            cur = best.get(doc)
+            if cur is None or (s, -other) > (cur[0], -cur[1]):
+                best[doc] = (s, other)
+    for doc, (s, other) in best.items():
+        assert (min(doc, other), max(doc, other)) in one

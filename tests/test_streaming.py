@@ -1405,3 +1405,60 @@ def test_streaming_sessionized_eviction_snapshot_matches_cutoff_sessions(spark):
     )
     assert len(got) == len(set(got))  # exactly-once
     assert sorted(got) == want and len(want) > 0
+
+
+def test_jobs_fold_snapshot_log_bound_and_state(spark, tmp_path):
+    """The jobs-fold snapshot's no-re-claim contract, pinned on the log
+    itself: 8 staged submissions drained by the 3-micro-batch worker
+    replay leave EXACTLY 8 PENDING + 8 RUNNING + 8 DONE rows — a
+    re-claimed job would append extra transition rows (same final fold,
+    which is why the driver row alone can't see it)."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.jobs import fold_job_log
+    from data_integration_system_spark.streaming.jobs import (
+        _JOBS_FOLD_CONFIG,
+        _demo_site_fetch,
+        _pin_batch_mtimes,
+        job_worker_stream,
+    )
+
+    jobs_path = str(tmp_path / "jobs_log")
+    o = table(spark, SF, "orders").orderBy("o_orderkey").limit(8)
+    subs = o.select(
+        F.col("o_orderkey").cast("string").alias("job_id"),
+        F.concat(
+            F.lit("https://ex.com/p"), (F.col("o_orderkey") % 4).cast("string")
+        ).alias("start_url"),
+        F.lit("ex.com").alias("root_domain"),
+        F.lit(_JOBS_FOLD_CONFIG).alias("config"),
+        F.lit("PENDING").alias("status"),
+        F.lit("").alias("error"),
+        F.col("o_orderdate").alias("created_at"),
+    ).localCheckpoint()
+    for b in range(3):
+        subs.filter(F.pmod(F.col("job_id").cast("long"), F.lit(3)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(jobs_path)
+        _pin_batch_mtimes(jobs_path, b + 1)
+    q = job_worker_stream(
+        spark, jobs_path, str(tmp_path / "out"),
+        fetch_fn=_demo_site_fetch(),
+        trigger={"availableNow": True},
+        stream_options={"maxFilesPerTrigger": "1"},
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    log = spark.read.parquet(jobs_path)
+    by_status = {
+        r.status: r.n
+        for r in log.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_status == {"PENDING": 8, "RUNNING": 8, "DONE": 8}
+    folded = fold_job_log(log).collect()
+    assert len(folded) == 8
+    assert all(r.status == "DONE" and r.error == "" for r in folded)
+    # submission fields survive the fold (min_by over the PENDING row)
+    assert all(r.start_url.startswith("https://ex.com/p") for r in folded)
