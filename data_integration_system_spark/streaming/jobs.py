@@ -468,6 +468,27 @@ def ann_ingest_sink(spark: SparkSession, index_path: str):
     return apply
 
 
+def pq_ingest_sink(spark: SparkSession, index_path: str):
+    """Online PQ index growth — ann_ingest_sink's compressed-tier twin
+    (VERDICT r11 #3): each micro-batch of (vec_id, embedding) rows is
+    encoded against the stored FROZEN codebooks and its m-byte code
+    rows appended (operators/similarity.append_pq_index); scheduled
+    full rebuilds refit the codebooks as the distribution drifts.
+
+    At-least-once safe: a redelivered batch appends duplicate code rows
+    with IDENTICAL codes (encode is deterministic), and pq_shortlist
+    dedups by vec_id before its cuts, so replays never change a query's
+    top-k (pinned in test_scale_patterns alongside append_pq_index)."""
+    from data_integration_system_spark.operators.similarity import append_pq_index
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_pq_index(spark, index_path, batch.localCheckpoint())
+
+    return apply
+
+
 def ann_probe_sink(
     spark: SparkSession,
     index_path: str,

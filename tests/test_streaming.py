@@ -1462,3 +1462,57 @@ def test_jobs_fold_snapshot_log_bound_and_state(spark, tmp_path):
     assert all(r.status == "DONE" and r.error == "" for r in folded)
     # submission fields survive the fold (min_by over the PENDING row)
     assert all(r.start_url.startswith("https://ex.com/p") for r in folded)
+
+
+def test_pq_ingest_sink_grows_index_to_match_batch(spark, tmp_path):
+    """Streaming PQ ingest (per-batch encode against FROZEN codebooks +
+    code appends) must leave an index that answers every query exactly
+    like the one-shot batch build — the compressed-tier twin of the IVF
+    ingest sink's write-side Kappa contract."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_pq_index,
+        query_pq_index,
+    )
+    from data_integration_system_spark.streaming.jobs import pq_ingest_sink
+
+    full = str(tmp_path / "full")
+    build_pq_index(spark, SF, full)
+    inc = str(tmp_path / "incremental")
+    for side in ("codebooks", "meta"):
+        spark.read.parquet(f"{full}/{side}").write.parquet(f"{inc}/{side}")
+
+    emb = table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    d = str(tmp_path / "vec_stream")
+    corpus.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(d)
+    corpus.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(pq_ingest_sink(spark, inc))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = corpus
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_pq_index(spark, inc, queries, vectors=vecs).collect()
+    }
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_pq_index(spark, full, queries, vectors=vecs).collect()
+    }
+    assert got == want and len(want) > 0
