@@ -1165,3 +1165,48 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_topk(
         short, qdf, corpus.select("vec_id", "embedding"), _TOP_K
     ).orderBy("q_id", "rnk")
+
+
+@query("similarity_ann_recall_matrix", oracle=None)
+def similarity_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality MATRIX: per-method recall@k of every approximate tier
+    — IVF (partition-pruned, raw vectors), PQ (compressed full scan),
+    IVF-PQ (composed) — against the exact brute-force top-k, in one
+    relation (method, q_id, n_hits, recall_e2).  This is the evaluation
+    loop a serving layer runs to place each tier on its recall/cost
+    point before trusting it at scale; similarity_recall_at_k is the
+    single-tier ancestor, this is the ladder in one driver row.
+    Approximate inputs -> rows-only; the per-tier floors are pinned in
+    pytest (IVF harness floor, PQ 0.6/0.75, IVF-PQ planted-twin 8/8).
+
+    Scale shape: all four operands are top-k RESULT relations
+    (|q| x k rows) — the semi-joins and counts here are trivia; the
+    cost is the searches themselves, each audited on its own row."""
+    exact = similarity_topk(spark, sf_dir).select("q_id", "c_id").localCheckpoint()
+    q_ids = exact.select("q_id").distinct()
+    tiers = (
+        ("ivf", similarity_ivf_topk),
+        ("pq", similarity_pq_topk),
+        ("ivfpq", similarity_ivfpq_topk),
+    )
+    out = None
+    for method, fn in tiers:
+        approx = fn(spark, sf_dir).select("q_id", "c_id")
+        hits = (
+            approx.join(exact, ["q_id", "c_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        row = (
+            q_ids.join(hits, "q_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "q_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.expr(f"coalesce(n_hits, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_e2"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method", "q_id")

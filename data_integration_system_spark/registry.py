@@ -77,15 +77,17 @@ _DRIVER_HEAD: list[str] = [
     # Round 12 window (CORRECTNESS_r11 landed 45/50 exact + 5
     # rows-only-by-design, zero err, so the whole r11 head rotates OUT;
     # coverage histogram after `python rehearse.py --coverage`: r8=20,
-    # r9=50, r10=50, r11=50).  Window = 3 NEW-this-round + the 20
-    # r8-stale queries from _NEXT_ROTATION_FIRST + the first 27 of the
-    # r9 tier (alphabetical), exactly 50; the displaced 23-query r9
-    # alphabetical tail sits in _NEXT_ROTATION_FIRST for r13.
+    # r9=50, r10=50, r11=50).  Window = 4 NEW-this-round + the 20
+    # r8-stale queries from _NEXT_ROTATION_FIRST + the first 26 of the
+    # r9 tier (alphabetical), exactly 50; the displaced 24-query r9
+    # alphabetical tail sits in _NEXT_ROTATION_FIRST for r13
+    # (multimodal_resize_meta displaced by the 4th newcomer leads it).
     #
     # (1) NEW this round (no driver row yet — policy tier 1):
     "similarity_ivfpq_topk",
     "dedup_embedding_topk",
     "streaming_jobs_fold_snapshot",
+    "similarity_ann_recall_matrix",
     # (2) the 20 r8-stale queries (the registry's oldest rows —
     # VERDICT r11 #2 names them):
     "pareto_revenue_share",
@@ -136,7 +138,6 @@ _DRIVER_HEAD: list[str] = [
     "large_volume_orders",
     "minhash_jaccard_error",
     "multimodal_decode_meta",
-    "multimodal_resize_meta",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -147,6 +148,7 @@ _DRIVER_HEAD: list[str] = [
 #: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
 #: list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "multimodal_resize_meta",
     "nation_supplier_concentration",
     "ntile_quartiles",
     "order_fulfillment_lag",

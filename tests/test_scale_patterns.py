@@ -1197,3 +1197,24 @@ def test_emb_topk_cap_equals_uncapped_at_max_degree(spark):
                 best[doc] = (s, other)
     for doc, (s, other) in best.items():
         assert (min(doc, other), max(doc, other)) in one
+
+
+def test_ann_recall_matrix_structure_and_floors(spark):
+    """The tier-ladder quality matrix: every method reports every query,
+    recall_e2 is a valid integer percent consistent with n_hits, and the
+    per-tier mean recalls sit above loose sanity floors (the tight
+    per-tier floors live in each tier's own test)."""
+    from data_integration_system_spark.registry import get_queries
+
+    rows = get_queries()["similarity_ann_recall_matrix"](spark, SF).collect()
+    by_method: dict = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append(r)
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_e2 == r.n_hits * 100 // 5
+    assert set(by_method) == {"ivf", "pq", "ivfpq"}
+    assert all(len(v) == 8 for v in by_method.values())  # every query reported
+    mean = {m: sum(r.recall_e2 for r in v) / len(v) for m, v in by_method.items()}
+    assert mean["pq"] >= 50
+    assert mean["ivf"] >= 30
+    assert mean["ivfpq"] >= 25  # doubly approximate on a structureless corpus
