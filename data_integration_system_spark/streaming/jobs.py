@@ -489,6 +489,29 @@ def pq_ingest_sink(spark: SparkSession, index_path: str):
     return apply
 
 
+def ivfpq_ingest_sink(spark: SparkSession, index_path: str):
+    """Online growth for the COMPOSED IVF-PQ index: each micro-batch is
+    assigned to the FROZEN centroids, encoded against the FROZEN
+    codebooks, and its code rows appended into the right cent_id
+    partitions (operators/similarity.append_ivfpq_index) — completing
+    the online-ingest symmetry across all three index tiers (IVF raw,
+    PQ flat codes, IVF-PQ partitioned codes).
+
+    At-least-once safe for the same two reasons as its parents:
+    assignment and encode are both deterministic, and pq_shortlist
+    dedups by vec_id before its cuts."""
+    from data_integration_system_spark.operators.similarity import (
+        append_ivfpq_index,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_ivfpq_index(spark, index_path, batch.localCheckpoint())
+
+    return apply
+
+
 def ann_probe_sink(
     spark: SparkSession,
     index_path: str,
@@ -2080,7 +2103,11 @@ def streaming_jobs_fold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT-ed collect of PENDING rows; each job's crawl/ingest runs as
     its own bounded Spark jobs; status writes are single-row appends.
     State lives in the log, not the stream — the worker restarts from
-    any point by re-folding (reference worker_daemon.py:20-58)."""
+    any point by re-folding (reference worker_daemon.py:20-58).
+    Wall cost is FIXED-COUNT orchestration (8 jobs x ~14 s of BFS
+    rounds + snapshot writes each, SF-independent — the fixture is
+    LIMIT 8 at every scale); it prices the daemon's per-job overhead,
+    not a data-scaling surface."""
     import shutil
     import tempfile
 

@@ -1516,3 +1516,55 @@ def test_pq_ingest_sink_grows_index_to_match_batch(spark, tmp_path):
         for r in query_pq_index(spark, full, queries, vectors=vecs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ivfpq_ingest_sink_grows_index_to_match_batch(spark, tmp_path):
+    """Streaming IVF-PQ ingest (per-batch assignment + encode + cent_id
+    partition appends) must leave a composed index that answers every
+    query exactly like the one-shot batch build."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from data_integration_system_spark.streaming.jobs import ivfpq_ingest_sink
+
+    full = str(tmp_path / "full")
+    build_ivfpq_index(spark, SF, full)
+    inc = str(tmp_path / "incremental")
+    for side in ("centroids", "codebooks", "meta"):
+        spark.read.parquet(f"{full}/{side}").write.parquet(f"{inc}/{side}")
+
+    emb = table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    d = str(tmp_path / "vec_stream")
+    corpus.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(d)
+    corpus.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(ivfpq_ingest_sink(spark, inc))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, inc, queries, vectors=corpus).collect()
+    }
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, full, queries, vectors=corpus).collect()
+    }
+    assert got == want and len(want) > 0
