@@ -1218,3 +1218,55 @@ def test_ann_recall_matrix_structure_and_floors(spark):
     assert mean["pq"] >= 50
     assert mean["ivf"] >= 30
     assert mean["ivfpq"] >= 25  # doubly approximate on a structureless corpus
+
+
+def test_emb_topk_cap_equality_on_random_corpora(spark, tmp_path):
+    """The cap >= max-degree identity must hold on arbitrary
+    distributions, not just the shipped corpus: two seeded random
+    corpora (one dense near-dup regime via shared base patterns, one
+    uniform) round-trip capped-vs-uncapped identically when the cap
+    clears every doc's true degree."""
+    import numpy as np
+
+    from collections import Counter
+
+    from data_integration_system_spark.operators.dedup import (
+        dedup_embedding_near,
+    )
+
+    for seed, dense in ((11, True), (23, False)):
+        rng = np.random.default_rng(seed)
+        if dense:
+            # 10 base patterns + small noise -> many pairs above threshold
+            base = rng.normal(size=(10, 64))
+            vecs = [
+                base[i % 10] + 0.05 * rng.normal(size=64) for i in range(150)
+            ]
+        else:
+            vecs = [rng.normal(size=64) for _ in range(150)]
+        rows = [
+            (i, [float(x) for x in v], i % 5) for i, v in enumerate(vecs)
+        ]
+        sf = str(tmp_path / f"sf{seed}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{sf}/embeddings.parquet")
+
+        full = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in dedup_embedding_near(spark, sf).collect()
+        }
+        deg = Counter()
+        for a, b in full:
+            deg[a] += 1
+            deg[b] += 1
+        cap = max(deg.values(), default=1)
+        capped = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in dedup_embedding_near(
+                spark, sf, top_k_neighbors=cap
+            ).collect()
+        }
+        assert capped == full, f"seed {seed} (dense={dense}) diverged"
+        if dense:
+            assert len(full) > 300  # the dense regime really exercised it
