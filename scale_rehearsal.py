@@ -1948,6 +1948,75 @@ def run_ewma_fixture_split(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_ivfpq_curve(spark) -> None:
+    """The IVF-PQ nprobe operating curve (the composed tier's twin of
+    the PQ shortlist_x curve): build the index ONCE on the planted-twin
+    d3 corpus, sweep nprobe over {1, 3, 5, 10}, record twin recall@5
+    and query wall per point.  nprobe multiplies the probed-codes bytes
+    (nprobe/k of the corpus) and the per-query candidate pool — the
+    recall/cost knob a serving layer turns."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    row = dict(prev.get("d3", {}))
+    curve = dict(row.get("ivfpq_curve", {}))
+    todo = [p for p in (1, 3, 5, 10) if str(p) not in curve]
+    if not todo:
+        print("  d3/ivfpq_curve: recorded, skipped")
+        return
+    out = tempfile.mkdtemp(prefix="scale_ivfpq_curve_")
+    idx = tempfile.mkdtemp(prefix="scale_ivfpq_curve_idx_")
+    try:
+        n = plant_twin_corpus(spark, D3, out)
+        build_ivfpq_index(spark, out, idx)
+        emb = spark.read.parquet(f"{out}/embeddings.parquet")
+        queries = (
+            emb.filter(F.col("vec_id") < TWIN_OFFSET)
+            .orderBy("vec_id")
+            .limit(N_TWINS)
+            .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+            .localCheckpoint()
+        )
+        corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+        # warm the plan class so the first swept point isn't cold-biased
+        query_ivfpq_index(spark, idx, queries, vectors=corpus, nprobe=3).count()
+        for p in todo:
+            t0 = time.perf_counter()
+            hits = (
+                query_ivfpq_index(spark, idx, queries, vectors=corpus, nprobe=p)
+                .filter(F.col("c_id") == F.col("q_id") + TWIN_OFFSET)
+                .count()
+            )
+            curve[str(p)] = {
+                "recall_at_5": round(hits / n, 4),
+                "query_sec": round(time.perf_counter() - t0, 3),
+            }
+            row["ivfpq_curve"] = curve
+            prev["d3"] = row
+            with open(path, "w") as fh:
+                json.dump(prev, fh, indent=1, sort_keys=True)
+            print(f"  d3/ivfpq_curve nprobe={p}: {curve[str(p)]}")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true", help="build .scale/sf1")
@@ -2032,6 +2101,10 @@ def main() -> None:
         "--ewma-split", action="store_true",
         help="EWMA sf10 fixture-vs-machinery split",
     )
+    ap.add_argument(
+        "--ivfpq-curve", action="store_true",
+        help="IVF-PQ nprobe recall/latency curve at d3",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -2091,6 +2164,8 @@ def main() -> None:
         run_retime_embedding_topk(spark, args.retime_embedding_topk)
     if args.ewma_split:
         run_ewma_fixture_split(spark)
+    if args.ivfpq_curve:
+        run_ivfpq_curve(spark)
     if args.time_crawl:
         run_crawl_timing(spark)
     if args.time_tokenize:
