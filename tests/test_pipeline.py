@@ -1145,3 +1145,30 @@ def test_checks_one_pass_and_gate(spark):
     with _pytest.raises(dq.CheckFailure):
         dq.gate(report)
     dq.gate(report, max_violations=2)  # loose gate passes
+
+
+def test_index_maintenance_rebuild_dispatch(spark, tmp_path):
+    """The maintenance entry point rebuilds any tier through the shared
+    (spark, sf_dir, index_path) contract and the result serves queries;
+    unknown kinds fail loudly before touching anything."""
+    import pytest as _pytest
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        query_ivfpq_index,
+    )
+    from data_integration_system_spark.pipeline.index_maintenance import (
+        rebuild_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    sf = "/root/testdata/sf0.001"
+    assert rebuild_index(spark, "ivfpq", sf, idx) == idx
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    assert query_ivfpq_index(spark, idx, queries).count() > 0
+    with _pytest.raises(ValueError, match="unknown index kind"):
+        rebuild_index(spark, "btree", sf, str(tmp_path / "x"))
