@@ -1,12 +1,24 @@
-"""Similarity search over embedding columns (SURVEY §2B Q29 + north-star
-IVF variant).
+"""Similarity search over embedding columns (SURVEY §2B Q29 + the ANN
+tier ladder).
 
 Brute-force cosine top-k is the exactness baseline: broadcast the (small)
 query set against the corpus, compute cosine via JVM higher-order
 functions, rank per query.  At 100 TB the corpus side stays distributed
 and is scanned once — the classic "broadcast the queries, never the
-corpus" shape.  The IVF variant adds the scale path: cluster-assign the
-corpus once (write-time), then probe only the nearest partitions.
+corpus" shape.  Above it sit three approximate tiers, each with a
+materialized build/append/query triple and a streaming ingest sink:
+
+* IVF — k-means partition pruning over RAW vectors (reads nprobe/k of
+  the corpus via literal PartitionFilters); the lake index.
+* PQ — m-byte codes, full ADC scan + exact re-rank (reads 1/32nd of
+  the bytes); the memory-bounded serving tier.
+* IVF-PQ (IVFADC) — PQ codes laid out inside IVF partitions; both
+  prunings multiply (m bytes/vector of nprobe/k of the corpus).
+
+Measured operating curves (nprobe, shortlist_x) and planted-twin recall
+rows live in SCALE.md / SCALE_REHEARSAL_RECALL.json; per-tier recall
+floors are pytest-pinned, and similarity_ann_recall_matrix driver-gates
+the whole ladder's quality loop in one relation.
 """
 
 from __future__ import annotations
