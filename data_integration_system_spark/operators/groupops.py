@@ -150,3 +150,81 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_ewma_int, _EWMA_SCHEMA)
         .orderBy("user_id")
     )
+
+
+# The same recurrence, JVM-side.  ``(acc + x) div 2`` is Spark's
+# integral divide (truncation toward zero) — the halve_trunc twin —
+# and the NULL seed doubles as the "first element is taken verbatim"
+# branch, so the fold can also be SEEDED with a prior state column
+# (the incremental streaming step reuses it that way).
+EWMA_JVM_VALUES = (
+    "transform(array_sort(collect_list(struct(ts, event_id, v_e2)))"
+    ", s -> s.v_e2)"
+)
+EWMA_JVM_FOLD = (
+    "(acc, x) -> CASE WHEN acc IS NULL THEN x ELSE (acc + x) div 2 END"
+)
+
+
+@query(
+    "user_value_ewma_jvm",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v_e2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, v_e2 AS s_e2 FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (w.s_e2 + s.v_e2) // 2
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+           max_by(s_e2, rn) AS ewma_e2
+    FROM walk GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_ewma_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_value_ewma with the Python loop deleted: the SAME integer
+    recurrence (s_1 = v_1, s_t = trunc((s_{t-1} + v_t) / 2)) expressed
+    as a Catalyst higher-order fold —
+    ``aggregate(transform(array_sort(collect_list(struct(ts, event_id,
+    v_e2))), s -> s.v_e2), NULL, (acc, x) -> ... div 2)`` — so the
+    whole query stays JVM-side: no Arrow round-trip, no per-group
+    Python interpreter, one shuffle on user_id.  ``div`` truncates
+    toward zero exactly like operators/_common.halve_trunc, so the two
+    operators are bit-identical over the full integer domain (pinned in
+    tests/test_operators.py) and share the RECURSIVE-CTE oracle.
+
+    Why both exist: the applyInPandas twin (user_value_ewma) is the
+    demonstration that arbitrary per-key Python state CAN carry a full
+    value-hash oracle; this one is what you actually deploy when the
+    recurrence is expressible as a fold — the r12 sf10 split measured
+    the Python-side machinery at ~96% of the streaming drain's wall,
+    and a fold this shape is the escape hatch (SCALE.md r12 EWMA
+    split).  The collect_list per user is bounded by per-user event
+    counts — the SAME boundedness the applyInPandas contract already
+    assumes for its per-group pandas frame.
+
+    Reference anchor: workers/worker_daemon.py's sequential per-job
+    fold loop — the class of ordered per-key recurrence the reference
+    runs in Python because it has no engine to push it into."""
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    fold = (
+        f"aggregate({EWMA_JVM_VALUES}, cast(null as bigint), {EWMA_JVM_FOLD})"
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(fold).alias("ewma_e2"),
+        )
+        .orderBy("user_id")
+    )

@@ -83,11 +83,15 @@ _DRIVER_HEAD: list[str] = [
     # alphabetical tail sits in _NEXT_ROTATION_FIRST for r13
     # (multimodal_resize_meta displaced by the 4th newcomer leads it).
     #
-    # (1) NEW this round (no driver row yet — policy tier 1):
+    # (1) NEW this round (no driver row yet — policy tier 1; the two
+    # JVM-EWMA queries joined mid-round, displacing the window's last
+    # two r9-tier names into _NEXT_ROTATION_FIRST to hold at 50):
     "similarity_ivfpq_topk",
     "dedup_embedding_topk",
     "streaming_jobs_fold_snapshot",
     "similarity_ann_recall_matrix",
+    "user_value_ewma_jvm",
+    "streaming_user_ewma_jvm_snapshot",
     # (2) the 20 r8-stale queries (the registry's oldest rows —
     # VERDICT r11 #2 names them):
     "pareto_revenue_share",
@@ -136,8 +140,6 @@ _DRIVER_HEAD: list[str] = [
     "idle_rich_customers",
     "kmeans_assign_int",
     "large_volume_orders",
-    "minhash_jaccard_error",
-    "multimodal_decode_meta",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -148,6 +150,8 @@ _DRIVER_HEAD: list[str] = [
 #: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
 #: list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "minhash_jaccard_error",
+    "multimodal_decode_meta",
     "multimodal_resize_meta",
     "nation_supplier_concentration",
     "ntile_quartiles",

@@ -357,6 +357,7 @@ def near_dup_sink(
     index_path: str,
     pairs_path: str,
     min_jaccard: float = 0.2,
+    top_k_neighbors: int | None = None,
 ):
     """Incremental near-duplicate detection over the materialized
     MinHash index (operators/dedup.build_minhash_index): each
@@ -371,7 +372,21 @@ def near_dup_sink(
     it duplicates index storage) and re-emits its pairs; the periodic
     build_minhash_index rebuild compacts the former, and pair consumers
     dedup on (doc_a, doc_b) exactly like every other idempotent sink
-    here.  Expects batches of (doc_id, text)."""
+    here.  Expects batches of (doc_id, text).
+
+    ``top_k_neighbors`` extends the r12 bounded-output contract
+    (operators/dedup.dedup_embedding_near's capped mode) to the 24/7
+    surface: each incoming doc emits at most its k highest-jaccard
+    neighbors (ties broken by c_id for determinism).  Because every doc
+    is the PROBE side exactly once — the trigger that ingests it — the
+    per-batch cap IS a global per-doc probe-side cap, so a careless
+    low threshold on a redundant corpus emits O(stream · k) pairs
+    instead of the quadratic pair set.  A doc can still accrue rows as
+    the MATCHED side of later docs' top-k, which is dedup semantics
+    (the canonical rep of a large duplicate cluster is named by each
+    member once), not a quadratic blow-up.  Cap >= every doc's true
+    degree reproduces the uncapped pair set exactly (pinned in
+    tests/test_streaming.py)."""
     from data_integration_system_spark.operators.dedup import (
         append_minhash_index,
         query_minhash_index,
@@ -385,6 +400,21 @@ def near_dup_sink(
         pairs = query_minhash_index(
             spark, index_path, batch, min_jaccard=min_jaccard
         )
+        if top_k_neighbors is not None:
+            # cap BEFORE canonicalization: the contract is per PROBE doc
+            # (q_id), and q_id is this trigger's incoming side
+            from pyspark.sql import Window
+
+            rk = F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("jaccard").desc(), F.col("c_id")
+                )
+            )
+            pairs = (
+                pairs.withColumn("rk", rk)
+                .filter(F.col("rk") <= top_k_neighbors)
+                .drop("rk")
+            )
         (
             pairs.select(
                 F.least("q_id", "c_id").alias("doc_a"),
@@ -881,6 +911,131 @@ def ewma_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def ewma_jvm_step(batch: DataFrame, prior: DataFrame | None) -> DataFrame:
+    """One incremental step of the EWMA recurrence, entirely JVM-side:
+    fold ``batch``'s per-user (ts, event_id)-ordered ``v_e2`` values
+    into the ``prior`` per-user ``(n_events, ewma_e2)`` state.
+
+    The Catalyst ``aggregate()`` fold's NULL-seed branch ("acc IS NULL
+    -> take x verbatim") is exactly the recurrence's s_1 = v_1 base
+    case, so SEEDING the fold with the prior user's s gives the
+    continuation case for free: a user new to the stream folds from
+    NULL, a returning user folds from their carried state — one
+    expression, no Python.  Users absent from the batch carry their
+    prior row through the full-outer join untouched.
+
+    This is the fold-expressible escape hatch the r12 sf10 split
+    motivated (SCALE.md: the applyInPandasWithState drain pays ~96% of
+    its wall in the Arrow round-trip + per-key Python loop; this step
+    pays one user_id shuffle and a state join, all whole-stage
+    codegen + HOF evaluation).  Per-batch collect_list is bounded by
+    per-user PER-BATCH event counts — strictly smaller than the batch
+    operator's per-user total the applyInPandas contract already
+    assumes."""
+    from data_integration_system_spark.operators.groupops import (
+        EWMA_JVM_FOLD,
+        EWMA_JVM_VALUES,
+    )
+
+    folded = batch.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("b_n"),
+        F.expr(EWMA_JVM_VALUES).alias("b_vals"),
+    )
+    if prior is None:
+        return folded.select(
+            "user_id",
+            F.col("b_n").alias("n_events"),
+            F.expr(
+                f"aggregate(b_vals, cast(null as bigint), {EWMA_JVM_FOLD})"
+            ).alias("ewma_e2"),
+        )
+    j = folded.join(
+        prior.select("user_id", "n_events", "ewma_e2"), "user_id", "full_outer"
+    )
+    return j.select(
+        "user_id",
+        (
+            F.coalesce("n_events", F.lit(0)) + F.coalesce("b_n", F.lit(0))
+        ).alias("n_events"),
+        F.when(F.col("b_vals").isNull(), F.col("ewma_e2"))
+        .otherwise(F.expr(f"aggregate(b_vals, ewma_e2, {EWMA_JVM_FOLD})"))
+        .alias("ewma_e2"),
+    )
+
+
+def ewma_jvm_sink(spark: SparkSession, state_root: str):
+    """foreachBatch sink maintaining the per-user EWMA state as a
+    batch_id-versioned parquet supersede chain: batch N reads the state
+    at the largest batch_id < N, folds itself in via ewma_jvm_step, and
+    overwrites ``{state_root}/batch_id=N`` — so a redelivered batch
+    recomputes from the SAME prior and replaces its own output
+    (deterministic, the exactly-once discipline incremental_report_sink
+    established for COUNT ledgers, applied to a supersede state).  The
+    newest batch_id IS the current state; `read_ewma_jvm_state` resolves
+    it.  State size is one row per user — bounded by key cardinality,
+    never stream length — and old versions are pruned to the prior one
+    (retry needs N-1 intact while N rewrites).
+
+    Contrast with ewma_state_stream: same recurrence, same ordering
+    contract (per-key in-order delivery across batches), but state
+    lives in the lake instead of the HDFS state store and the fold
+    never leaves the JVM.  Reference anchor: workers/worker_daemon.py
+    poll loop + db/postgres_store.py:126-184 upsert cadence."""
+    from data_integration_system_spark.pipeline.fsutil import (
+        child_names,
+        delete_tree,
+    )
+
+    def _state_ids() -> list[int]:
+        out = []
+        for name in child_names(spark, state_root):
+            if name.startswith("batch_id="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        rows = batch.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+        )
+        prior_ids = [b for b in _state_ids() if b < batch_id]
+        prior = (
+            spark.read.parquet(f"{state_root}/batch_id={prior_ids[-1]}")
+            if prior_ids
+            else None
+        )
+        new = ewma_jvm_step(rows, prior)
+        # materialize before overwriting a dir the plan may be reading
+        # (a retry of batch N reads nothing from its own dir, but the
+        # checkpoint barrier doesn't guarantee that for exotic retries)
+        new.localCheckpoint().write.mode("overwrite").parquet(
+            f"{state_root}/batch_id={batch_id}"
+        )
+        for b in prior_ids[:-1]:  # keep the direct prior for retry of N
+            delete_tree(spark, f"{state_root}/batch_id={b}")
+
+    return apply
+
+
+def read_ewma_jvm_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """Current state = the newest batch_id version (the supersede
+    grain's resolution rule)."""
+    from data_integration_system_spark.pipeline.fsutil import child_names
+
+    ids = sorted(
+        int(n.split("=", 1)[1])
+        for n in child_names(spark, state_root)
+        if n.startswith("batch_id=")
+    )
+    if not ids:
+        raise FileNotFoundError(f"no state versions under {state_root}")
+    return spark.read.parquet(f"{state_root}/batch_id={ids[-1]}")
+
+
 # --- driver-facing streaming query ---------------------------------------
 #
 # The streaming tier above is pinned to batch parity in pytest, but until
@@ -1105,6 +1260,98 @@ def streaming_user_ewma_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # materialize before the tempdir vanishes
         )
+        return out.orderBy("user_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_query(
+    "streaming_user_ewma_jvm_snapshot",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v_e2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, v_e2 AS s_e2 FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (w.s_e2 + s.v_e2) // 2
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+           max_by(s_e2, rn) AS ewma_e2
+    FROM walk GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_user_ewma_jvm_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-user EWMA recurrence streamed END-TO-END with the fold
+    kept JVM-side (ewma_jvm_sink): the r12 counterpart to
+    streaming_user_ewma_snapshot, which runs the SAME recurrence
+    through applyInPandasWithState.  The two queries share the
+    RECURSIVE-CTE oracle, so the driver gate pins that swapping the
+    stateful machinery (HDFS state store + Arrow round-trip + Python
+    fold → lake-resident supersede state + Catalyst HOF fold) does not
+    move a single bit of the answer — the property that lets a
+    production pipeline migrate a recurrence off the slow path once it
+    proves fold-expressible (SCALE.md r12 EWMA split: the Python-side
+    machinery was 96% of the sf10 drain).
+
+    Replay contract identical to the pandas-state twin: global
+    (ts, event_id) tercile staging (every user's batch-b rows precede
+    their batch-b+1 rows), pinned mtimes for deterministic oldest-first
+    pacing, availableNow drain with a deadline.  The answer is the
+    newest state version — no ledger fold needed, the supersede state
+    IS the snapshot.
+
+    Scale shape: per trigger one user_id shuffle of the batch + a
+    state full-outer join (state = one row per user, bounded by key
+    cardinality; broadcastable while small, sort-merge when not);
+    everything whole-stage codegen.  Reference anchor:
+    workers/worker_daemon.py:24-28 poll loop as the streaming host."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from data_integration_system_spark.catalog import table
+
+    root = tempfile.mkdtemp(prefix="stream_ewma_jvm_")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        staged = ev.withColumn("b", tercile).localCheckpoint()
+        src = f"{root}/in"
+        for b in (1, 2, 3):
+            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _pin_batch_mtimes(src, b)
+        stream = (
+            spark.readStream.schema(staged.drop("b").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state_root = f"{root}/state"
+        q = (
+            stream.writeStream.foreachBatch(ewma_jvm_sink(spark, state_root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(_drain_deadline_s()):
+                raise TimeoutError(
+                    "availableNow replay did not drain within the deadline; "
+                    "refusing to return a partial snapshot"
+                )
+        finally:
+            q.stop()
+        out = read_ewma_jvm_state(spark, state_root).localCheckpoint()
         return out.orderBy("user_id")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1847,6 +1847,113 @@ def run_retime_embedding_topk(spark, tag: str) -> None:
     print(f"  dedup_embedding_topk retime: {row}")
 
 
+def run_ewma_jvm_split(spark) -> None:
+    """The JVM-fold EWMA drain at sf10, same protocol as
+    run_ewma_fixture_split's drain leg (pre-staged trisected fixture,
+    staging outside the drain timer): the r12 split found the
+    applyInPandasWithState drain pays ~96% of its 1,346 s wall in the
+    Arrow round-trip + per-key Python fold + state store; ewma_jvm_sink
+    is the fold-expressible escape hatch (Catalyst HOF fold, lake-
+    resident supersede state), and this row prices the SAME recurrence
+    over the SAME fixture through it.  Answer parity with the batch
+    operator is asserted inside the run — a fast wrong drain would be
+    worthless."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.streaming.jobs import (
+        _pin_batch_mtimes,
+        ewma_jvm_sink,
+        read_ewma_jvm_state,
+    )
+
+    os.environ.setdefault("SPARK_GRAFT_STREAM_DRAIN_S", "5400")
+    from data_integration_system_spark.streaming.jobs import _drain_deadline_s
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("streaming_d2_split", {}))
+    if "streaming_user_ewma_jvm_snapshot" in section:
+        print("  ewma jvm split: recorded, skipped")
+        return
+    root = tempfile.mkdtemp(prefix="scale_ewma_jvm_split_")
+    try:
+        t0 = time.perf_counter()
+        ev = table(spark, SF10, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        staged = ev.withColumn("b", tercile).localCheckpoint()
+        src = f"{root}/in"
+        for b in (1, 2, 3):
+            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _pin_batch_mtimes(src, b)
+        staging_s = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(staged.drop("b").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state_root = f"{root}/state"
+        q = (
+            stream.writeStream.foreachBatch(ewma_jvm_sink(spark, state_root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(_drain_deadline_s()):
+                raise TimeoutError("ewma jvm split drain deadline")
+        finally:
+            q.stop()
+        state = read_ewma_jvm_state(spark, state_root).localCheckpoint()
+        n = state.count()
+        drain_s = round(time.perf_counter() - t0, 3)
+
+        # answer parity vs the batch JVM operator (outside the timer)
+        from data_integration_system_spark.operators.groupops import (
+            user_value_ewma_jvm,
+        )
+
+        diff = (
+            state.select("user_id", "n_events", "ewma_e2")
+            .exceptAll(user_value_ewma_jvm(spark, SF10))
+            .count()
+        )
+        if diff:
+            raise AssertionError(f"jvm drain diverged from batch: {diff} rows")
+
+        section["streaming_user_ewma_jvm_snapshot"] = {
+            "sf": "sf10",
+            "staging_sec": staging_s,
+            "drain_sec": drain_s,
+            "users": n,
+            "parity": "exceptAll vs user_value_ewma_jvm == 0 rows",
+            "note": "same fixture + drain protocol as the pandas-state split row; the fold never leaves the JVM (ewma_jvm_sink)",
+        }
+        prev["streaming_d2_split"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+        print(f"  ewma jvm split: {section['streaming_user_ewma_jvm_snapshot']}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_ewma_fixture_split(spark) -> None:
     """Fixture-vs-machinery split for the sf10 EWMA decade row (VERDICT
     r11 #7): the recorded 1,330 s includes the fixture's global
@@ -2105,6 +2212,11 @@ def main() -> None:
         "--ivfpq-curve", action="store_true",
         help="IVF-PQ nprobe recall/latency curve at d3",
     )
+    ap.add_argument(
+        "--ewma-jvm-split", action="store_true",
+        help="EWMA sf10 JVM-fold drain (the fold-expressible escape "
+        "hatch) against the same pre-staged fixture as --ewma-split",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -2164,6 +2276,8 @@ def main() -> None:
         run_retime_embedding_topk(spark, args.retime_embedding_topk)
     if args.ewma_split:
         run_ewma_fixture_split(spark)
+    if args.ewma_jvm_split:
+        run_ewma_jvm_split(spark)
     if args.ivfpq_curve:
         run_ivfpq_curve(spark)
     if args.time_crawl:

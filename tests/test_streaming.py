@@ -370,6 +370,54 @@ def test_near_dup_sink_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_near_dup_sink_topk_cap(spark, tmp_path):
+    """Bounded-output contract on the ONLINE near-dup sink (the r12
+    capped-mode contract extended to the 24/7 surface): with cap >=
+    every doc's true degree the capped sink reproduces the uncapped
+    batch pair set EXACTLY, and with cap=1 each trigger appends at most
+    one pair per incoming doc.  foreachBatch sinks are plain callables,
+    so the batches are driven directly (the replay contract itself is
+    test_near_dup_sink_matches_batch's job)."""
+    import collections
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.dedup import dedup_minhash_near
+    from data_integration_system_spark.streaming.jobs import near_dup_sink
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint()
+
+    want = [tuple(r) for r in dedup_minhash_near(spark, SF).collect()]
+    deg: collections.Counter = collections.Counter()
+    for a, b, _ in want:
+        deg[a] += 1
+        deg[b] += 1
+    generous = max(deg.values())
+
+    pairs_path = str(tmp_path / "pairs_gen")
+    sink = near_dup_sink(
+        spark, str(tmp_path / "idx_gen"), pairs_path,
+        top_k_neighbors=generous,
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {tuple(r) for r in spark.read.parquet(pairs_path).collect()}
+    assert got == set(want) and len(want) > 0
+
+    pairs1 = str(tmp_path / "pairs_k1")
+    sink1 = near_dup_sink(
+        spark, str(tmp_path / "idx_k1"), pairs1, top_k_neighbors=1
+    )
+    sink1(b0, 0)
+    after0 = spark.read.parquet(pairs1).count()
+    assert after0 <= b0.count()
+    sink1(b1, 1)
+    after1 = spark.read.parquet(pairs1).count()
+    assert after1 - after0 <= b1.count()
+    assert {tuple(r) for r in spark.read.parquet(pairs1).collect()} <= set(want)
+
+
 def test_ann_probe_sink_matches_batch(spark, tmp_path):
     """Streaming ANN probes over the static IVF index must produce
     exactly the batch query_ivf_index rows for the same query set, with
@@ -870,6 +918,105 @@ def test_ewma_fold_batch_split_invariant(spark):
     b2["ts"] = [pd.Timestamp(i + 2, unit="s") for i in range(len(b2))]
     list(_ewma_fold((1,), iter([b2]), split))
     assert one._v == split._v
+
+
+def test_ewma_jvm_batch_matches_pandas(spark):
+    """The Catalyst-HOF EWMA (user_value_ewma_jvm) must be bit-identical
+    to the applyInPandas twin — same recurrence, same (ts, event_id)
+    order, `div` == halve_trunc over the full integer domain."""
+    from data_integration_system_spark.operators.groupops import (
+        user_value_ewma,
+        user_value_ewma_jvm,
+    )
+
+    a = [tuple(r) for r in user_value_ewma(spark, SF).collect()]
+    b = [tuple(r) for r in user_value_ewma_jvm(spark, SF).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_ewma_jvm_step_negative_domain(spark):
+    """`(acc + x) div 2` must truncate toward zero exactly like
+    halve_trunc — pinned on a value sequence whose running sums cross
+    zero (where Python's floor-dividing // would diverge)."""
+    from data_integration_system_spark.operators._common import halve_trunc
+    from data_integration_system_spark.streaming.jobs import ewma_jvm_step
+
+    vals = [-7, 3, -1, -8, 5, -3]
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    batch = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, v_e2 long"
+    )
+    got = ewma_jvm_step(batch, None).collect()[0]
+    s = 0
+    for i, v in enumerate(vals):
+        s = v if i == 0 else halve_trunc(s + v)
+    assert (got.user_id, got.n_events, got.ewma_e2) == (1, len(vals), s)
+
+
+def test_ewma_jvm_step_split_invariant(spark):
+    """Seeding the fold with the prior state must continue the
+    recurrence exactly: two ordered micro-batches through
+    ewma_jvm_step == one combined batch (the across-batch contract,
+    JVM edition — the twin of test_ewma_fold_batch_split_invariant)."""
+    from data_integration_system_spark.streaming.jobs import ewma_jvm_step
+
+    vals = [100, 250, 30, 770, 420, -55]
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    schema = "user_id long, ts long, event_id long, v_e2 long"
+    one = ewma_jvm_step(spark.createDataFrame(rows, schema), None).collect()
+    s1 = ewma_jvm_step(spark.createDataFrame(rows[:2], schema), None)
+    s2 = ewma_jvm_step(spark.createDataFrame(rows[2:], schema), s1).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in s2]
+
+
+def test_ewma_jvm_sink_redelivery_and_carry(spark, tmp_path):
+    """ewma_jvm_sink's supersede-state discipline: a redelivered batch
+    recomputes from the SAME prior (idempotent — state unchanged), a
+    user absent from a batch carries through untouched, and old state
+    versions are pruned to {prior, current}."""
+    import os
+
+    from data_integration_system_spark.streaming.jobs import (
+        ewma_jvm_sink,
+        read_ewma_jvm_state,
+    )
+
+    root = str(tmp_path / "state")
+    sink = ewma_jvm_sink(spark, root)
+    schema = "user_id long, ts long, event_id long, value double"
+    b0 = spark.createDataFrame(
+        [(1, 0, 0, 1.0), (1, 1, 1, 2.5), (2, 0, 2, 9.9)], schema
+    )
+    b1 = spark.createDataFrame([(1, 2, 3, 0.3)], schema)  # user 2 absent
+    sink(b0, 0)
+    sink(b1, 1)
+    after = {tuple(r) for r in read_ewma_jvm_state(spark, root).collect()}
+    sink(b1, 1)  # redelivery
+    again = {tuple(r) for r in read_ewma_jvm_state(spark, root).collect()}
+    assert after == again
+    # user 1: s = 100 -> (100+250) div 2 = 175 -> (175+30) div 2 = 102
+    # user 2 carried: one event, s = 990
+    assert after == {(1, 3, 102), (2, 1, 990)}
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=0", "batch_id=1"]
+
+
+def test_streaming_user_ewma_jvm_snapshot_matches_batch(spark):
+    """Registered JVM-EWMA snapshot == the batch operator (the Kappa
+    parity that carries the RECURSIVE-CTE oracle to the stream)."""
+    from data_integration_system_spark.operators.groupops import (
+        user_value_ewma_jvm,
+    )
+    from data_integration_system_spark.streaming.jobs import (
+        streaming_user_ewma_jvm_snapshot,
+    )
+
+    got = [
+        tuple(r)
+        for r in streaming_user_ewma_jvm_snapshot(spark, SF).collect()
+    ]
+    want = [tuple(r) for r in user_value_ewma_jvm(spark, SF).collect()]
+    assert got == want and len(got) > 0
 
 
 def test_fingerprint_overlap_sink_matches_batch(spark, tmp_path):
