@@ -1847,6 +1847,150 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: segment geometry for the ed<=2 PassJoin filter: a string of length
+#: L splits into 3 segments of lengths (L div 3, (L+1) div 3, rest) —
+#: all >= 1 once L >= 3, and sum == L.  Arrays are 1-indexed in Spark
+#: SQL, hence the element_at(..., i + 1).
+_SEG_LENS = "array({lb} div 3, ({lb} + 1) div 3, {lb} - {lb} div 3 - ({lb} + 1) div 3)"
+_SEG_STARTS = "array(1, 1 + {lb} div 3, 1 + {lb} div 3 + ({lb} + 1) div 3)"
+
+
+def ed2_segment_candidates(parts: DataFrame) -> DataFrame:
+    """Candidate (part_a < part_b) pairs containing EVERY same-brand
+    pair within edit distance 2 — the PassJoin segment filter (Li,
+    Deng, Feng, Wang: 'PassJoin: A Partition-based Method for
+    Similarity Joins', PVLDB 5(3), 2012) restated for k=2.
+
+    Pigeonhole: <= 2 edits transform name_b into name_a, so at least
+    one of name_b's 3 segments is untouched and appears VERBATIM in
+    name_a, shifted from its home position by at most the 2 preceding
+    edits.  The index side therefore emits each part's 3 exact
+    segments keyed by (brand, segment ordinal, length); the query side
+    emits, for every compatible target length lb in [la-2, la+2] and
+    shift d in [-2, 2], the substring of name_a at the segment's home
+    position + d — an equi-join on (brand, ordinal, lb, content) then
+    yields a SUPERSET of the true pair set, verified afterwards by a
+    banded Levenshtein.  Both sides need len >= 3 (non-empty
+    segments); shorter names pair only with names of len <= 4 (the
+    length band), and that tiny residue goes through the plain
+    blocked quadratic — the two routes are disjoint (both >= 3 vs any
+    < 3), so the union never double-counts a pair."""
+    from data_integration_system_spark.operators._common import (
+        parallelize_scan,
+    )
+
+    # the probe explode is ~75 rows of expression work per name: spread
+    # an unsplittable small scan across cores before multiplying it
+    p = parallelize_scan(parts.select("p_partkey", "p_brand", "p_name"))
+
+    segs = F.expr(
+        "transform(sequence(0, 2), i -> named_struct("
+        " 'i', i,"
+        f" 'st', element_at({_SEG_STARTS.format(lb='length(p_name)')}, i + 1),"
+        f" 'ln', element_at({_SEG_LENS.format(lb='length(p_name)')}, i + 1)))"
+    )
+    idx = (
+        p.filter(F.length("p_name") >= 3)
+        .select(
+            F.col("p_partkey").alias("b_id"),
+            F.col("p_brand").alias("b_brand"),
+            F.col("p_name").alias("b_name"),
+            F.length("p_name").alias("lb"),
+            F.explode(segs).alias("s"),
+        )
+        .select(
+            "b_id", "b_brand", "b_name", "lb",
+            F.col("s.i").alias("i"),
+            F.expr("substring(b_name, s.st, s.ln)").alias("sub"),
+        )
+    )
+
+    probes = F.expr(
+        "flatten(flatten("
+        " transform(sequence(greatest(length(p_name) - 2, 3),"
+        "                    greatest(length(p_name) + 2, 3)), lb ->"
+        "  transform(sequence(0, 2), i ->"
+        "   transform(sequence(-2, 2), d -> named_struct("
+        "    'lb', lb,"
+        "    'i', i,"
+        f"    'st', element_at({_SEG_STARTS.format(lb='lb')}, i + 1) + d,"
+        f"    'ln', element_at({_SEG_LENS.format(lb='lb')}, i + 1)))))))"
+    )
+    qry = (
+        p.filter(F.length("p_name") >= 3)
+        .select(
+            F.col("p_partkey").alias("a_id"),
+            F.col("p_brand").alias("a_brand"),
+            F.col("p_name").alias("a_name"),
+            F.explode(probes).alias("s"),
+        )
+        # in-bounds probes only; lb can exceed la+2 via the greatest()
+        # guard on degenerate lengths, so re-check the band explicitly
+        .filter(
+            (F.col("s.st") >= 1)
+            & (F.col("s.st") + F.col("s.ln") - 1 <= F.length("a_name"))
+            & (F.abs(F.col("s.lb") - F.length("a_name")) <= 2)
+        )
+        .select(
+            "a_id", "a_brand", "a_name",
+            F.col("s.lb").alias("lb"),
+            F.col("s.i").alias("i"),
+            F.expr("substring(a_name, s.st, s.ln)").alias("sub"),
+        )
+    )
+
+    # ids ONLY through the candidate join: on a match-dense corpus each
+    # true pair is re-found by up to ~75 probe keys, and carrying the
+    # name strings through that multiplicity dominates the shuffle —
+    # dedup the narrow (id, id) rows first (map-side partial), then
+    # join the two names back once per UNIQUE pair
+    names = p.select(
+        F.col("p_partkey").alias("nid"), F.col("p_name").alias("nm")
+    )
+    passjoin = (
+        qry.drop("a_name")
+        .join(idx.drop("b_name"), ["lb", "i", "sub"])
+        .filter(
+            (F.col("a_brand") == F.col("b_brand"))
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .select(
+            F.least("a_id", "b_id").alias("part_a"),
+            F.greatest("a_id", "b_id").alias("part_b"),
+        )
+        .dropDuplicates(["part_a", "part_b"])
+        .join(names.withColumnRenamed("nid", "part_a")
+              .withColumnRenamed("nm", "name_a"), "part_a")
+        .join(names.withColumnRenamed("nid", "part_b")
+              .withColumnRenamed("nm", "name_b"), "part_b")
+        .select("part_a", "part_b", "name_a", "name_b")
+    )
+
+    # residue: pairs where a side has len < 3 (unsegmentable index) —
+    # the distance bound forces the other side to len <= 4, so the
+    # quadratic runs shorts x (len <= 4) only
+    shorts = p.filter(F.length("p_name") < 3)
+    small = p.filter(F.length("p_name") <= 4)
+    residue = (
+        shorts.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.p_brand") == F.col("y.p_brand"))
+            & (F.col("x.p_partkey") != F.col("y.p_partkey")),
+        )
+        .select(
+            F.least("x.p_partkey", "y.p_partkey").alias("part_a"),
+            F.greatest("x.p_partkey", "y.p_partkey").alias("part_b"),
+            F.when(F.col("x.p_partkey") < F.col("y.p_partkey"), F.col("x.p_name"))
+            .otherwise(F.col("y.p_name")).alias("name_a"),
+            F.when(F.col("x.p_partkey") < F.col("y.p_partkey"), F.col("y.p_name"))
+            .otherwise(F.col("x.p_name")).alias("name_b"),
+        )
+    )
+
+    return passjoin.unionByName(residue).dropDuplicates(["part_a", "part_b"])
+
+
 @query(
     "part_name_near_matches",
     oracle="""
@@ -1869,38 +2013,25 @@ def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines implement the standard edit distance, so the pair
     relation carries a full value-hash oracle — rare for a fuzzy op.
 
-    Scale shape: the self-join is blocked on the brand key (the
-    classic ER blocking discipline — never all pairs); within a block
-    the quadratic is bounded by block size, and for skewed blocks the
-    length-band conjunct (|len_a - len_b| <= 2, implied by the
-    distance bound) splits further — the same exactness argument as
-    _banded_block_candidates."""
+    Scale shape (r12): candidate generation is the PassJoin segment
+    filter (ed2_segment_candidates) — linear emit (3 index segments, a
+    bounded ~75 probe substrings per name) + one fine-grained equi-hash
+    join — instead of the blocked quadratic, whose in-block pair count
+    grows with block size squared; the banded Levenshtein then runs on
+    candidates (near-output-sized), not on every same-brand length-band
+    pair.  Exactness is the PassJoin pigeonhole (every true pair shares
+    a shifted exact segment), pinned against a brute-force ED join on
+    an adversarial random corpus in tests/test_properties.py.
+    THRESHOLD Levenshtein
+    (2k+1-band DP, Spark 3.5+) verifies; for kept rows (<= 2) the
+    banded distance IS the true distance, so the oracle's plain
+    levenshtein still value-hash-matches."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
-    # THRESHOLD Levenshtein (Spark 3.5+): the DP runs a 2k+1-wide band
-    # and bails at the bound instead of filling the full len² matrix —
-    # ~6x less work per surviving pair at these name lengths, and for
-    # kept rows (<= 2) the banded distance IS the true distance, so the
-    # oracle's plain levenshtein still value-hash-matches
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
+    cand = ed2_segment_candidates(p)
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
     return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            # length-band prune implied by the distance bound: evaluate
-            # the cheap length check BEFORE the banded edit distance
-            & (
-                F.abs(
-                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
-                )
-                <= 2
-            ),
-        )
-        .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            dist.cast("long").alias("edit_dist"),
+        cand.select(
+            "part_a", "part_b", dist.cast("long").alias("edit_dist")
         )
         # threshold form returns -1 above the bound; keep real matches
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
