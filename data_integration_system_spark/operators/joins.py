@@ -1905,12 +1905,24 @@ def ed2_segment_candidates(parts: DataFrame) -> DataFrame:
         )
     )
 
+    # position filter (the PassJoin substring-selection tightening):
+    # attribute each edit to the segment containing the character it
+    # lands on (end-insertions to the last segment).  An untouched
+    # FIRST segment then has nothing inserted before it -> it IS the
+    # prefix (d = 0, one probe); an untouched LAST segment has nothing
+    # after it -> it ends the string (d = la - lb, one probe); only the
+    # middle segment needs the full +-2 shift window.  7 probes per
+    # candidate length instead of 15, same exactness (pinned by the
+    # brute-force corpus test).
     probes = F.expr(
         "flatten(flatten("
         " transform(sequence(greatest(length(p_name) - 2, 3),"
         "                    greatest(length(p_name) + 2, 3)), lb ->"
         "  transform(sequence(0, 2), i ->"
-        "   transform(sequence(-2, 2), d -> named_struct("
+        "   transform("
+        "    CASE WHEN i = 0 THEN array(0)"
+        "         WHEN i = 2 THEN array(length(p_name) - lb)"
+        "         ELSE sequence(-2, 2) END, d -> named_struct("
         "    'lb', lb,"
         "    'i', i,"
         f"    'st', element_at({_SEG_STARTS.format(lb='lb')}, i + 1) + d,"

@@ -1847,6 +1847,144 @@ def run_retime_embedding_topk(spark, tag: str) -> None:
     print(f"  dedup_embedding_topk retime: {row}")
 
 
+def run_passjoin_timing(spark) -> None:
+    """PassJoin vs blocked-quadratic ED join on a SINGLE-block synthetic
+    name corpus (the adversarial case for blocking: one brand, so the
+    quadratic has no block structure to hide behind).  Deterministic
+    corpus: 25-hex-char sha2 names; every 10th id pair is a planted
+    ed=1 twin ('z' never appears in hex, so the substitution is exactly
+    one edit), all other names are independent hashes — sparse matches,
+    the regime a real dirty catalog at 100 TB lives in (the sf0.1 part
+    corpus is the OTHER regime: 220k dense pairs).
+
+    Legs (each timed in THIS process, plan warmed by the smallest leg):
+    quadratic at {20k, 63k} — its pair count is n²/2, so 200k would
+    already be ~2e10 banded-ED calls; PassJoin at {20k, 63k, 200k,
+    632k, 2M}.  Exactness cross-checked at 20k (set equality) and by
+    planted-twin counts at every leg.  Writes SCALE_REHEARSAL_D3.json
+    section 'passjoin'."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators.joins import (
+        ed2_segment_candidates,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("passjoin", {}))
+    if section.get("done"):
+        print("  passjoin: recorded, skipped")
+        return
+
+    def corpus(n: int):
+        ids = spark.range(n).select(F.col("id").alias("p_partkey"))
+        g = F.expr("p_partkey div 2")
+        twin = (F.col("p_partkey") % 2 == 1) & (g % 10 == 0)
+        base = F.substring(F.sha2(F.conv(g.cast("string"), 10, 16), 256), 1, 25)
+        far = F.substring(
+            F.sha2(F.conv((g + F.lit(10**12)).cast("string"), 10, 16), 256),
+            1, 25,
+        )
+        name = (
+            F.when(F.col("p_partkey") % 2 == 0, base)
+            .when(twin, F.concat(F.lit("z"), F.substring(base, 2, 24)))
+            .otherwise(far)
+        )
+        return ids.select(
+            "p_partkey", F.lit("B").alias("p_brand"), name.alias("p_name")
+        ).repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+
+    def passjoin_pairs(df):
+        cand = ed2_segment_candidates(df)
+        d = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
+        return (
+            cand.select("part_a", "part_b", d.cast("long").alias("edit_dist"))
+            .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
+        )
+
+    def quadratic_pairs(df):
+        a, b = df.alias("a"), df.alias("b")
+        d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
+        return (
+            a.join(
+                b,
+                (F.col("a.p_brand") == F.col("b.p_brand"))
+                & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                & (
+                    F.abs(
+                        F.length(F.col("a.p_name"))
+                        - F.length(F.col("b.p_name"))
+                    )
+                    <= 2
+                ),
+            )
+            .select(
+                F.col("a.p_partkey").alias("part_a"),
+                F.col("b.p_partkey").alias("part_b"),
+                d.cast("long").alias("edit_dist"),
+            )
+            .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
+        )
+
+    # warm both plan classes on a throwaway corpus (r12 note: single-
+    # process sweeps are warmth-confounded on the first point)
+    warm = corpus(2_000)
+    passjoin_pairs(warm).count()
+    quadratic_pairs(warm).count()
+
+    # exactness cross-check at 20k before any timing
+    c20 = corpus(20_000)
+    got = {tuple(r) for r in passjoin_pairs(c20).collect()}
+    want = {tuple(r) for r in quadratic_pairs(c20).collect()}
+    if got != want:
+        raise AssertionError(
+            f"passjoin != quadratic at 20k: {len(got)} vs {len(want)}"
+        )
+    section["crosscheck_20k"] = {"pairs": len(want), "equal": True}
+
+    for tag, n in (("q20k", 20_000), ("q63k", 63_000)):
+        if tag in section:
+            continue
+        df = corpus(n)
+        t0 = time.perf_counter()
+        cnt = quadratic_pairs(df).count()
+        section[tag] = {
+            "n": n, "pairs": cnt,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(f"  quadratic {tag}: {section[tag]}")
+    for tag, n in (
+        ("p20k", 20_000), ("p63k", 63_000), ("p200k", 200_000),
+        ("p632k", 632_000), ("p2m", 2_000_000),
+    ):
+        if tag in section:
+            continue
+        df = corpus(n)
+        expect = (n // 2 + 9) // 10  # planted twins: one per g % 10 == 0
+        t0 = time.perf_counter()
+        cnt = passjoin_pairs(df).count()
+        section[tag] = {
+            "n": n, "pairs": cnt, "planted": expect,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        if cnt != expect:
+            raise AssertionError(
+                f"passjoin {tag}: {cnt} pairs != {expect} planted"
+            )
+        print(f"  passjoin {tag}: {section[tag]}")
+    section["done"] = True
+    prev["passjoin"] = section
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+
+
 def run_ewma_jvm_split(spark) -> None:
     """The JVM-fold EWMA drain at sf10, same protocol as
     run_ewma_fixture_split's drain leg (pre-staged trisected fixture,
@@ -2213,6 +2351,11 @@ def main() -> None:
         help="IVF-PQ nprobe recall/latency curve at d3",
     )
     ap.add_argument(
+        "--time-passjoin", action="store_true",
+        help="PassJoin vs blocked-quadratic ED join on single-block "
+        "synthetic corpora (20k..2M names)",
+    )
+    ap.add_argument(
         "--ewma-jvm-split", action="store_true",
         help="EWMA sf10 JVM-fold drain (the fold-expressible escape "
         "hatch) against the same pre-staged fixture as --ewma-split",
@@ -2278,6 +2421,8 @@ def main() -> None:
         run_ewma_fixture_split(spark)
     if args.ewma_jvm_split:
         run_ewma_jvm_split(spark)
+    if args.time_passjoin:
+        run_passjoin_timing(spark)
     if args.ivfpq_curve:
         run_ivfpq_curve(spark)
     if args.time_crawl:
