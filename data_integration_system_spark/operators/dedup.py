@@ -503,7 +503,11 @@ def query_minhash_index(
 
 
 @query("dedup_minhash_near", oracle=None)
-def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_near(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k_neighbors: int | None = None,
+) -> DataFrame:
     """Q28 — MinHash+LSH near-dup candidate pairs with exact-Jaccard
     verification. shingle → 32 minhashes → 8 bands → bucket self-join →
     verify Jaccard on the candidate pairs only.
@@ -513,7 +517,15 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (boilerplate) are dropped before the self-join
     (lsh_candidate_pairs) so one hot key can't quadratically explode the
     candidate set. Approx by design -> rows-only.
-    """
+
+    ``top_k_neighbors`` completes the r12 bounded-output contract
+    across the near-dup family (embedding: dedup_embedding_near's
+    capped mode; online: near_dup_sink's probe-side cap): keep pair
+    (a, b) iff b is among a's k highest-jaccard neighbors OR vice
+    versa — the kNN-graph edge set, so every matched doc retains its
+    best neighbors while a low threshold on a redundant corpus emits
+    O(n·k) instead of the full pair set.  Cap >= every doc's true
+    degree reproduces the uncapped set exactly (pytest-pinned)."""
     docs = table(spark, sf_dir, "documents")
     # shingle sets computed ONCE, shared by bucketing and verification;
     # both relations feed both sides of a self-join, so each is already
@@ -530,13 +542,41 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass per pair instead of intersect + union-array materialization
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
+    verified = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(inter / uni, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
     )
+    if top_k_neighbors is not None:
+        from pyspark.sql import Window
+
+        # kNN-graph cut on the (small) VERIFIED pair set: direct each
+        # pair both ways, rank per source, keep an edge if EITHER
+        # endpoint ranks it in its top k, re-canonicalize
+        directed = verified.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "jaccard"
+        ).unionByName(
+            verified.select(
+                F.col("doc_b").alias("src"),
+                F.col("doc_a").alias("dst"),
+                "jaccard",
+            )
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("src").orderBy(F.col("jaccard").desc(), "dst")
+        )
+        verified = (
+            directed.withColumn("rk", rk)
+            .filter(F.col("rk") <= top_k_neighbors)
+            .select(
+                F.least("src", "dst").alias("doc_a"),
+                F.greatest("src", "dst").alias("doc_b"),
+                "jaccard",
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    return verified.orderBy("doc_a", "doc_b")
 
 
 #: expected docs per simhash chunk bucket the adaptive geometry aims for

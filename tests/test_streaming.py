@@ -1715,3 +1715,37 @@ def test_ivfpq_ingest_sink_grows_index_to_match_batch(spark, tmp_path):
         for r in query_ivfpq_index(spark, full, queries, vectors=corpus).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_minhash_near_topk_cap(spark):
+    """Batch minhash near-dup kNN-graph cap (the family-completing
+    bounded-output mode): cap >= max true degree reproduces the
+    uncapped pair set EXACTLY; cap=1 stays a subset AND keeps at least
+    one edge for every matched doc (each doc retains its own best
+    neighbor under the OR semantics)."""
+    import collections
+
+    from data_integration_system_spark.operators.dedup import dedup_minhash_near
+
+    want = [tuple(r) for r in dedup_minhash_near(spark, SF).collect()]
+    assert want
+    deg: collections.Counter = collections.Counter()
+    for a, b, _ in want:
+        deg[a] += 1
+        deg[b] += 1
+    generous = max(deg.values())
+    got = [
+        tuple(r)
+        for r in dedup_minhash_near(
+            spark, SF, top_k_neighbors=generous
+        ).collect()
+    ]
+    assert got == want
+
+    k1 = [
+        tuple(r)
+        for r in dedup_minhash_near(spark, SF, top_k_neighbors=1).collect()
+    ]
+    assert set(k1) <= set(want)
+    covered = {a for a, _, _ in k1} | {b for _, b, _ in k1}
+    assert covered == set(deg), "a matched doc lost all its edges"
