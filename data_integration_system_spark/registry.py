@@ -74,82 +74,24 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 12 window (CORRECTNESS_r11 landed 45/50 exact + 5
-    # rows-only-by-design, zero err, so the whole r11 head rotates OUT;
-    # coverage histogram after `python rehearse.py --coverage`: r8=20,
-    # r9=50, r10=50, r11=50).  Window = 4 NEW-this-round + the 20
-    # r8-stale queries from _NEXT_ROTATION_FIRST + the first 26 of the
-    # r9 tier (alphabetical), exactly 50; the displaced 24-query r9
-    # alphabetical tail sits in _NEXT_ROTATION_FIRST for r13
-    # (multimodal_resize_meta displaced by the 4th newcomer leads it).
+    # Round 13 window (CORRECTNESS_r12 landed 38/38 exact + 12
+    # rows-only-by-design, zero err, so the whole r12 head rotates OUT;
+    # coverage histogram after `python rehearse.py --coverage` through
+    # r12: r9=26, r10=50, r11=50, r12=50).  Window = the 26 r9-stale
+    # queries from _NEXT_ROTATION_FIRST (VERDICT r12 #2 names them) +
+    # the first 24 of the r10 tier (alphabetical), exactly 50; the
+    # displaced 26-query r10 alphabetical tail sits in
+    # _NEXT_ROTATION_FIRST for r14.  Queries NEW in r13 go at the very
+    # front as they land, each displacing the window's LAST r10-tier
+    # name into _NEXT_ROTATION_FIRST at the moment of displacement.
     #
-    # (1) NEW this round (no driver row yet — policy tier 1; the two
-    # JVM-EWMA queries joined mid-round, displacing the window's last
-    # two r9-tier names into _NEXT_ROTATION_FIRST to hold at 50):
-    "similarity_ivfpq_topk",
-    "dedup_embedding_topk",
-    "streaming_jobs_fold_snapshot",
-    "similarity_ann_recall_matrix",
-    "user_value_ewma_jvm",
-    "streaming_user_ewma_jvm_snapshot",
-    # (2) the 20 r8-stale queries (the registry's oldest rows —
-    # VERDICT r11 #2 names them):
-    "pareto_revenue_share",
-    "percentile_approx_check",
-    "purchase_streak_islands",
-    "quantity_price_correlation",
-    "range_join_events",
-    "rolling_7day_event_volume",
-    "salted_event_type_rollup",
-    "semi_join_existing",
-    "session_windows",
-    "shipmode_priority_counts",
-    "shipping_priority",
-    "similarity_recall_at_k",
-    "sliding_window_avg",
-    "streaming_dup_rate_snapshot",
-    "token_count_bpe",
-    "tumbling_window_counts",
-    "upsert_changed_rows",
-    "volume_shipping",
-    "weekday_order_stats",
-    "window_rank_frames",
-    # (3) the r9-checked tier (alphabetical; the 23 displaced by the
-    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
-    "brand_supplier_counts",
-    "contamination_check",
-    "conversion_by_signup_week",
-    "current_jobs_fold",
-    "daily_volume_anomalies",
-    "decontaminate_filter",
-    "dedup_clusters",
-    "dedup_corpus_keep_reps",
-    "dedup_embedding_near",
-    "dedup_minhash_near",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_ngram_novelty",
-    "domain_mix_weights",
-    "embedding_centroid_per_label",
-    "event_type_daily_trend",
-    "event_type_transitions",
-    "event_zscore_outliers",
-    "fingerprint_overlap_pairs",
-    "group_quantiles",
-    "idle_rich_customers",
-    "kmeans_assign_int",
-    "large_volume_orders",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The r12 window's three newcomers +
-#: window math displaced the alphabetical tail of the r9 tier — these
-#: lead the r13 window (their r9 rows become the registry's oldest).
-#: Regenerate the plan from data with ``python rehearse.py --coverage``
-#: (writes CORRECTNESS_COVERAGE.json) instead of hand-maintaining this
-#: list.
-_NEXT_ROTATION_FIRST: list[str] = [
+    # (1) NEW this round (no driver row yet — policy tier 1; names are
+    # UNCOMMENTED as each lands — the registry rejects unregistered
+    # names — and each displaces the window's last r10-tier entry):
+    # "group_quantiles_jvm",          # planned: fold-audit JVM twin
+    # "token_count_bpe_big",          # planned: 50k-merge BPE pricing
+    # "similarity_ivfpq_clustered_recall",  # planned: honest-regime leg
+    # (2) the 26 r9-stale queries (the registry's oldest rows):
     "minhash_jaccard_error",
     "multimodal_decode_meta",
     "multimodal_resize_meta",
@@ -176,6 +118,68 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "top_revenue_supplier",
     "transition_triangles",
     "weekly_retention",
+    # (3) the r10-checked tier (alphabetical; the 26+3 displaced by the
+    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
+    "agg_counts_by_group",
+    "agg_cube_events",
+    "agg_distinct",
+    "agg_rollup",
+    "approx_distinct",
+    "cheapest_supplier_per_part",
+    "column_stats_lineitem",
+    "content_hash_point_lookup",
+    "customer_order_distribution",
+    "disjunctive_discount_revenue",
+    "embedding_norms",
+    "event_type_pagerank",
+    "exact_substring_dup_spans",
+    "filter_blocklist",
+    "filter_scope",
+    "filter_size_cap",
+    "forecast_revenue",
+    "json_config_extract",
+    "lone_returned_supplier_orders",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_mp4_frame_sample",
+    "multimodal_pixel_stats",
+    "multimodal_video_frames",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it). The r13 window holds the 26
+#: r9-stale queries + the head of the r10 tier; the r10 alphabetical
+#: tail (displaced by window math and by the three r13 newcomers, in
+#: displacement order) leads the r14 window.  Regenerate the plan from
+#: data with ``python rehearse.py --coverage`` (writes
+#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "national_market_share",
+    "orders_above_customer_avg",
+    "pack_sequences",
+    "part_value_concentration",
+    "pivot_lang_counts",
+    "pricing_summary",
+    "priority_counts_with_lineitem",
+    "project_content_hash",
+    "project_domain",
+    "promo_revenue_share",
+    "rare_token_score",
+    "repetition_top_bigram",
+    "scan_project",
+    "streaming_funnel_pairs_snapshot",
+    "streaming_length_profile_snapshot",
+    "streaming_quality_monitor_snapshot",
+    "streaming_retention_snapshot",
+    "streaming_session_windows_snapshot",
+    "streaming_tumbling_counts_snapshot",
+    "token_count_exact",
+    "top_sources_per_lang",
+    "transition_degrees",
+    "transition_reachability",
+    "user_modal_event_type",
+    "user_value_ewma",
+    "weighted_resample",
 ]
 
 
