@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
@@ -157,6 +157,37 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the NULL seed doubles as the "first element is taken verbatim"
 # branch, so the fold can also be SEEDED with a prior state column
 # (the incremental streaming step reuses it that way).
+#
+# BECAUSE the NULL seed is the base case, a NULL *element* would be
+# indistinguishable from "unseeded": (acc + NULL) div 2 is NULL, so the
+# next value would be taken verbatim — a silent mid-sequence reset.
+# The applyInPandas twin fails loudly there instead (int(NaN) raises),
+# so every JVM fold site must construct v_e2 through ewma_v_e2_col(),
+# which raises on a NULL events.value rather than letting the three
+# surfaces (pandas twin / JVM fold / RECURSIVE-CTE oracle, which would
+# propagate NULL forward) quietly diverge.
+
+
+def ewma_v_e2_col() -> Column:
+    """events.value quantized to e2 for the EWMA fold, with the
+    non-null contract enforced loudly: a NULL value raises instead of
+    silently resetting the JVM fold's recurrence (the fold's NULL
+    accumulator doubles as the base case, so it cannot distinguish an
+    unseeded state from a NULL element)."""
+    return (
+        F.when(
+            F.col("value").isNotNull(),
+            F.floor(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "raise_error('ewma fold: NULL events.value — the fold''s"
+                " NULL seed is the base case, a NULL element would"
+                " silently reset the recurrence')"
+            ).cast("long")
+        )
+        .alias("v_e2")
+    )
 EWMA_JVM_VALUES = (
     "transform(array_sort(collect_list(struct(ts, event_id, v_e2)))"
     ", s -> s.v_e2)"
@@ -215,7 +246,7 @@ def user_value_ewma_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+        ewma_v_e2_col(),
     )
     fold = (
         f"aggregate({EWMA_JVM_VALUES}, cast(null as bigint), {EWMA_JVM_FOLD})"

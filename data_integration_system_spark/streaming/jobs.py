@@ -377,11 +377,15 @@ def near_dup_sink(
     ``top_k_neighbors`` extends the r12 bounded-output contract
     (operators/dedup.dedup_embedding_near's capped mode) to the 24/7
     surface: each incoming doc emits at most its k highest-jaccard
-    neighbors (ties broken by c_id for determinism).  Because every doc
-    is the PROBE side exactly once — the trigger that ingests it — the
-    per-batch cap IS a global per-doc probe-side cap, so a careless
-    low threshold on a redundant corpus emits O(stream · k) pairs
-    instead of the quadratic pair set.  A doc can still accrue rows as
+    neighbors (ties broken by c_id for determinism).  Every doc is the
+    PROBE side once PER INGEST — the trigger that ingests it — so with
+    distinct doc_ids the per-batch cap is a global per-doc probe-side
+    cap, and a careless low threshold on a redundant corpus emits
+    O(stream · k) pairs instead of the quadratic pair set.  (The
+    O(stream · k) bound counts INGESTS, not distinct ids: a re-ingested
+    doc_id — the at-least-once caveat above — probes again and can emit
+    up to another k probe-side pairs; the strict per-DOC cap assumes no
+    doc_id re-ingest.)  A doc can still accrue rows as
     the MATCHED side of later docs' top-k, which is dedup semantics
     (the canonical rep of a large duplicate cluster is named by each
     member once), not a quadratic blow-up.  Cap >= every doc's true
@@ -981,6 +985,7 @@ def ewma_jvm_sink(spark: SparkSession, state_root: str):
     lives in the lake instead of the HDFS state store and the fold
     never leaves the JVM.  Reference anchor: workers/worker_daemon.py
     poll loop + db/postgres_store.py:126-184 upsert cadence."""
+    from data_integration_system_spark.operators.groupops import ewma_v_e2_col
     from data_integration_system_spark.pipeline.fsutil import (
         child_names,
         delete_tree,
@@ -1000,7 +1005,7 @@ def ewma_jvm_sink(spark: SparkSession, state_root: str):
             "user_id",
             "ts",
             "event_id",
-            F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+            ewma_v_e2_col(),
         )
         prior_ids = [b for b in _state_ids() if b < batch_id]
         prior = (
@@ -1021,9 +1026,23 @@ def ewma_jvm_sink(spark: SparkSession, state_root: str):
     return apply
 
 
-def read_ewma_jvm_state(spark: SparkSession, state_root: str) -> DataFrame:
+def read_ewma_jvm_state(
+    spark: SparkSession, state_root: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Current state = the newest batch_id version (the supersede
-    grain's resolution rule)."""
+    grain's resolution rule).
+
+    Pass ``checkpoint_dir`` (the stream's checkpointLocation) to read
+    COMMITTED state: ewma_jvm_sink writes state N before the streaming
+    checkpoint commits batch N, so between that write and the commit —
+    a window that persists from a crash there until the retry — the
+    newest directory is ahead of the committed stream position.  With
+    the checkpoint, the reader resolves the largest state id <= the
+    last batch id in ``{checkpoint_dir}/commits`` (the retry rewrites
+    state N deterministically from prior N-1, so a committed-id read is
+    stable across the crash).  Without it, the newest-directory read is
+    read-uncommitted: self-healing on retry, but a reader in the crash
+    window observes a state version the stream has not committed."""
     from data_integration_system_spark.pipeline.fsutil import child_names
 
     ids = sorted(
@@ -1033,6 +1052,18 @@ def read_ewma_jvm_state(spark: SparkSession, state_root: str) -> DataFrame:
     )
     if not ids:
         raise FileNotFoundError(f"no state versions under {state_root}")
+    if checkpoint_dir is not None:
+        committed = [
+            int(n)
+            for n in child_names(spark, f"{checkpoint_dir}/commits")
+            if n.isdigit()
+        ]
+        ids = [b for b in ids if committed and b <= max(committed)]
+        if not ids:
+            raise FileNotFoundError(
+                f"no state version under {state_root} is committed by "
+                f"{checkpoint_dir}/commits"
+            )
     return spark.read.parquet(f"{state_root}/batch_id={ids[-1]}")
 
 
@@ -1351,7 +1382,9 @@ def streaming_user_ewma_jvm_snapshot(
                 )
         finally:
             q.stop()
-        out = read_ewma_jvm_state(spark, state_root).localCheckpoint()
+        out = read_ewma_jvm_state(
+            spark, state_root, checkpoint_dir=f"{root}/ckpt"
+        ).localCheckpoint()
         return out.orderBy("user_id")
     finally:
         shutil.rmtree(root, ignore_errors=True)

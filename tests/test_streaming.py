@@ -1001,6 +1001,69 @@ def test_ewma_jvm_sink_redelivery_and_carry(spark, tmp_path):
     assert dirs == ["batch_id=0", "batch_id=1"]
 
 
+def test_ewma_jvm_null_value_raises_not_resets(spark):
+    """A NULL events.value must FAIL the JVM fold loudly, not silently
+    restart the recurrence: the fold's NULL accumulator doubles as the
+    base case, so without the guard a mid-sequence NULL makes the next
+    value be taken verbatim — diverging from the applyInPandas twin
+    (int(NaN) raises) and from the RECURSIVE-CTE oracle (propagates
+    NULL forward).  ewma_v_e2_col raises instead (ADVICE r12)."""
+    import pytest
+    from data_integration_system_spark.operators.groupops import ewma_v_e2_col
+    from data_integration_system_spark.streaming.jobs import ewma_jvm_step
+
+    schema = "user_id long, ts long, event_id long, value double"
+    bad = spark.createDataFrame(
+        [(1, 0, 0, 1.0), (1, 1, 1, None), (1, 2, 2, 3.0)], schema
+    )
+    rows = bad.select("user_id", "ts", "event_id", ewma_v_e2_col())
+    with pytest.raises(Exception, match="NULL events.value"):
+        ewma_jvm_step(rows, None).collect()
+    # the non-null path is untouched
+    good = spark.createDataFrame([(1, 0, 0, 1.0), (1, 1, 1, 2.5)], schema)
+    rows = good.select("user_id", "ts", "event_id", ewma_v_e2_col())
+    assert [tuple(r) for r in ewma_jvm_step(rows, None).collect()] == [(1, 2, 175)]
+
+
+def test_read_ewma_jvm_state_committed_resolution(spark, tmp_path):
+    """With a checkpoint_dir, read_ewma_jvm_state returns the newest
+    state version the stream has COMMITTED, not the newest directory:
+    ewma_jvm_sink writes state N before the checkpoint commits batch N,
+    so a crash in that window leaves an uncommitted newest dir (ADVICE
+    r12).  Simulated: state 0 and 1 on disk, commits log holds only 0."""
+    import pytest
+    from data_integration_system_spark.streaming.jobs import (
+        ewma_jvm_sink,
+        read_ewma_jvm_state,
+    )
+
+    root = str(tmp_path / "state")
+    ckpt = tmp_path / "ckpt" / "commits"
+    ckpt.mkdir(parents=True)
+    sink = ewma_jvm_sink(spark, root)
+    schema = "user_id long, ts long, event_id long, value double"
+    sink(spark.createDataFrame([(1, 0, 0, 1.0)], schema), 0)
+    sink(spark.createDataFrame([(1, 1, 1, 2.5)], schema), 1)
+    (ckpt / "0").write_text("v1\n{}")
+    cdir = str(tmp_path / "ckpt")
+    committed = read_ewma_jvm_state(spark, root, checkpoint_dir=cdir).collect()
+    assert [tuple(r) for r in committed] == [(1, 1, 100)]  # state 0, not 1
+    # uncommitted newest-dir read (no checkpoint) still sees state 1
+    assert [tuple(r) for r in read_ewma_jvm_state(spark, root).collect()] == [
+        (1, 2, 175)
+    ]
+    (ckpt / "1").write_text("v1\n{}")
+    assert [
+        tuple(r)
+        for r in read_ewma_jvm_state(spark, root, checkpoint_dir=cdir).collect()
+    ] == [(1, 2, 175)]
+    # nothing committed at all -> loud failure, not a silent stale read
+    for f in ckpt.iterdir():
+        f.unlink()
+    with pytest.raises(FileNotFoundError, match="committed"):
+        read_ewma_jvm_state(spark, root, checkpoint_dir=cdir)
+
+
 def test_streaming_user_ewma_jvm_snapshot_matches_batch(spark):
     """Registered JVM-EWMA snapshot == the batch operator (the Kappa
     parity that carries the RECURSIVE-CTE oracle to the stream)."""
