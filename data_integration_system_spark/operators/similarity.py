@@ -182,10 +182,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("label").alias("cent_id"), "embedding")
     ).localCheckpoint()
     for _ in range(_LLOYD_ITERS):
-        asg = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+        asg = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
         cent = _elementwise_means(asg).localCheckpoint()
 
-    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    assigned = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
 
     # each query probes its nprobe nearest centroids
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -259,7 +259,7 @@ def fit_ivf_centroids(
         emb.select(F.col("label").alias("cent_id"), "embedding")
     ).localCheckpoint()
     for _ in range(lloyd_iters):
-        asg = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+        asg = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
         cent = _elementwise_means(asg).localCheckpoint()
     return cent
 
@@ -281,7 +281,7 @@ def build_ivf_index(
     emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     cent = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
-    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    assigned = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
     # cluster by the partition column before the partitioned write:
     # a spread input would otherwise leave tasks × centroids sliver
     # files and the probe pays the file-count tax (see the minhash
@@ -317,7 +317,7 @@ def append_ivf_index(
     the full corpus and re-partitions.  At 100 TB this is the standard
     ANN serving cadence: cheap online appends, scheduled offline refits."""
     cent = spark.read.parquet(f"{index_path}/centroids").localCheckpoint()
-    assigned = _nearest_centroid(
+    assigned = nearest_centroid(
         new_vectors.select("vec_id", "embedding"), cent
     )
     from data_integration_system_spark.operators._common import (
@@ -1065,7 +1065,7 @@ def build_ivfpq_index(
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     cent = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
     books = fit_pq_codebooks(corpus)
-    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    assigned = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
     codes = pq_encode(assigned, books, carry=("cent_id",))
     cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
         "overwrite"
@@ -1094,7 +1094,7 @@ def append_ivfpq_index(
     books = _codebooks_from_rows(
         spark.read.parquet(f"{index_path}/codebooks").collect(), meta["m"]
     )
-    assigned = _nearest_centroid(
+    assigned = nearest_centroid(
         new_vectors.select("vec_id", "embedding"), cent
     )
     codes = pq_encode(assigned, books, carry=("cent_id",))
@@ -1162,7 +1162,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     cent = fit_ivf_centroids(spark, sf_dir)
     books = fit_pq_codebooks(corpus)
-    assigned = _nearest_centroid(corpus.select("vec_id", "embedding"), cent)
+    assigned = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
     codes = pq_encode(assigned, books, carry=("cent_id",))
     qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
@@ -1222,3 +1222,285 @@ def similarity_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("method", "q_id")
+
+
+# ---------------------------------------------------------------------------
+# The honest IVF-PQ regime: clustered corpora + realistic centroid counts.
+#
+# Every recall row above runs k ~= |labels| (~10) centroids — fine for
+# pinning mechanics, but production IVFADC runs k_centroids ~ sqrt(n)
+# (~1,400 at 2M vectors) over CLUSTER-STRUCTURED data, the regime where
+# the nprobe/k pruning fraction actually bites (Jégou et al. 2011 §V
+# evaluate exactly this shape).  This section makes that regime
+# measurable: a seeded distributed generator for planted-cluster
+# corpora, a BLAS assignment path for large k (the HOF argmax is
+# per-element and priced for k ~ 10), an exact brute-force truth that
+# scales to millions of vectors, and a registered query that runs the
+# whole loop (generate -> k~sqrt(n) build -> probe -> recall) at the
+# driver's scale.  The d3-scale rows live in SCALE_REHEARSAL_RECALL.json
+# ("d3_clustered", scale_rehearsal.run_ivfpq_clustered).
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SIGMA = 0.15   #: noise scale: E[cos(member, center)] ~ 0.64 at dim 64
+_CLUSTER_SEED = 0xC105
+
+
+def generate_clustered_embeddings(
+    spark: SparkSession,
+    out_dir: str,
+    n: int,
+    n_clusters: int,
+    dim: int = 64,
+    sigma: float = _CLUSTER_SIGMA,
+    seed: int = _CLUSTER_SEED,
+) -> int:
+    """Write ``{out_dir}/embeddings.parquet``: ``n`` vectors in
+    ``n_clusters`` planted Gaussian clusters (vector i = unit
+    center(i % n_clusters) + sigma·noise_i), ``label`` = true cluster
+    id — so the label-mean seeding of fit_ivf_centroids starts from
+    ~true centers and k_centroids == n_clusters by construction.
+
+    Deterministic under ANY partitioning: every center and every noise
+    vector is derived from a per-id seeded generator, not from a
+    partition-level stream — the same (n, n_clusters, seed) always
+    yields the same corpus, which is what lets recall floors be pinned
+    in pytest.  Generation is distributed (mapInPandas over
+    spark.range); nothing corpus-sized touches the driver."""
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, par)
+
+    def gen(batches):
+        import numpy as np
+
+        centers: dict[int, object] = {}
+
+        def center(c: int):
+            if c not in centers:
+                g = np.random.default_rng((seed << 20) ^ c).standard_normal(dim)
+                centers[c] = g / np.linalg.norm(g)
+            return centers[c]
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            embs = []
+            labels = np.empty(len(ids), dtype="int32")
+            for j, i in enumerate(ids):
+                c = int(i) % n_clusters
+                rng = np.random.default_rng((seed << 1) ^ (int(i) * 0x9E3779B1))
+                v = center(c) + sigma * rng.standard_normal(dim)
+                embs.append(v.astype(np.float32))
+                labels[j] = c
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids.astype("int64"),
+                    "embedding": embs,
+                    "label": labels,
+                }
+            )
+
+    df = base.mapInPandas(gen, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    return n_clusters
+
+
+_NP_ASSIGN_MIN_K = 64
+
+
+def _nearest_centroid_np(df: DataFrame, cent_rows: list) -> DataFrame:
+    """BLAS twin of the HOF argmax in _nearest_centroid, for large k:
+    the centroid matrix ships once per task via the closure (k×dim
+    float64 — sub-MB even at k ~ 2,000) and each Arrow batch scores
+    against it with one matmul.  The HOF path evaluates k structs
+    per ROW per element — fine at k ~ 10, two orders of magnitude of
+    interpreted overhead at k ~ 1,400, where one BLAS call per batch
+    is the shape a production assignment actually runs.  Tie semantics
+    match (argmax first-occurrence over cent_id-sorted rows == the
+    HOF's ties-to-lowest-id); pinned equal to the HOF on a fixed
+    corpus in tests/test_scale_patterns.py."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda r: int(r.cent_id))
+    cent_ids = [int(r.cent_id) for r in cent_rows]
+    cmat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = cmat / np.where(norms == 0, 1.0, norms)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cent_id", LongType())]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_np = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in batches:
+            out = pdf.copy()
+            if pdf.empty:
+                out["cent_id"] = np.array([], dtype=np.int64)
+                yield out
+                continue
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(xn == 0, 1.0, xn)
+            out["cent_id"] = ids_np[np.argmax(x @ cmat.T, axis=1)]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def nearest_centroid(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assignment dispatcher: the inline HOF argmax below
+    _NP_ASSIGN_MIN_K centroids (shuffle-free, whole-stage), the BLAS
+    mapInPandas path at realistic k (the matmul wins once per-row HOF
+    interpretation costs more than one Arrow hop).  Both are
+    deterministic with identical tie semantics, so which side of the
+    threshold a corpus lands on never changes an assignment."""
+    rows = cent.collect()  # bounded: k×dim, the same rows both paths need
+    if len(rows) >= _NP_ASSIGN_MIN_K:
+        return _nearest_centroid_np(df, rows)
+    return _nearest_centroid(df, cent)
+
+
+def exact_topk_np(
+    corpus: DataFrame, query_rows: list, top_k: int = _TOP_K
+) -> DataFrame:
+    """Exact brute-force cosine top-k that scales to millions of
+    vectors: per-partition vectorized scoring (one matmul per Arrow
+    batch, queries broadcast via the closure) keeps each partition's
+    top-k per query, a global window cuts the final k — the same
+    partial-topk + global-cut shape as pq_shortlist but over RAW
+    vectors, so it is the TRUTH side for recall at scales where the
+    SQL cross-join baseline (similarity_topk's oracle) is impractical.
+    Emits (q_id, c_id, rnk) with similarity_topk's tie order
+    (sim desc, c_id asc)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_list = [(int(q), list(v)) for q, v in query_rows]
+
+    def run(batches):
+        import numpy as np
+
+        qm = np.asarray([v for _, v in q_list], dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        qm = qm / np.where(qn == 0, 1.0, qn)
+        q_ids = [q for q, _ in q_list]
+        best: list[list] = [[] for _ in q_ids]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(xn == 0, 1.0, xn)
+            sims = x @ qm.T  # (rows, q)
+            ids = pdf["vec_id"].to_numpy()
+            for qi in range(len(q_ids)):
+                s = sims[:, qi]
+                order = np.lexsort((ids, -s))[:top_k]
+                best[qi].append((ids[order], s[order]))
+        out_q, out_c, out_s = [], [], []
+        for qi, parts in enumerate(best):
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            s = np.concatenate([p[1] for p in parts])
+            order = np.lexsort((ids, -s))[:top_k]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_c.extend(ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "sim": out_s})
+
+    scored = corpus.select("vec_id", "embedding").mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("q_id", LongType()),
+                StructField("c_id", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("q_id", "c_id", F.col("rn").cast("long").alias("rnk"))
+    )
+
+
+@query("similarity_ivfpq_clustered_recall", oracle=None)
+def similarity_ivfpq_clustered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ recall measured in its HONEST regime: a planted-cluster
+    corpus (the data shape IVF assumes) with k_centroids = floor(sqrt(n))
+    (the production fan-out rule), built through the REAL materialized
+    index (partitioned codes + literal PartitionFilters probe) and
+    scored per query against the exact numpy brute force.  The recall
+    matrix above prices every tier on the driver's structureless corpus
+    at k ~ 10; this row prices the composition where the nprobe/k
+    pruning fraction is a real number (nprobe=3 of k=22 at sf0.01,
+    3 of ~1,414 at d3 — see SCALE_REHEARSAL_RECALL.json
+    "d3_clustered").  Approximate input -> rows-only; the recall floor
+    is pinned in pytest on the same seeded generator.
+
+    Scale shape: generation and assignment are embarrassingly parallel
+    (one matmul per Arrow batch at realistic k via nearest_centroid's
+    BLAS path); the probe reads nprobe/k of the code relation through
+    partition pruning; truth is the partial-topk brute force whose
+    shuffle is |q|·k rows per partition, never the corpus."""
+    import math as _math
+    import shutil
+    import tempfile
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(_N_QUERIES + 2, _math.isqrt(n))
+    root = tempfile.mkdtemp(prefix="ivfpq_clustered_")
+    try:
+        generate_clustered_embeddings(spark, root, n, k)
+        idx = f"{root}/idx"
+        build_ivfpq_index(spark, root, idx)
+        emb = table(spark, root, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+        truth = exact_topk_np(corpus, q_rows, _TOP_K).select("q_id", "c_id")
+        got = query_ivfpq_index(spark, idx, qdf, vectors=corpus).select(
+            "q_id", "c_id"
+        )
+        hits = (
+            got.join(truth, ["q_id", "c_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        out = (
+            qdf.select("q_id")
+            .join(hits, "q_id", "left")
+            .select(
+                "q_id",
+                F.lit(k).cast("long").alias("k_centroids"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.expr(f"coalesce(n_hits, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_e2"),
+            )
+            .orderBy("q_id")
+            .localCheckpoint()  # sever lineage from the temp corpus
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

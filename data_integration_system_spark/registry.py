@@ -90,7 +90,7 @@ _DRIVER_HEAD: list[str] = [
     # names — and each displaces the window's last r10-tier entry):
     # "group_quantiles_jvm",          # planned: fold-audit JVM twin
     # "token_count_bpe_big",          # planned: 50k-merge BPE pricing
-    # "similarity_ivfpq_clustered_recall",  # planned: honest-regime leg
+    "similarity_ivfpq_clustered_recall",  # landed: honest-regime recall leg
     # (2) the 26 r9-stale queries (the registry's oldest rows):
     "minhash_jaccard_error",
     "multimodal_decode_meta",
@@ -143,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "multimodal_frame_sample",
     "multimodal_mp4_frame_sample",
     "multimodal_pixel_stats",
-    "multimodal_video_frames",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -154,6 +153,7 @@ _DRIVER_HEAD: list[str] = [
 #: data with ``python rehearse.py --coverage`` (writes
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "multimodal_video_frames",
     "national_market_share",
     "orders_above_customer_avg",
     "pack_sequences",
