@@ -259,3 +259,87 @@ def user_value_ewma_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fold-expressibility audit (r13, extending the r12 EWMA pair).
+#
+# Migration rule, applied to every Python group-fold surface in the
+# repo: BEFORE reaching for applyInPandas(WithState), check whether the
+# per-group logic is expressible as built-in aggregates or a Catalyst
+# higher-order fold over the sorted group — the r12 split measured the
+# Python machinery (Arrow hops + per-group interpreter) at ~96% of the
+# EWMA drain's wall and the JVM fold at 97.8x (SCALE.md).  Audit result:
+#
+# * user_value_ewma        -> user_value_ewma_jvm (r12): seeded
+#   aggregate() fold, bit-identical, 97.8x on the sf10 drain.
+# * group_quantiles        -> group_quantiles_jvm (below): a type-1
+#   quantile is pure RANK SELECTION — element_at over the
+#   (value, key)-sorted group array — no Python needed.
+# * dedup.py bucket-local cosine verify (:1029, :1118): NOT migrated,
+#   deliberately.  The per-group work is a dense matmul (numpy/BLAS
+#   over bucket members); a Catalyst HOF evaluates per-element
+#   interpreted, so the JVM direction LOSES there — the same reasoning
+#   that sent nearest_centroid's realistic-k path TO numpy
+#   (similarity._nearest_centroid_np).  The rule cuts both ways: folds
+#   of scalars belong in the JVM, dense linear algebra belongs in
+#   Arrow-batched BLAS.
+# * streaming applyInPandasWithState sites (sessionize, funnel,
+#   EWMA-state): the EWMA twin (streaming/jobs.ewma_jvm_sink) is the
+#   priced escape hatch for the fold-expressible member; sessionize /
+#   funnel keep arbitrary per-key state machines (open-session lists,
+#   step sets) that built-in streaming session windows cover only for
+#   the simple case already registered separately.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_quantiles_jvm",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           {", ".join(
+               f"max(CASE WHEN rn = greatest(CAST(ceil({q} * n) AS BIGINT), 1) "
+               f"THEN o_totalprice END) AS q{int(q * 100)}"
+               for q in _QS
+           )}
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def group_quantiles_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_quantiles with the Python loop deleted (the fold-audit
+    sibling of user_value_ewma_jvm): the type-1 quantile is the element
+    of rank ceil(q·n) in the (value, key)-sorted group, which is pure
+    rank selection — ``element_at(array_sort(collect_list(struct(value,
+    key))), greatest(ceil(q*n), 1))`` — so the whole query stays
+    JVM-side: no Arrow round-trip, no per-group interpreter, one
+    shuffle on the group key, and the SAME exact oracle as the pandas
+    twin (selection over identical doubles is engine-exact; pinned
+    bit-identical in tests/test_streaming.py).
+
+    Boundedness: collect_list per group is the applyInPandas contract
+    the pandas twin already assumes (each group fits one executor);
+    at true 100 TB group sizes BOTH twins would move to a distributed
+    selection (percentile_approx / two-pass rank), which is the
+    documented trade, not a silent one."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    sorted_arr = "array_sort(collect_list(struct(o_totalprice, o_orderkey)))"
+    qcols = [
+        F.expr(
+            f"element_at({sorted_arr}, cast(greatest(ceil({q} * count(*)), 1)"
+            " as int)).o_totalprice"
+        ).alias(f"q{int(q * 100)}")
+        for q in _QS
+    ]
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"), *qcols
+    )

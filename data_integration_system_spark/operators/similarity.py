@@ -592,12 +592,28 @@ _PQ_SAMPLE_CAP = 100_000  #: driver-side training-sample bound
 _PQ_SHORTLIST_X = 8       #: shortlist size = X * top_k per query
 
 
+def _normalized_centroid_map(centroids: dict) -> dict:
+    """cent_id -> L2-normalized float64 centroid (the subtraction basis
+    for residual encoding; cosine assignment is norm-invariant but the
+    residual must be taken against the UNIT centroid or cluster norm
+    leaks into every code)."""
+    import numpy as np
+
+    out = {}
+    for cid, vec in centroids.items():
+        c = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(c)
+        out[int(cid)] = c / (n if n else 1.0)
+    return out
+
+
 def fit_pq_codebooks(
     corpus: DataFrame,
     m: int = _PQ_M,
     k: int = _PQ_K,
     sample_cap: int = _PQ_SAMPLE_CAP,
     iters: int = _PQ_ITERS,
+    residual_centroids: dict | None = None,
 ) -> list:
     """Driver-side, seeded, deterministic codebook fit: a hash-thinned
     sample (bounded by ``sample_cap`` — the collect is capped by
@@ -606,7 +622,16 @@ def fit_pq_codebooks(
     first k distinct sample rows in (hash, vec_id) order — no RNG, so
     build and rebuild agree bit-for-bit on the same corpus.  Returns
     nested lists (m, k, d/m), picklable and broadcast-sized (m·k·d/m
-    floats — KBs)."""
+    floats — KBs).
+
+    ``residual_centroids`` (cent_id -> centroid vector) switches to
+    the true-IVFADC fit: ``corpus`` must carry ``cent_id`` and the
+    books are fitted on RESIDUALS x_norm - c_norm — the quantity
+    whose per-subspace spread survives clustering.  Flat books on
+    clustered data spend nearly all 16 codes on BETWEEN-cluster
+    variation the IVF partition already resolved; residual books
+    spend them on the within-cluster structure a probe actually
+    ranks (measured: SCALE_REHEARSAL_RECALL.json d3_clustered)."""
     import numpy as np
 
     n = corpus.count()
@@ -615,12 +640,21 @@ def fit_pq_codebooks(
         corpus.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
         .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(1 << 20)), "vec_id")
         .limit(sample_cap)
-        .select("embedding")
+        .select(
+            *(
+                ["embedding", "cent_id"]
+                if residual_centroids is not None
+                else ["embedding"]
+            )
+        )
         .collect()
     )
     x = np.asarray([r.embedding for r in sample], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
+    if residual_centroids is not None:
+        cmap = _normalized_centroid_map(residual_centroids)
+        x = x - np.stack([cmap[int(r.cent_id)] for r in sample])
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -647,7 +681,10 @@ def fit_pq_codebooks(
 
 
 def pq_encode(
-    corpus: DataFrame, codebooks: list, carry: tuple = ()
+    corpus: DataFrame,
+    codebooks: list,
+    carry: tuple = (),
+    residual_centroids: dict | None = None,
 ) -> DataFrame:
     """Arrow-batched encode at scan parallelism: (vec_id, codes) where
     ``codes`` is an m-byte binary — one uint8 per subspace, the index of
@@ -658,6 +695,12 @@ def pq_encode(
     land in their centroid's partition)."""
     import pandas as pd
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    cmap = (
+        _normalized_centroid_map(residual_centroids)
+        if residual_centroids is not None
+        else None
+    )
 
     def run(batches):
         import numpy as np
@@ -673,6 +716,10 @@ def pq_encode(
             x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
             norms = np.linalg.norm(x, axis=1, keepdims=True)
             x = x / np.where(norms == 0, 1.0, norms)
+            if cmap is not None:
+                x = x - np.stack(
+                    [cmap[int(c)] for c in pdf["cent_id"]]
+                )
             sub = x.shape[1] // m
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j, cent in enumerate(books):
@@ -702,6 +749,7 @@ def pq_shortlist(
     codebooks: list,
     shortlist: int,
     probe_sets: dict | None = None,
+    residual_centroids: dict | None = None,
 ) -> DataFrame:
     """ADC scan: for each (q_id, qe) in ``query_rows`` (a SMALL collected
     list — the query side broadcasts via the closure, the corpus never
@@ -714,13 +762,30 @@ def pq_shortlist(
     cent_ids; when given, ``codes_df`` must carry a ``cent_id`` column
     and each query scores ONLY rows inside its own probe set — the scan
     itself is already pruned to the UNION of probe sets by partition
-    filters, this mask restores the per-query semantics on top."""
+    filters, this mask restores the per-query semantics on top.
+
+    ``residual_centroids`` (requires ``probe_sets``): true-IVFADC
+    scoring — codes encode residuals x_norm - c_norm, so each query
+    builds one LUT PER PROBED CENTROID on the shifted target
+    q_norm - c_norm (m·k·nprobe table entries per query — still
+    KBs) and scores each row against its own centroid's LUT."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
         LongType,
         StructField,
         StructType,
+    )
+
+    if residual_centroids is not None and probe_sets is None:
+        raise ValueError(
+            "residual scoring needs probe_sets (per-centroid LUTs "
+            "are only defined over a query's probed clusters)"
+        )
+    cmap = (
+        _normalized_centroid_map(residual_centroids)
+        if residual_centroids is not None
+        else None
     )
 
     def run(batches):
@@ -739,13 +804,26 @@ def pq_shortlist(
             qn = np.linalg.norm(q)
             q = q / (qn if qn else 1.0)
             sub = len(q) // m
-            lut = np.stack(
-                [
-                    ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
-                    for j in range(m)
-                ]
-            )  # (m, k)
-            luts.append((int(q_id), lut))
+
+            def make_lut(target):
+                return np.stack(
+                    [
+                        ((books[j] - target[j * sub:(j + 1) * sub]) ** 2).sum(
+                            axis=1
+                        )
+                        for j in range(m)
+                    ]
+                )  # (m, k)
+
+            if cmap is not None:
+                # one LUT per probed centroid on the shifted target
+                per_c = {
+                    int(c): make_lut(q - cmap[int(c)])
+                    for c in probe_sets[int(q_id)]
+                }
+                luts.append((int(q_id), per_c))
+            else:
+                luts.append((int(q_id), make_lut(q)))
         # per-partition accumulation, one emission per partition: the
         # shuffle carries queries x shortlist rows per partition, never
         # the corpus
@@ -766,13 +844,21 @@ def pq_shortlist(
             )
             cols = np.arange(m)
             for q_id, lut in luts:
-                q_ids, q_codes = ids, codes
+                q_ids, q_codes, q_cents = ids, codes, cents
                 if probes is not None:
                     mask = np.isin(cents, probes[q_id])
                     if not mask.any():
                         continue
                     q_ids, q_codes = ids[mask], codes[mask]
-                adc = lut[cols, q_codes].sum(axis=1)
+                    q_cents = cents[mask]
+                if isinstance(lut, dict):  # residual per-centroid LUTs
+                    adc = np.empty(len(q_ids), dtype=np.float64)
+                    for c, lc in lut.items():
+                        cm = q_cents == c
+                        if cm.any():
+                            adc[cm] = lc[cols, q_codes[cm]].sum(axis=1)
+                else:
+                    adc = lut[cols, q_codes].sum(axis=1)
                 take = min(shortlist, len(adc))
                 idx = np.argpartition(adc, take - 1)[:take]
                 best[q_id].append((q_ids[idx], adc[idx]))
@@ -899,7 +985,12 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     _write_pq_codebooks(spark, books, index_path)
 
 
-def _write_pq_codebooks(spark: SparkSession, books: list, index_path: str) -> None:
+def _write_pq_codebooks(
+    spark: SparkSession,
+    books: list,
+    index_path: str,
+    residual: bool = False,
+) -> None:
     """``{index}/codebooks`` (one row per (subspace, code)) + ``{index}/
     meta``; k is informational (read-back groups actual rows, never
     trusts k) — record the LARGEST subspace so a ragged fit is visible."""
@@ -912,7 +1003,8 @@ def _write_pq_codebooks(spark: SparkSession, books: list, index_path: str) -> No
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     spark.createDataFrame(
-        [(len(books), max(len(b) for b in books))], "m int, k int"
+        [(len(books), max(len(b) for b in books), residual)],
+        "m int, k int, residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1042,11 +1134,23 @@ def _probe_sets(qdf: DataFrame, cent: DataFrame, nprobe: int) -> dict:
     return sets
 
 
+def _meta_residual(meta) -> bool:
+    """Backward-compatible residual flag: pre-r13 meta rows have no
+    ``residual`` column — those indexes are flat by construction."""
+    d = meta.asDict()
+    return bool(d.get("residual", False))
+
+
+def _centroid_map(cent_rows: list) -> dict:
+    return {int(r.cent_id): list(r.centroid) for r in cent_rows}
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
     index_path: str,
     lloyd_iters: int = _LLOYD_ITERS,
+    residual: bool = False,
 ) -> None:
     """Materialize the composed index: ``{index}/codes`` PARTITIONED BY
     cent_id (each vector's m-byte PQ code lives in its IVF partition),
@@ -1064,14 +1168,21 @@ def build_ivfpq_index(
     emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     cent = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
-    books = fit_pq_codebooks(corpus)
-    assigned = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
-    codes = pq_encode(assigned, books, carry=("cent_id",))
+    assigned = nearest_centroid(
+        corpus.select("vec_id", "embedding"), cent
+    ).localCheckpoint()  # one assignment feeds fit + encode + write
+    cmap = _centroid_map(cent.collect()) if residual else None
+    books = fit_pq_codebooks(
+        assigned if residual else corpus, residual_centroids=cmap
+    )
+    codes = pq_encode(
+        assigned, books, carry=("cent_id",), residual_centroids=cmap
+    )
     cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    _write_pq_codebooks(spark, books, index_path)
+    _write_pq_codebooks(spark, books, index_path, residual=residual)
 
 
 def append_ivfpq_index(
@@ -1097,7 +1208,10 @@ def append_ivfpq_index(
     assigned = nearest_centroid(
         new_vectors.select("vec_id", "embedding"), cent
     )
-    codes = pq_encode(assigned, books, carry=("cent_id",))
+    cmap = _centroid_map(cent.collect()) if _meta_residual(meta) else None
+    codes = pq_encode(
+        assigned, books, carry=("cent_id",), residual_centroids=cmap
+    )
     cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
         "append"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
@@ -1131,8 +1245,16 @@ def query_ivfpq_index(
         F.col("cent_id").isin(probed)  # literal -> PartitionFilters
     )
     q_rows = [(r[0], list(r[1])) for r in queries.collect()]
+    cmap = (
+        _centroid_map(cent.collect()) if _meta_residual(meta) else None
+    )
     short = pq_shortlist(
-        codes, q_rows, books, shortlist_x * top_k, probe_sets=sets
+        codes,
+        q_rows,
+        books,
+        shortlist_x * top_k,
+        probe_sets=sets,
+        residual_centroids=cmap,
     )
     return _finish_topk(short, queries, vectors, top_k)
 

@@ -88,8 +88,8 @@ _DRIVER_HEAD: list[str] = [
     # (1) NEW this round (no driver row yet — policy tier 1; names are
     # UNCOMMENTED as each lands — the registry rejects unregistered
     # names — and each displaces the window's last r10-tier entry):
-    # "group_quantiles_jvm",          # planned: fold-audit JVM twin
-    # "token_count_bpe_big",          # planned: 50k-merge BPE pricing
+    "group_quantiles_jvm",  # landed: fold-audit JVM twin
+    "token_count_bpe_big",  # landed: 50k-merge production-vocab BPE pricing
     "similarity_ivfpq_clustered_recall",  # landed: honest-regime recall leg
     # (2) the 26 r9-stale queries (the registry's oldest rows):
     "minhash_jaccard_error",
@@ -141,8 +141,6 @@ _DRIVER_HEAD: list[str] = [
     "lone_returned_supplier_orders",
     "multimodal_audio_features",
     "multimodal_frame_sample",
-    "multimodal_mp4_frame_sample",
-    "multimodal_pixel_stats",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -153,6 +151,8 @@ _DRIVER_HEAD: list[str] = [
 #: data with ``python rehearse.py --coverage`` (writes
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "multimodal_mp4_frame_sample",
+    "multimodal_pixel_stats",
     "multimodal_video_frames",
     "national_market_share",
     "orders_above_customer_avg",

@@ -1425,3 +1425,61 @@ def test_exact_topk_np_matches_sql_bruteforce(spark):
         for r in exact_topk_np(corpus, q_rows, _TOP_K).collect()
     }
     assert got == want and len(want) == _N_QUERIES * _TOP_K
+
+
+def test_ivfpq_residual_mode_identities(spark, tmp_path):
+    """True-IVFADC residual encoding (r13): codes encode x_norm - c_norm
+    against residual-fitted books, queries score per-probed-centroid
+    LUTs.  Pins (a) the meta flag round-trips, (b) recall vs exact
+    truth on the clustered corpus clears the floor, (c) incremental
+    growth against the FROZEN centroids+books == one-shot residual
+    build — the same grow/refit contract as the flat mode."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        exact_topk_np,
+        generate_clustered_embeddings,
+        query_ivfpq_index,
+    )
+
+    root = str(tmp_path / "corpus")
+    generate_clustered_embeddings(spark, root, n=400, n_clusters=20)
+    full = str(tmp_path / "full")
+    build_ivfpq_index(spark, root, full, residual=True)
+    meta = spark.read.parquet(f"{full}/meta").head()
+    assert meta["residual"] is True
+
+    emb = table(spark, root, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+    truth = {
+        (r.q_id, r.c_id) for r in exact_topk_np(corpus, q_rows, _TOP_K).collect()
+    }
+    got_rows = query_ivfpq_index(spark, full, qdf, vectors=corpus).collect()
+    got = {(r.q_id, r.c_id) for r in got_rows}
+    assert len(got & truth) / len(truth) >= 0.8
+
+    # incremental growth == one-shot (frozen centroids + residual books)
+    inc = str(tmp_path / "incremental")
+    for side in ("centroids", "codebooks", "meta"):
+        spark.read.parquet(f"{full}/{side}").write.parquet(f"{inc}/{side}")
+    whole = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    append_ivfpq_index(spark, inc, whole.filter(F.col("vec_id") % 2 == 0))
+    append_ivfpq_index(spark, inc, whole.filter(F.col("vec_id") % 2 == 1))
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, full, qdf, vectors=corpus).collect()
+    }
+    grown = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, inc, qdf, vectors=corpus).collect()
+    }
+    assert grown == want and len(want) > 0

@@ -934,6 +934,25 @@ def test_ewma_jvm_batch_matches_pandas(spark):
     assert a == b and len(a) > 0
 
 
+def test_group_quantiles_jvm_matches_pandas(spark):
+    """The rank-selection quantile twin (group_quantiles_jvm, r13 fold
+    audit) must be bit-identical to the applyInPandas sibling: type-1
+    quantiles select existing doubles (no interpolation), so the JVM
+    element_at over the sorted group array and pandas iloc over the
+    sorted frame pick the SAME machine numbers."""
+    from data_integration_system_spark.operators.groupops import (
+        group_quantiles,
+        group_quantiles_jvm,
+    )
+
+    key = lambda r: r[0]  # noqa: E731
+    a = sorted((tuple(r) for r in group_quantiles(spark, SF).collect()), key=key)
+    b = sorted(
+        (tuple(r) for r in group_quantiles_jvm(spark, SF).collect()), key=key
+    )
+    assert a == b and len(a) > 0
+
+
 def test_ewma_jvm_step_negative_domain(spark):
     """`(acc + x) div 2` must truncate toward zero exactly like
     halve_trunc — pinned on a value sequence whose running sums cross
