@@ -99,3 +99,28 @@ def halve_trunc(x: int) -> int:
     recurrence stays engine-exact over the FULL integer domain, not
     just the non-negative values the synthetic data happens to have."""
     return x // 2 if x >= 0 else -((-x) // 2)
+
+
+def local_rows_df(spark, rows, schema):
+    """Small literal row-sets as an Arrow-backed LocalTableScan.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` always builds a
+    pickled-Python-RDD scan (the Arrow fast path only applies to pandas
+    input), and a WRITE task whose lineage re-evaluates a Python RDD
+    spawns a fresh Python worker per write — measured ~5.4 s for a
+    single-row parquet append on this rig vs 0.2 s through a
+    LocalTableScan (SCALE.md r13; an ACTION on the same RDD is ~0.4 s —
+    the penalty is specific to the write path).  Routing literal rows
+    through pandas makes the plan a LocalTableScan: write tasks stay
+    JVM-only, and every metadata write (index meta/codebooks, job-log
+    status appends, checkpoint state rows) drops to disk-speed.
+
+    Falls back to the classic path for empty row-sets (no job runs on
+    an empty frame, so there is nothing to save)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    names = spark.createDataFrame([], schema).columns
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema)

@@ -23,6 +23,7 @@ from data_integration_system_spark.catalog import table
 from data_integration_system_spark.functions.hashing import content_hash, normalize_ws
 from data_integration_system_spark.operators._common import drop_hot_keys
 from data_integration_system_spark.registry import query
+from data_integration_system_spark.operators._common import local_rows_df
 
 
 @query(
@@ -407,7 +408,7 @@ def build_minhash_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/bands")
     )
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+    local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
 
@@ -434,7 +435,7 @@ def append_minhash_index(
     if exists(spark, f"{index_path}/meta"):
         n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
     else:
-        spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{index_path}/meta")
     sh = shingle_sets(new_docs, text_col, id_col)

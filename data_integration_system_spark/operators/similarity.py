@@ -999,10 +999,13 @@ def _write_pq_codebooks(
         for j, book in enumerate(books)
         for c, cent in enumerate(book)
     ]
-    spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>"
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    local_rows_df(
+        spark, rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(len(books), max(len(b) for b in books), residual)],
         "m int, k int, residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")

@@ -17,6 +17,7 @@ from data_integration_system_spark.catalog import table
 from data_integration_system_spark.functions.hashing import normalize_ws
 from data_integration_system_spark.operators._common import drop_hot_keys
 from data_integration_system_spark.registry import query
+from data_integration_system_spark.operators._common import local_rows_df
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "it")
 _STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
@@ -403,7 +404,7 @@ def build_fingerprint_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/fps")
     )
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+    local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
 
@@ -429,7 +430,7 @@ def append_fingerprint_index(
     if exists(spark, f"{index_path}/meta"):
         n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
     else:
-        spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{index_path}/meta")
     fp = winnow_fingerprints(new_docs, text_col, id_col, spread=False)

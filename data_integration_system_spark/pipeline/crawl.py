@@ -141,9 +141,11 @@ def crawl(
     rows whose lock expired).  Pages accumulate ON DISK, not as driver
     lineage — at 100 TB the result is a parquet union, never a
     1000-generation in-memory plan."""
+    from data_integration_system_spark.operators._common import local_rows_df
+
     frontier = (
-        spark.createDataFrame(
-            [(u, 0, 0) for u in seeds], "url string, depth long, retry long"
+        local_rows_df(
+            spark, [(u, 0, 0) for u in seeds], "url string, depth long, retry long"
         )
         .dropDuplicates(["url"])  # D1 enqueue-dedup, crawler_core.py:263-267
     )
@@ -257,8 +259,12 @@ def crawl(
             visited.write.mode("overwrite").parquet(
                 f"{checkpoint_dir}/visited/gen={generation + 1}"
             )
-            spark.createDataFrame(
-                [(generation + 1, budget)], "generation long, budget long"
+            from data_integration_system_spark.operators._common import (
+                local_rows_df,
+            )
+
+            local_rows_df(
+                spark, [(generation + 1, budget)], "generation long, budget long"
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{checkpoint_dir}/state/gen={generation + 1}"
             )

@@ -246,7 +246,9 @@ def release_corpus(
             (int(next_idx + 1 + i), f"split:{name}", int(counts.get(name, 0)))
             for i, name in enumerate(split_weights)
         ]
-    extra_rows = spark.createDataFrame(
-        extra, "stage_idx long, stage string, n_docs long"
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    extra_rows = local_rows_df(
+        spark, extra, "stage_idx long, stage string, n_docs long"
     )
     return report.unionByName(extra_rows).orderBy("stage_idx")

@@ -163,7 +163,10 @@ def _append_job_row(
     status: str,
     error: str = "",
 ) -> None:
-    df = spark.createDataFrame(
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    df = local_rows_df(
+        spark,
         [(job_id, start_url, root_domain, config, status, error,
           _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None))],
         _JOBS_SCHEMA,

@@ -268,9 +268,14 @@ def compact_snapshot(
         # match what cast(part_col as string) yields for escaped chars
         # (timestamp colons, spaces) and NULL partitions, or a skewed
         # partition's __n_files misses and it funnels through one task
-        plan = spark.createDataFrame(
+        from data_integration_system_spark.operators._common import (
+            local_rows_df,
+        )
+
+        plan = local_rows_df(
+            spark,
             [(_unescape_hive(v), n) for v, n in files_per.items()],
-            schema="__part_val string, __n_files int",
+            "__part_val string, __n_files int",
         )
         data_cols = [c for c in df.columns if c != part_col]
         # fallback for a value that STILL fails to match (exotic type

@@ -2509,6 +2509,153 @@ def run_ivfpq_clustered(spark) -> None:
         print(f"  probed fraction: {row['probed_fraction']}")
 
 
+def run_jobs_overhead(spark) -> None:
+    """Per-job overhead breakdown of the worker daemon (VERDICT r12
+    #6): the r12 snapshot costs ~14 s/job of fixed orchestration; this
+    harness runs the SAME 8-job fixture two ways and splits the wall:
+
+    * direct drain — run_pending_jobs called in-process with the
+      daemon's component functions wrapped in timers (claim fold,
+      status writes, crawl BFS, report aggregation, snapshot write);
+    * streaming drain — job_worker_stream end-to-end, so the
+      difference prices the streaming trigger machinery itself.
+
+    Writes the breakdown into SCALE_REHEARSAL_D3.json under
+    "jobs_daemon_overhead"."""
+    import collections
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    import data_integration_system_spark.pipeline.jobs as PJ
+    from data_integration_system_spark.streaming.jobs import (
+        _JOBS_FOLD_CONFIG,
+        _demo_site_fetch,
+        _pin_batch_mtimes,
+        job_worker_stream,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    if "jobs_daemon_overhead" in prev:
+        print("  jobs_daemon_overhead: recorded, skipped")
+        return
+
+    def stage_fixture(root: str) -> str:
+        jobs_path = f"{root}/jobs_log"
+        o = table(spark, "/root/testdata/sf0.01", "orders").orderBy(
+            "o_orderkey"
+        ).limit(8)
+        subs = o.select(
+            F.col("o_orderkey").cast("string").alias("job_id"),
+            F.concat(
+                F.lit("https://ex.com/p"),
+                (F.col("o_orderkey") % 4).cast("string"),
+            ).alias("start_url"),
+            F.lit("ex.com").alias("root_domain"),
+            F.lit(_JOBS_FOLD_CONFIG).alias("config"),
+            F.lit("PENDING").alias("status"),
+            F.lit("").alias("error"),
+            F.col("o_orderdate").alias("created_at"),
+        ).localCheckpoint()
+        for b in range(3):
+            subs.filter(
+                F.pmod(F.col("job_id").cast("long"), F.lit(3)) == b
+            ).coalesce(1).write.mode("append").parquet(jobs_path)
+            _pin_batch_mtimes(jobs_path, b + 1)
+        return jobs_path
+
+    # --- leg 1: direct drain with component timers ---
+    times: dict = collections.defaultdict(float)
+    counts: dict = collections.defaultdict(int)
+    originals = {}
+
+    def wrap(mod, name, key):
+        orig = getattr(mod, name)
+        originals[(mod, name)] = orig
+
+        def timed(*a, **k):
+            t0 = time.perf_counter()
+            try:
+                return orig(*a, **k)
+            finally:
+                times[key] += time.perf_counter() - t0
+                counts[key] += 1
+
+        setattr(mod, name, timed)
+
+    wrap(PJ, "current_jobs", "claim_fold")
+    wrap(PJ, "job_status_update", "status_write")
+    wrap(PJ, "crawl", "crawl_bfs")
+    wrap(PJ, "salted_agg", "report_agg")
+    wrap(PJ, "write_snapshot", "snapshot_write")
+    root = tempfile.mkdtemp(prefix="jobs_ovh_")
+    try:
+        jobs_path = stage_fixture(root)
+        t0 = time.perf_counter()
+        while PJ.run_pending_jobs(
+            spark, jobs_path, f"{root}/out", _demo_site_fetch()
+        ):
+            pass
+        direct_wall = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        for (mod, name), orig in originals.items():
+            setattr(mod, name, orig)
+
+    components = {
+        k: {"sec": round(times[k], 3), "calls": counts[k]}
+        for k in sorted(times)
+    }
+    accounted = round(sum(times.values()), 3)
+
+    # --- leg 2: streaming drain (same fixture, availableNow) ---
+    root = tempfile.mkdtemp(prefix="jobs_ovh_s_")
+    try:
+        jobs_path = stage_fixture(root)
+        t0 = time.perf_counter()
+        q = job_worker_stream(
+            spark,
+            jobs_path,
+            f"{root}/out",
+            fetch_fn=_demo_site_fetch(),
+            trigger={"availableNow": True},
+            stream_options={"maxFilesPerTrigger": "1"},
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish")
+        q.stop()
+        stream_wall = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    row = {
+        "n_jobs": 8,
+        "direct_drain_sec": direct_wall,
+        "direct_components": components,
+        "direct_accounted_sec": accounted,
+        "direct_other_sec": round(direct_wall - accounted, 3),
+        "streaming_drain_sec": stream_wall,
+        "streaming_machinery_sec": round(stream_wall - direct_wall, 3),
+        "per_job_direct_sec": round(direct_wall / 8, 3),
+        "per_job_streaming_sec": round(stream_wall / 8, 3),
+    }
+    prev["jobs_daemon_overhead"] = row
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print(f"  jobs_daemon_overhead: {json.dumps(row, indent=1)}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true", help="build .scale/sf1")
@@ -2612,6 +2759,10 @@ def main() -> None:
         "recall/query/probed-fraction vs exact truth",
     )
     ap.add_argument(
+        "--jobs-overhead", action="store_true",
+        help="worker-daemon per-job overhead breakdown (8-job fixture)",
+    )
+    ap.add_argument(
         "--ewma-jvm-split", action="store_true",
         help="EWMA sf10 JVM-fold drain (the fold-expressible escape "
         "hatch) against the same pre-staged fixture as --ewma-split",
@@ -2693,6 +2844,8 @@ def main() -> None:
         generate_d3c(spark)
     if args.ivfpq_clustered:
         run_ivfpq_clustered(spark)
+    if args.jobs_overhead:
+        run_jobs_overhead(spark)
 
 
 if __name__ == "__main__":
