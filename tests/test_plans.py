@@ -724,3 +724,23 @@ def test_token_count_exact_reads_text_once(spark):
         if "ReadSchema" in line and "text" in line
     ]
     assert len(text_scans) == 1, text_scans
+
+
+def test_local_rows_df_is_local_table_scan(spark):
+    """The write-task-tax canary (SCALE.md r13): literal row-sets must
+    plan as an Arrow LocalTableScan, never a pickled-Python-RDD scan —
+    a write whose lineage re-evaluates a Python RDD spawns a fresh
+    Python worker per write (~5.6 s measured for a single-row append
+    vs 0.2 s through the local scan).  If this plan shape regresses,
+    every status append / index-meta write regresses 28x with it."""
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    df = local_rows_df(
+        spark,
+        [("a", 1, [1.0, 2.0]), ("b", None, [])],
+        "s string, n long, v array<double>",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    rows = {(r.s, r.n, tuple(r.v)) for r in df.collect()}
+    assert rows == {("a", 1, (1.0, 2.0)), ("b", None, ())}
