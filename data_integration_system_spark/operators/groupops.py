@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
@@ -342,4 +342,70 @@ def group_quantiles_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return o.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders"), *qcols
+    )
+
+
+@query(
+    "group_quantiles_dist",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           {", ".join(
+               f"max(CASE WHEN rn = greatest(CAST(ceil({q} * n) AS BIGINT), 1) "
+               f"THEN o_totalprice END) AS q{int(q * 100)}"
+               for q in _QS
+           )}
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def group_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third quantile sibling — distributed rank selection, the
+    shape that survives groups that DON'T fit one executor: window
+    row_number + per-group count, then one aggregation picking the
+    rank-ceil(q·n) rows.  No per-group array (group_quantiles_jvm
+    materializes and array_sorts a whole group in one task's memory),
+    no Arrow hop (group_quantiles ships the group to pandas) — the
+    sort is Spark's distributed window sort and everything after is a
+    plain aggregate.
+
+    This row REFINES the r12/r13 fold-audit rule with a measured
+    counterexample (SCALE.md r13): the JVM-fold escape hatch wins when
+    it deletes a per-row interpreted Python loop (EWMA: 97.8x), but
+    LOSES to vectorized pandas when the per-group work is a sort
+    (sf10: array-fold 15.7 s vs pandas 7.7 s vs this).  Folds of
+    scalars -> JVM aggregate; dense math -> Arrow-batched BLAS;
+    order-statistics -> distributed rank selection, never a
+    materialized group."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.ceil(F.lit(q) * F.col("n")), F.lit(1)),
+                F.col("o_totalprice"),
+            )
+        ).alias(f"q{int(q * 100)}")
+        for q in _QS
+    ]
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"), *qcols
     )

@@ -89,6 +89,7 @@ _DRIVER_HEAD: list[str] = [
     # UNCOMMENTED as each lands — the registry rejects unregistered
     # names — and each displaces the window's last r10-tier entry):
     "group_quantiles_jvm",  # landed: fold-audit JVM twin
+    "group_quantiles_dist",  # landed: distributed rank-selection sibling
     "token_count_bpe_big",  # landed: 50k-merge production-vocab BPE pricing
     "similarity_ivfpq_clustered_recall",  # landed: honest-regime recall leg
     # (2) the 26 r9-stale queries (the registry's oldest rows):
@@ -140,7 +141,6 @@ _DRIVER_HEAD: list[str] = [
     "json_config_extract",
     "lone_returned_supplier_orders",
     "multimodal_audio_features",
-    "multimodal_frame_sample",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -151,6 +151,7 @@ _DRIVER_HEAD: list[str] = [
 #: data with ``python rehearse.py --coverage`` (writes
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "multimodal_frame_sample",
     "multimodal_mp4_frame_sample",
     "multimodal_pixel_stats",
     "multimodal_video_frames",
