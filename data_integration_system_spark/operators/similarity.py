@@ -1629,3 +1629,73 @@ def similarity_ivfpq_clustered_recall(
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+class IvfPqIndexHandle:
+    """An OPENED composed index — the serving-process pattern the d3c
+    campaign motivated (SCALE.md r13): a cold `query_ivfpq_index` call
+    re-reads `{index}/codes` and pays a distributed file-LISTING job
+    over every partition dir (1,414 tasks ≈ 4 s at d3c — the ADC scan
+    of the pruned files is milliseconds).  The handle reads each
+    relation ONCE — centroids/books/meta to the driver, the codes
+    DataFrame held open so its InMemoryFileIndex caches the listing —
+    and every `.query(...)` is pruning + ADC + re-rank only.
+
+    Staleness contract (the standard serving cadence): rows appended
+    to the index AFTER open are invisible through the cached listing —
+    `reopen()` (or a fresh open) picks them up; scheduled rebuilds
+    swap in a new handle.  At 100 TB the same role is played by a
+    metastore/manifest; in-process, holding the handle IS the cache."""
+
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.index_path = index_path
+        self._open()
+
+    def _open(self) -> None:
+        spark, index_path = self.spark, self.index_path
+        self.cent = spark.read.parquet(f"{index_path}/centroids").localCheckpoint()
+        meta = spark.read.parquet(f"{index_path}/meta").head()
+        self.books = _codebooks_from_rows(
+            spark.read.parquet(f"{index_path}/codebooks").collect(), meta["m"]
+        )
+        self.residual_centroids = (
+            _centroid_map(self.cent.collect()) if _meta_residual(meta) else None
+        )
+        # the held relation: its InMemoryFileIndex owns the dir listing
+        self.codes = spark.read.parquet(f"{index_path}/codes")
+
+    def reopen(self) -> "IvfPqIndexHandle":
+        """Refresh the cached listing (after appends/rebuilds)."""
+        self._open()
+        return self
+
+    def query(
+        self,
+        queries: DataFrame,
+        vectors: DataFrame | None = None,
+        top_k: int = _TOP_K,
+        nprobe: int = _IVFPQ_NPROBE,
+        shortlist_x: int = _PQ_SHORTLIST_X,
+    ) -> DataFrame:
+        qdf = queries.toDF("q_id", "qe")
+        sets = _probe_sets(qdf, self.cent, nprobe)
+        probed = sorted({c for s in sets.values() for c in s})
+        codes = self.codes.filter(F.col("cent_id").isin(probed))
+        q_rows = [(r[0], list(r[1])) for r in queries.collect()]
+        short = pq_shortlist(
+            codes,
+            q_rows,
+            self.books,
+            shortlist_x * top_k,
+            probe_sets=sets,
+            residual_centroids=self.residual_centroids,
+        )
+        return _finish_topk(short, queries, vectors, top_k)
+
+
+def open_ivfpq_index(spark: SparkSession, index_path: str) -> IvfPqIndexHandle:
+    """Open a built IVF-PQ index for repeated serving (see
+    IvfPqIndexHandle; `query_ivfpq_index` remains the one-shot form —
+    identical results, pinned in tests)."""
+    return IvfPqIndexHandle(spark, index_path)

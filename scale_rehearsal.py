@@ -2487,6 +2487,32 @@ def run_ivfpq_clustered(spark) -> None:
         flush()
         print(f"  flat x=128 operating point: {row['flat_x128_operating_point']}")
 
+    # --- serving-handle leg: open once, query repeatedly — prices what
+    # the cached FileIndex saves vs the cold path's per-query listing
+    # job (the catalog-tier motivation, measured) ---
+    if "handle_serving" not in row:
+        from data_integration_system_spark.operators.similarity import (
+            open_ivfpq_index,
+        )
+
+        h = open_ivfpq_index(spark, D3C_IDX)
+        h.query(qdf, nprobe=3).collect()  # warm the handle's plan class
+        walls = []
+        got = set()
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = h.query(qdf, vectors=corpus, nprobe=3).collect()
+            walls.append(round(time.perf_counter() - t0, 3))
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+        row["handle_serving"] = {
+            "query_sec_med": statistics.median(walls),
+            "query_sec_runs": walls,
+            "recall_at_5": round(len(got & truth) / len(truth), 4),
+            "vs_cold_path_med3": row["nprobe_curve"]["3"]["query_sec_med3"],
+        }
+        flush()
+        print(f"  handle serving: {row['handle_serving']}")
+
     # --- probed fraction on EXECUTED files-read metrics (nprobe=3) ---
     if "probed_fraction" not in row:
         df = query_ivfpq_index(spark, D3C_IDX, qdf, nprobe=3)

@@ -1483,3 +1483,52 @@ def test_ivfpq_residual_mode_identities(spark, tmp_path):
         for r in query_ivfpq_index(spark, inc, qdf, vectors=corpus).collect()
     }
     assert grown == want and len(want) > 0
+
+
+def test_ivfpq_handle_matches_oneshot_and_sees_appends_on_reopen(spark, tmp_path):
+    """The serving handle (open_ivfpq_index): identical answers to the
+    one-shot query path on the same index, repeated queries reuse the
+    held codes relation, and the staleness contract is explicit —
+    appends are invisible through the cached listing until reopen()."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        open_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, SF, idx)
+    emb = table(spark, SF, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    want = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in query_ivfpq_index(spark, idx, qdf, vectors=vecs).collect()
+    }
+    h = open_ivfpq_index(spark, idx)
+    got = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in h.query(qdf, vectors=vecs).collect()
+    }
+    assert got == want and len(want) > 0
+    # append new ids far above the corpus range: invisible until reopen
+    shifted = vecs.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    append_ivfpq_index(spark, idx, shifted)
+    stale = {
+        (r.q_id, r.c_id, r.rnk, r.cos_sim)
+        for r in h.query(qdf, vectors=vecs).collect()
+    }
+    assert stale == want  # cached listing: append invisible
+    fresh_ids = {
+        r.c_id for r in h.reopen().query(qdf).collect()
+    }
+    assert any(c >= 10_000_000 for c in fresh_ids)  # duplicate twins rank
