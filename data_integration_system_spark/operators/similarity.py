@@ -1659,9 +1659,22 @@ class IvfPqIndexHandle:
         self.books = _codebooks_from_rows(
             spark.read.parquet(f"{index_path}/codebooks").collect(), meta["m"]
         )
+        cent_rows = self.cent.collect()
         self.residual_centroids = (
-            _centroid_map(self.cent.collect()) if _meta_residual(meta) else None
+            _centroid_map(cent_rows) if _meta_residual(meta) else None
         )
+        # centroid matrix for driver-side probe selection: the handle
+        # already holds every centroid, so serving-sized query batches
+        # pick their nprobe probes with one numpy matmul instead of a
+        # Spark crossJoin job (the one-shot path keeps the distributed
+        # probe selection for corpus-sized query sets)
+        import numpy as np
+
+        cent_rows = sorted(cent_rows, key=lambda r: int(r.cent_id))
+        self._cent_ids = np.asarray([int(r.cent_id) for r in cent_rows])
+        cmat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
+        norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+        self._cent_mat = cmat / np.where(norms == 0, 1.0, norms)
         # the held relation: its InMemoryFileIndex owns the dir listing
         self.codes = spark.read.parquet(f"{index_path}/codes")
 
@@ -1678,11 +1691,22 @@ class IvfPqIndexHandle:
         nprobe: int = _IVFPQ_NPROBE,
         shortlist_x: int = _PQ_SHORTLIST_X,
     ) -> DataFrame:
-        qdf = queries.toDF("q_id", "qe")
-        sets = _probe_sets(qdf, self.cent, nprobe)
+        import numpy as np
+
+        q_rows = [(r[0], list(r[1])) for r in queries.collect()]
+        # driver-side probe selection (same ordering contract as
+        # _probe_sets: best cosine first, ties to lowest cent_id — the
+        # cent_id-sorted argsort on (-sim) gives exactly that)
+        sets: dict[int, set] = {}
+        for q_id, qe in q_rows:
+            q = np.asarray(qe, dtype=np.float64)
+            qn = np.linalg.norm(q)
+            q = q / (qn if qn else 1.0)
+            sims = self._cent_mat @ q
+            order = np.argsort(-sims, kind="stable")[:nprobe]
+            sets[int(q_id)] = {int(c) for c in self._cent_ids[order]}
         probed = sorted({c for s in sets.values() for c in s})
         codes = self.codes.filter(F.col("cent_id").isin(probed))
-        q_rows = [(r[0], list(r[1])) for r in queries.collect()]
         short = pq_shortlist(
             codes,
             q_rows,
