@@ -2535,6 +2535,107 @@ def run_ivfpq_clustered(spark) -> None:
         print(f"  probed fraction: {row['probed_fraction']}")
 
 
+D3T = os.path.join(HERE, ".scale", "d3t")
+D3T_SIGMA = 0.05
+
+
+def run_ivfpq_tight(spark) -> None:
+    """The third residual regime (completes SCALE.md r13's open cell):
+    TIGHT clusters (sigma=0.05 -> members at cos ~0.99 from center,
+    residual norm ~0.08 vs ~0.85 on d3c) — the geometry where IVFADC's
+    residual encoding classically wins, because flat codebooks are
+    sized to inter-cluster spread and cannot resolve near-identical
+    members, while residual books are sized to the tiny residual ball.
+    Generates .scale/d3t (2M x 1,414, seeded), builds BOTH modes,
+    records recall@5 vs exact truth at the default and recovered
+    shortlists.  Rows land under "d3_tight" in
+    SCALE_REHEARSAL_RECALL.json; every sub-step resumes."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _TOP_K,
+        build_ivfpq_index,
+        exact_topk_np,
+        generate_clustered_embeddings,
+        query_ivfpq_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    row = dict(prev.get("d3_tight", {}))
+    row.setdefault("n", D3C_N)
+    row.setdefault("k_centroids", D3C_K)
+    row.setdefault("sigma", D3T_SIGMA)
+
+    def flush() -> None:
+        prev["d3_tight"] = row
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    if not os.path.exists(os.path.join(D3T, "embeddings.parquet", "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_clustered_embeddings(
+            spark, D3T, D3C_N, D3C_K, sigma=D3T_SIGMA
+        )
+        print(f"  d3t generated in {time.perf_counter() - t0:.1f}s")
+
+    emb = table(spark, D3T, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    qdf = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .localCheckpoint()
+    )
+    q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+
+    if "truth" not in row:
+        t0 = time.perf_counter()
+        truth_rows = exact_topk_np(corpus, q_rows, _TOP_K).collect()
+        row["truth"] = {
+            "exact_bruteforce_sec": round(time.perf_counter() - t0, 3),
+            "pairs": sorted((int(r.q_id), int(r.c_id)) for r in truth_rows),
+        }
+        flush()
+        print(f"  exact truth: {row['truth']['exact_bruteforce_sec']}s")
+    truth = {tuple(p) for p in row["truth"]["pairs"]}
+
+    for mode, residual in (("flat", False), ("residual", True)):
+        mrow = dict(row.get(mode, {}))
+        idx = os.path.join(HERE, ".scale", f"d3t_idx_{mode}")
+        built = os.path.exists(os.path.join(idx, "codes", "_SUCCESS"))
+        if "build_sec" not in mrow or not built:
+            t0 = time.perf_counter()
+            build_ivfpq_index(spark, D3T, idx, residual=residual)
+            mrow["build_sec"] = round(time.perf_counter() - t0, 3)
+            row[mode] = mrow
+            flush()
+            print(f"  {mode} build: {mrow['build_sec']}s")
+        for x in (8, 128):
+            key = f"recall_x{x}"
+            if key in mrow:
+                continue
+            res = query_ivfpq_index(
+                spark, idx, qdf, vectors=corpus, nprobe=3, shortlist_x=x
+            ).collect()
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+            mrow[key] = round(len(got & truth) / len(truth), 4)
+            row[mode] = mrow
+            flush()
+            print(f"  {mode} x={x}: recall {mrow[key]}")
+
+
 def run_jobs_overhead(spark) -> None:
     """Per-job overhead breakdown of the worker daemon (VERDICT r12
     #6): the r12 snapshot costs ~14 s/job of fixed orchestration; this
@@ -2785,6 +2886,10 @@ def main() -> None:
         "recall/query/probed-fraction vs exact truth",
     )
     ap.add_argument(
+        "--ivfpq-tight", action="store_true",
+        help="tight-cluster residual regime rows (.scale/d3t)",
+    )
+    ap.add_argument(
         "--jobs-overhead", action="store_true",
         help="worker-daemon per-job overhead breakdown (8-job fixture)",
     )
@@ -2872,6 +2977,8 @@ def main() -> None:
         run_ivfpq_clustered(spark)
     if args.jobs_overhead:
         run_jobs_overhead(spark)
+    if args.ivfpq_tight:
+        run_ivfpq_tight(spark)
 
 
 if __name__ == "__main__":

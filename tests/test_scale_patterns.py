@@ -1532,3 +1532,44 @@ def test_ivfpq_handle_matches_oneshot_and_sees_appends_on_reopen(spark, tmp_path
         r.c_id for r in h.reopen().query(qdf).collect()
     }
     assert any(c >= 10_000_000 for c in fresh_ids)  # duplicate twins rank
+
+
+def test_residual_beats_flat_on_tight_clusters(spark, tmp_path):
+    """The regime where residual IVFADC earns its keep, pinned at test
+    scale: TIGHT clusters (sigma=0.05 — members nearly identical, so
+    flat global codebooks cannot resolve intra-cluster order while
+    residual books are sized to the tiny residual ball).  Deterministic
+    seeded corpus; at d3 scale the same geometry measures residual
+    0.45 vs flat 0.075 at the default shortlist (SCALE.md r13,
+    SCALE_REHEARSAL_RECALL.json "d3_tight")."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        build_ivfpq_index,
+        exact_topk_np,
+        generate_clustered_embeddings,
+        query_ivfpq_index,
+    )
+
+    root = str(tmp_path / "corpus")
+    generate_clustered_embeddings(spark, root, n=2000, n_clusters=44, sigma=0.05)
+    emb = table(spark, root, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+    truth = {
+        (r.q_id, r.c_id) for r in exact_topk_np(corpus, q_rows, 5).collect()
+    }
+    recall = {}
+    for mode, res in (("flat", False), ("residual", True)):
+        idx = str(tmp_path / f"idx_{mode}")
+        build_ivfpq_index(spark, root, idx, residual=res)
+        got = {
+            (r.q_id, r.c_id)
+            for r in query_ivfpq_index(
+                spark, idx, qdf, vectors=corpus, nprobe=3, shortlist_x=1
+            ).collect()
+        }
+        recall[mode] = len(got & truth) / len(truth)
+    assert recall["residual"] > recall["flat"], recall
