@@ -116,11 +116,41 @@ def local_rows_df(spark, rows, schema):
     status appends, checkpoint state rows) drops to disk-speed.
 
     Falls back to the classic path for empty row-sets (no job runs on
-    an empty frame, so there is nothing to save)."""
+    an empty frame, so there is nothing to save).
+
+    CONTRACT — small literal row-sets only.  The LocalTableScan
+    guarantee rides on the Arrow createDataFrame fast path; with
+    ``spark.sql.execution.arrow.pyspark.fallback.enabled`` (default
+    true) an Arrow-unconvertible value, or a row-set past the Arrow
+    local-relation threshold
+    (``spark.sql.execution.arrow.maxRecordsPerBatch`` spill to an RDD
+    plan), silently rebuilds the pickled-RDD plan and quietly restores
+    the ~28x write tax this helper removes.  The guard below asserts
+    the produced plan really is a LocalRelation for every call at or
+    under _LOCAL_ROWS_ASSERT_BOUND rows (all intended call sites are
+    tiny metadata row-sets), so a silent fallback fails loudly at the
+    call site instead of as a mystery 5 s write."""
     if not rows:
         return spark.createDataFrame([], schema)
     import pandas as pd
 
     names = spark.createDataFrame([], schema).columns
     pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
-    return spark.createDataFrame(pdf, schema)
+    df = spark.createDataFrame(pdf, schema)
+    if len(rows) <= _LOCAL_ROWS_ASSERT_BOUND:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "LocalRelation" not in plan.split("\n", 1)[0]:
+            raise AssertionError(
+                "local_rows_df: Arrow fast path fell back to a pickled-RDD "
+                "plan (write tasks would spawn Python workers; ~28x write "
+                f"tax — see SCALE.md r13). Optimized plan head: "
+                f"{plan.splitlines()[0]!r}. An Arrow-unconvertible value in "
+                "the rows is the usual cause."
+            )
+    return df
+
+
+#: local_rows_df plan-shape assertion bound: every intended call site is a
+#: handful of metadata rows; 4096 comfortably covers them while keeping the
+#: check off any hypothetical bulk path.
+_LOCAL_ROWS_ASSERT_BOUND = 4096

@@ -173,17 +173,23 @@ def ewma_v_e2_col() -> Column:
     non-null contract enforced loudly: a NULL value raises instead of
     silently resetting the JVM fold's recurrence (the fold's NULL
     accumulator doubles as the base case, so it cannot distinguish an
-    unseeded state from a NULL element)."""
+    unseeded state from a NULL element).  NaN is routed to the same
+    raise: floor(NaN*100).cast('long') silently yields 0 JVM-side while
+    the applyInPandas twin raises on int(NaN) — without the guard a NaN
+    events.value would re-open exactly the silent three-surface
+    divergence (JVM fold / pandas twin / oracle) this column exists to
+    close."""
     return (
         F.when(
-            F.col("value").isNotNull(),
+            F.col("value").isNotNull() & ~F.isnan(F.col("value")),
             F.floor(F.col("value") * 100).cast("long"),
         )
         .otherwise(
             F.expr(
-                "raise_error('ewma fold: NULL events.value — the fold''s"
-                " NULL seed is the base case, a NULL element would"
-                " silently reset the recurrence')"
+                "raise_error('ewma fold: NULL or NaN events.value — the"
+                " fold''s NULL seed is the base case, a NULL element"
+                " would silently reset the recurrence and floor(NaN)"
+                " casts to 0 JVM-side while the pandas twin raises')"
             ).cast("long")
         )
         .alias("v_e2")

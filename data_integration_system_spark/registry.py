@@ -74,83 +74,23 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 13 window (CORRECTNESS_r12 landed 38/38 exact + 12
-    # rows-only-by-design, zero err, so the whole r12 head rotates OUT;
-    # coverage histogram after `python rehearse.py --coverage` through
-    # r12: r9=26, r10=50, r11=50, r12=50).  Window = the 26 r9-stale
-    # queries from _NEXT_ROTATION_FIRST (VERDICT r12 #2 names them) +
-    # the first 24 of the r10 tier (alphabetical), exactly 50; the
-    # displaced 26-query r10 alphabetical tail sits in
-    # _NEXT_ROTATION_FIRST for r14.  Queries NEW in r13 go at the very
-    # front as they land, each displacing the window's LAST r10-tier
-    # name into _NEXT_ROTATION_FIRST at the moment of displacement.
+    # Round 14 window (CORRECTNESS_r13 landed 46/46 exact + 4
+    # rows-only-by-design, zero err, so the whole r13 head rotates OUT).
+    # Coverage histogram after `python rehearse.py --coverage` through
+    # r13: r10=30, r11=50, r12=50, r13=50.  Window = the 30 r10-stale
+    # queries (== the r13 _NEXT_ROTATION_FIRST queue, verbatim) + the
+    # first 20 of the r11 tier (alphabetical), exactly 50; the displaced
+    # 30-query r11 alphabetical tail sits in _NEXT_ROTATION_FIRST for
+    # r15.  Queries NEW in r14 go at the very front as they land (names
+    # UNCOMMENTED only once registered — the registry rejects unknown
+    # names), each displacing the window's LAST r11-tier name into
+    # _NEXT_ROTATION_FIRST at the moment of displacement.  Regenerate
+    # the plan from data with `python rehearse.py --coverage` instead of
+    # hand-counting.
     #
-    # (1) NEW this round (no driver row yet — policy tier 1; names are
-    # UNCOMMENTED as each lands — the registry rejects unregistered
-    # names — and each displaces the window's last r10-tier entry):
-    "group_quantiles_jvm",  # landed: fold-audit JVM twin
-    "group_quantiles_dist",  # landed: distributed rank-selection sibling
-    "token_count_bpe_big",  # landed: 50k-merge production-vocab BPE pricing
-    "similarity_ivfpq_clustered_recall",  # landed: honest-regime recall leg
-    # (2) the 26 r9-stale queries (the registry's oldest rows):
-    "minhash_jaccard_error",
-    "multimodal_decode_meta",
-    "multimodal_resize_meta",
-    "nation_supplier_concentration",
-    "ntile_quartiles",
-    "order_fulfillment_lag",
-    "part_copurchase_pairs",
-    "part_name_near_matches",
-    "partsupp_profit",
-    "pii_redact",
-    "quality_filter_gopher",
-    "regional_nation_volume",
-    "returned_item_report",
-    "sample_stratified",
-    "segment_top_orders",
-    "session_opening_paths",
-    "signup_purchase_funnel",
-    "snapshot_reconcile",
-    "source_quality_report",
-    "streaming_user_ewma_snapshot",
-    "supplier_share_of_nation",
-    "text_normalize",
-    "token_top_vocab",
-    "top_revenue_supplier",
-    "transition_triangles",
-    "weekly_retention",
-    # (3) the r10-checked tier (alphabetical; the 26+3 displaced by the
-    # newcomers + window math sit in _NEXT_ROTATION_FIRST):
-    "agg_counts_by_group",
-    "agg_cube_events",
-    "agg_distinct",
-    "agg_rollup",
-    "approx_distinct",
-    "cheapest_supplier_per_part",
-    "column_stats_lineitem",
-    "content_hash_point_lookup",
-    "customer_order_distribution",
-    "disjunctive_discount_revenue",
-    "embedding_norms",
-    "event_type_pagerank",
-    "exact_substring_dup_spans",
-    "filter_blocklist",
-    "filter_scope",
-    "filter_size_cap",
-    "forecast_revenue",
-    "json_config_extract",
-    "lone_returned_supplier_orders",
-    "multimodal_audio_features",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it). The r13 window holds the 26
-#: r9-stale queries + the head of the r10 tier; the r10 alphabetical
-#: tail (displaced by window math and by the three r13 newcomers, in
-#: displacement order) leads the r14 window.  Regenerate the plan from
-#: data with ``python rehearse.py --coverage`` (writes
-#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
-_NEXT_ROTATION_FIRST: list[str] = [
+    # (1) NEW this round (policy tier 1):
+    #   (none landed yet)
+    # (2) the 30 r10-stale queries (the registry's oldest rows):
     "multimodal_frame_sample",
     "multimodal_mp4_frame_sample",
     "multimodal_pixel_stats",
@@ -181,6 +121,67 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "user_modal_event_type",
     "user_value_ewma",
     "weighted_resample",
+    # (3) the first 20 of the r11 tier (alphabetical):
+    "anti_join_unvisited",
+    "asof_latest_event_per_order",
+    "bigram_lift_top",
+    "cross_source_duplicate_matrix",
+    "customer_rfm_scores",
+    "customer_spend_percentile",
+    "daily_active_users",
+    "dedup_exact",
+    "dedup_exact_full",
+    "dedup_keep_latest",
+    "discount_band_pivot",
+    "discount_band_unpivot",
+    "doc_length_histogram",
+    "dq_orders_report",
+    "dup_rate_by_source",
+    "event_type_gini_per_user",
+    "event_value_mad",
+    "excess_stock_suppliers",
+    "join_broadcast_dim",
+    "join_sortmerge_fact",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it).  After the r14 rotation this queue
+#: holds the 30-query alphabetical tail of the r11 tier displaced by
+#: window math; any query displaced mid-round by an r14 newcomer is
+#: APPENDED here at the moment of displacement.  Regenerate the plan
+#: from data with ``python rehearse.py --coverage`` (writes
+#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "lang_confusion_matrix",
+    "lang_source_grouping_sets",
+    "lang_source_rollcall",
+    "local_supplier_volume",
+    "monthly_revenue_growth",
+    "multiway_star_join",
+    "new_vs_returning_users",
+    "order_date_gap_fill",
+    "order_gap_percentiles",
+    "order_priority_check",
+    "segment_median_order",
+    "set_ops",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "similarity_topk",
+    "small_qty_revenue",
+    "stale_timeout_filter",
+    "streaming_ann_ingest_snapshot",
+    "streaming_fingerprint_overlap_snapshot",
+    "streaming_near_dup_snapshot",
+    "streaming_sessionized_eviction_snapshot",
+    "string_metrics",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_count_bpe_exact",
+    "topk_oldest_pending",
+    "union_pages_files",
+    "zorder_range_scan",
 ]
 
 

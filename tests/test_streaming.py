@@ -1026,7 +1026,10 @@ def test_ewma_jvm_null_value_raises_not_resets(spark):
     base case, so without the guard a mid-sequence NULL makes the next
     value be taken verbatim — diverging from the applyInPandas twin
     (int(NaN) raises) and from the RECURSIVE-CTE oracle (propagates
-    NULL forward).  ewma_v_e2_col raises instead (ADVICE r12)."""
+    NULL forward).  A NaN value must raise for the same reason:
+    floor(NaN*100).cast('long') silently yields 0 JVM-side while the
+    pandas twin raises on int(NaN).  ewma_v_e2_col raises on both
+    (ADVICE r12 for NULL, ADVICE r13 for NaN)."""
     import pytest
     from data_integration_system_spark.operators.groupops import ewma_v_e2_col
     from data_integration_system_spark.streaming.jobs import ewma_jvm_step
@@ -1036,7 +1039,13 @@ def test_ewma_jvm_null_value_raises_not_resets(spark):
         [(1, 0, 0, 1.0), (1, 1, 1, None), (1, 2, 2, 3.0)], schema
     )
     rows = bad.select("user_id", "ts", "event_id", ewma_v_e2_col())
-    with pytest.raises(Exception, match="NULL events.value"):
+    with pytest.raises(Exception, match="NULL or NaN events.value"):
+        ewma_jvm_step(rows, None).collect()
+    nan_bad = spark.createDataFrame(
+        [(1, 0, 0, 1.0), (1, 1, 1, float("nan")), (1, 2, 2, 3.0)], schema
+    )
+    rows = nan_bad.select("user_id", "ts", "event_id", ewma_v_e2_col())
+    with pytest.raises(Exception, match="NULL or NaN events.value"):
         ewma_jvm_step(rows, None).collect()
     # the non-null path is untouched
     good = spark.createDataFrame([(1, 0, 0, 1.0), (1, 1, 1, 2.5)], schema)
