@@ -589,7 +589,42 @@ _PQ_M = 8          #: subspaces (codes per vector)
 _PQ_K = 16         #: centroids per subspace (codes fit a nibble; uint8 stored)
 _PQ_ITERS = 10     #: Lloyd iterations per subspace
 _PQ_SAMPLE_CAP = 100_000  #: driver-side training-sample bound
-_PQ_SHORTLIST_X = 8       #: shortlist size = X * top_k per query
+_PQ_SHORTLIST_X = 8       #: floor: shortlist >= X * top_k per query
+_PQ_SHORTLIST_PCT = 15    #: default: shortlist ~ this % of probed candidates
+
+
+def candidate_aware_shortlist(
+    top_k: int,
+    n_candidates: int | None = None,
+    shortlist_x: int | None = None,
+) -> int:
+    """Shortlist size for the ADC scan, sized to what is actually being
+    shortlisted.  The r13 d3c campaign showed the fixed ``x * top_k``
+    default is the binding recall constraint at realistic fan-out
+    (k_centroids ~ sqrt(n), clustered corpus): candidates inside one
+    probed cluster have near-indistinguishable ADC scores, so a 40-slot
+    cut over ~4.2k probed candidates drops true neighbors — recall 0.375
+    where 0.80 was free at identical wall, and nprobe (the knob a user
+    reaches for) made it WORSE by adding more same-looking candidates
+    (shortlist dilution, SCALE.md r13).  Operating rule measured there:
+    size the shortlist to the PROBED CANDIDATE count (~5–15%), not to
+    top_k.
+
+    Default = max(x_floor * top_k, ceil(15% of n_candidates)) — the
+    floor preserves the measured small-regime knee (the k~10 curve where
+    x=8 reads 0.96 recall), the percentage takes over exactly where the
+    fixed cut starts starving.  An explicit ``shortlist_x`` overrides
+    both (returns shortlist_x * top_k verbatim); ``n_candidates`` None
+    (no manifest statistic available) falls back to the floor.  Cost of
+    a wider shortlist at pruned candidate counts is measured flat: the
+    per-partition heap and the exact re-rank are both linear in a number
+    that is ~100x smaller than the scan."""
+    if shortlist_x is not None:
+        return shortlist_x * top_k
+    base = _PQ_SHORTLIST_X * top_k
+    if not n_candidates:
+        return base
+    return max(base, -(-n_candidates * _PQ_SHORTLIST_PCT // 100))
 
 
 def _normalized_centroid_map(centroids: dict) -> dict:
@@ -1186,6 +1221,7 @@ def build_ivfpq_index(
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     _write_pq_codebooks(spark, books, index_path, residual=residual)
+    _write_ivfpq_manifest(spark, index_path)
 
 
 def append_ivfpq_index(
@@ -1218,6 +1254,48 @@ def append_ivfpq_index(
     cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
         "append"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+    _write_ivfpq_manifest(spark, index_path)
+
+
+def _write_ivfpq_manifest(spark: SparkSession, index_path: str) -> None:
+    """Commit the composed index's file manifest (one driver-side FS
+    walk, atomic rename — see pipeline/index_manifest.py).  Build,
+    append, and rebuild all route here, so a cold open never schedules
+    the distributed partition-discovery job the r13 d3c campaign
+    measured at ~4 s of a 4.4 s query wall."""
+    from data_integration_system_spark.pipeline.index_manifest import (
+        write_manifest,
+    )
+
+    write_manifest(
+        spark,
+        index_path,
+        {
+            "codes": "cent_id",
+            "centroids": None,
+            "codebooks": None,
+            "meta": None,
+        },
+    )
+
+
+def _probed_candidates(manifest: dict | None, sets: dict) -> int | None:
+    """The shortlist-sizing statistic: the LARGEST single query's probed
+    candidate count (max over queries of the sum of its probed
+    partitions' manifest rows).  Max, not the union — the shortlist is
+    one size for the batch, and the widest query is the one a smaller
+    cut would starve.  None when no manifest statistic is available."""
+    if manifest is None:
+        return None
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    worst: int | None = 0
+    for cents in sets.values():
+        n = im.partition_rows(manifest, "codes", cents)
+        if n is None:
+            return None
+        worst = max(worst, n)
+    return worst
 
 
 def query_ivfpq_index(
@@ -1227,15 +1305,21 @@ def query_ivfpq_index(
     vectors: DataFrame | None = None,
     top_k: int = _TOP_K,
     nprobe: int = _IVFPQ_NPROBE,
-    shortlist_x: int = _PQ_SHORTLIST_X,
+    shortlist_x: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the composed index: probe selection on the tiny
-    centroids table -> the probed cent_ids become LITERAL partition
-    filters on the codes scan (PartitionFilters — unprobed partitions
-    are never read, and what IS read is m bytes/vector); the per-query
-    probe mask inside pq_shortlist keeps each query's candidates to its
-    OWN probes; the shortlist re-ranks exactly against ``vectors`` when
-    supplied.  ``queries`` is (q_id, qe)."""
+    centroids table -> the probed cent_ids prune the codes scan; the
+    per-query probe mask inside pq_shortlist keeps each query's
+    candidates to its OWN probes; the shortlist re-ranks exactly against
+    ``vectors`` when supplied.  ``queries`` is (q_id, qe).
+
+    With a committed manifest (every build/append/rebuild writes one)
+    the codes scan is built from the manifest's explicit file list —
+    a COLD query schedules no partition-discovery job and never touches
+    unprobed dirs — and the shortlist defaults to the candidate-aware
+    size (candidate_aware_shortlist) using the manifest's probed row
+    counts.  Pre-manifest indexes keep the directory scan with literal
+    PartitionFilters and the fixed x-floor shortlist."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     meta = spark.read.parquet(f"{index_path}/meta").head()
     books = _codebooks_from_rows(
@@ -1244,9 +1328,17 @@ def query_ivfpq_index(
     qdf = queries.toDF("q_id", "qe")
     sets = _probe_sets(qdf, cent, nprobe)
     probed = sorted({c for s in sets.values() for c in s})
-    codes = spark.read.parquet(f"{index_path}/codes").filter(
-        F.col("cent_id").isin(probed)  # literal -> PartitionFilters
-    )
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    man = im.read_manifest(spark, index_path)
+    if man is not None and "codes" in man.get("relations", {}):
+        codes = im.read_relation(
+            spark, index_path, "codes", manifest=man, partitions=probed
+        )
+    else:
+        codes = spark.read.parquet(f"{index_path}/codes").filter(
+            F.col("cent_id").isin(probed)  # literal -> PartitionFilters
+        )
     q_rows = [(r[0], list(r[1])) for r in queries.collect()]
     cmap = (
         _centroid_map(cent.collect()) if _meta_residual(meta) else None
@@ -1255,7 +1347,9 @@ def query_ivfpq_index(
         codes,
         q_rows,
         books,
-        shortlist_x * top_k,
+        candidate_aware_shortlist(
+            top_k, _probed_candidates(man, sets), shortlist_x
+        ),
         probe_sets=sets,
         residual_centroids=cmap,
     )
@@ -1633,19 +1727,23 @@ def similarity_ivfpq_clustered_recall(
 
 class IvfPqIndexHandle:
     """An OPENED composed index — the serving-process pattern the d3c
-    campaign motivated (SCALE.md r13): a cold `query_ivfpq_index` call
-    re-reads `{index}/codes` and pays a distributed file-LISTING job
-    over every partition dir (1,414 tasks ≈ 4 s at d3c — the ADC scan
-    of the pruned files is milliseconds).  The handle reads each
-    relation ONCE — centroids/books/meta to the driver, the codes
-    DataFrame held open so its InMemoryFileIndex caches the listing —
-    and every `.query(...)` is pruning + ADC + re-rank only.
+    campaign motivated (SCALE.md r13): a cold `query_ivfpq_index` once
+    paid a distributed file-LISTING job over every partition dir (1,414
+    tasks ≈ 4 s at d3c — the ADC scan of the pruned files is
+    milliseconds).  The handle reads each small relation ONCE
+    (centroids/books/meta to the driver) plus the committed manifest,
+    and every `.query(...)` is pruning + ADC + re-rank only — the codes
+    scan is built per query from the manifest's explicit probed-file
+    list, so no listing job exists to cache.  Pre-manifest indexes keep
+    the r13 shape: one held full-codes read whose InMemoryFileIndex
+    caches the listing (the open pays it once).
 
     Staleness contract (the standard serving cadence): rows appended
-    to the index AFTER open are invisible through the cached listing —
-    `reopen()` (or a fresh open) picks them up; scheduled rebuilds
-    swap in a new handle.  At 100 TB the same role is played by a
-    metastore/manifest; in-process, holding the handle IS the cache."""
+    to the index AFTER open are invisible through the open-time
+    manifest — `reopen()` (or a fresh open) picks them up; scheduled
+    rebuilds swap in a new handle.  At 100 TB the manifest's role is
+    played by a metastore/table format; in-process, the handle holding
+    it IS the cache."""
 
     def __init__(self, spark: SparkSession, index_path: str):
         self.spark = spark
@@ -1675,8 +1773,21 @@ class IvfPqIndexHandle:
         cmat = np.asarray([list(r.centroid) for r in cent_rows], dtype=np.float64)
         norms = np.linalg.norm(cmat, axis=1, keepdims=True)
         self._cent_mat = cmat / np.where(norms == 0, 1.0, norms)
-        # the held relation: its InMemoryFileIndex owns the dir listing
-        self.codes = spark.read.parquet(f"{index_path}/codes")
+        # the committed manifest owns the file listing: per-query scans
+        # are built from its explicit (probed-partition) file lists, so
+        # even the FIRST query after open schedules no discovery job.
+        # Pre-manifest indexes fall back to one held full read whose
+        # InMemoryFileIndex caches the dir listing (pays the listing
+        # job once at open).
+        from data_integration_system_spark.pipeline import index_manifest as im
+
+        self.manifest = im.read_manifest(spark, index_path)
+        if self.manifest is not None and "codes" in self.manifest.get(
+            "relations", {}
+        ):
+            self.codes = None
+        else:
+            self.codes = spark.read.parquet(f"{index_path}/codes")
 
     def reopen(self) -> "IvfPqIndexHandle":
         """Refresh the cached listing (after appends/rebuilds)."""
@@ -1689,7 +1800,7 @@ class IvfPqIndexHandle:
         vectors: DataFrame | None = None,
         top_k: int = _TOP_K,
         nprobe: int = _IVFPQ_NPROBE,
-        shortlist_x: int = _PQ_SHORTLIST_X,
+        shortlist_x: int | None = None,
     ) -> DataFrame:
         import numpy as np
 
@@ -1706,12 +1817,27 @@ class IvfPqIndexHandle:
             order = np.argsort(-sims, kind="stable")[:nprobe]
             sets[int(q_id)] = {int(c) for c in self._cent_ids[order]}
         probed = sorted({c for s in sets.values() for c in s})
-        codes = self.codes.filter(F.col("cent_id").isin(probed))
+        if self.codes is None:
+            from data_integration_system_spark.pipeline import (
+                index_manifest as im,
+            )
+
+            codes = im.read_relation(
+                self.spark,
+                self.index_path,
+                "codes",
+                manifest=self.manifest,
+                partitions=probed,
+            )
+        else:
+            codes = self.codes.filter(F.col("cent_id").isin(probed))
         short = pq_shortlist(
             codes,
             q_rows,
             self.books,
-            shortlist_x * top_k,
+            candidate_aware_shortlist(
+                top_k, _probed_candidates(self.manifest, sets), shortlist_x
+            ),
             probe_sets=sets,
             residual_centroids=self.residual_centroids,
         )

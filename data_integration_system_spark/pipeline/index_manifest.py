@@ -1,0 +1,302 @@
+"""Build-time file manifest for materialized index relations.
+
+A partitioned index (the IVF-PQ codes relation is the motivating case:
+1,414 ``cent_id=`` dirs at d3c) pays a DISTRIBUTED file-listing job on
+every cold ``spark.read.parquet(...)`` — Spark's
+``parallelPartitionDiscovery.threshold`` (32) turns the directory walk
+into a ~1,414-task job that measured ~4 s of the ~4.4 s d3c query wall
+while the pruned ADC scan itself was milliseconds (SCALE.md r13).  At
+100 TB a metastore or table-format manifest (Delta/Iceberg's exact
+role) owns that listing; this module is the minimal in-repo form of the
+same idea:
+
+* ``write_manifest`` — after a build/append, walk the index root ONCE
+  (driver-side Hadoop FS recursion, no Spark job), record every data
+  file per relation — partition value, size, and per-file row count
+  read from the parquet footer — into ``{index}/_manifest.json``,
+  written atomically (temp file + rename) with a monotonically
+  increasing version.
+* ``read_manifest`` — one small JSON read on open.
+* ``read_relation`` — build the DataFrame from the manifest's EXPLICIT
+  file list (optionally restricted to a set of partition values), so a
+  cold query schedules zero discovery jobs and never touches unprobed
+  partition dirs.  ``basePath`` restores the partition column.
+
+Row counts double as the optimizer statistic the ANN tier needs: the
+IVF-PQ shortlist default is sized from the PROBED candidate count
+(similarity.candidate_aware_shortlist), which is exactly the sum of the
+probed partitions' manifest rows — no count job at query time.
+
+Concurrency contract: single writer (the build/append/rebuild job),
+many readers — the atomic rename means a reader sees the old or the new
+manifest, never a torn one.  Appends bump ``version``; an opened handle
+serves its open-time manifest until ``reopen()`` (the staleness cadence
+IvfPqIndexHandle documents).
+
+Reference parity: the reference has no index tier at all — this is the
+scale machinery a 100 TB serving layer needs around the operators the
+reference's hand-rolled SQL implies (crawler/db.py's content-hash
+lookups are point probes; these indexes are their vector/near-dup
+analogs).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    return _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _local_path(uri: str) -> str | None:
+    """Filesystem path for pyarrow footer reads, or None off local fs."""
+    if uri.startswith("file:"):
+        p = uri[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" not in uri and ":" not in uri.split("/", 1)[0]:
+        return uri
+    return None
+
+
+def _list_data_files(spark: SparkSession, root: str) -> list[tuple[str, int]]:
+    """Recursive (relative_path, size) listing of data files under
+    ``root`` — ONE driver-side Hadoop FS walk, no Spark job.  Hidden
+    files (``_SUCCESS``, ``.crc``, the manifest itself) are skipped, the
+    same visibility rule Spark's own InMemoryFileIndex applies."""
+    fs = _fs(spark, root)
+    jroot = _jpath(spark, root)
+    if not fs.exists(jroot):
+        return []
+    root_uri = fs.makeQualified(jroot).toString().rstrip("/")
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jroot, True)
+    while it.hasNext():
+        st = it.next()
+        uri = st.getPath().toString()
+        rel = uri[len(root_uri) + 1 :] if uri.startswith(root_uri) else uri
+        name = rel.rsplit("/", 1)[-1]
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1]):
+            continue
+        out.append((rel, int(st.getLen())))
+    out.sort()
+    return out
+
+
+def _footer_rows(spark: SparkSession, root: str, rel_file: str) -> int | None:
+    """Per-file row count from the parquet footer (driver-side pyarrow;
+    ~0.1 ms/file on local fs).  None when the footer isn't reachable —
+    consumers must treat missing rows as 'statistic unavailable'."""
+    fs = _fs(spark, root)
+    qualified = fs.makeQualified(_jpath(spark, f"{root}/{rel_file}")).toString()
+    local = _local_path(qualified)
+    if local is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.read_metadata(local).num_rows)
+    except Exception:
+        return None
+
+
+def _partition_value(rel_path: str, partition_col: str) -> str | None:
+    for seg in rel_path.split("/")[:-1]:
+        if seg.startswith(partition_col + "="):
+            return seg[len(partition_col) + 1 :]
+    return None
+
+
+def write_manifest(
+    spark: SparkSession,
+    index_path: str,
+    relations: dict[str, str | None],
+) -> dict:
+    """Snapshot ``{index_path}/{rel}`` for each ``rel -> partition_col``
+    (None = unpartitioned) into ``{index_path}/_manifest.json``,
+    atomically (temp + rename).  Returns the manifest dict."""
+    prev = read_manifest(spark, index_path)
+    manifest: dict = {
+        "version": (prev["version"] + 1) if prev else 1,
+        "relations": {},
+    }
+    for rel, part_col in relations.items():
+        root = f"{index_path}/{rel}"
+        files = _list_data_files(spark, root)
+        entry: dict = {"n_files": len(files)}
+        total_rows: int | None = 0
+        if part_col is None:
+            recs = []
+            for rel_path, size in files:
+                rows = _footer_rows(spark, root, rel_path)
+                total_rows = (
+                    None if (rows is None or total_rows is None) else total_rows + rows
+                )
+                recs.append({"path": rel_path, "size": size, "rows": rows})
+            entry["files"] = recs
+        else:
+            entry["partition_col"] = part_col
+            parts: dict[str, dict] = {}
+            for rel_path, size in files:
+                val = _partition_value(rel_path, part_col)
+                if val is None:  # stray unpartitioned file — keep it visible
+                    val = ""
+                rows = _footer_rows(spark, root, rel_path)
+                p = parts.setdefault(val, {"files": [], "rows": 0})
+                p["files"].append({"path": rel_path, "size": size, "rows": rows})
+                p["rows"] = (
+                    None if (rows is None or p["rows"] is None) else p["rows"] + rows
+                )
+            for p in parts.values():
+                total_rows = (
+                    None
+                    if (p["rows"] is None or total_rows is None)
+                    else total_rows + p["rows"]
+                )
+            entry["partitions"] = parts
+        entry["total_rows"] = total_rows
+        # capture the relation schema ONCE, here at build time — readers
+        # pass it explicitly, so a cold read schedules zero jobs (without
+        # it, parquet schema inference runs a 1-task Spark job per open)
+        if files:
+            entry["schema_json"] = _relation_df(spark, root, entry, None).schema.json()
+        manifest["relations"][rel] = entry
+
+    data = json.dumps(manifest, sort_keys=True).encode()
+    fs = _fs(spark, index_path)
+    final = _jpath(spark, f"{index_path}/{MANIFEST_NAME}")
+    tmp = _jpath(spark, f"{index_path}/.{MANIFEST_NAME}.tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(data)
+    finally:
+        stream.close()
+    if fs.exists(final):  # Hadoop rename won't clobber; single-writer contract
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed: {tmp} -> {final}")
+    return manifest
+
+
+def read_manifest(spark: SparkSession, index_path: str) -> dict | None:
+    """The committed manifest, or None (pre-manifest index / first build)."""
+    fs = _fs(spark, index_path)
+    final = _jpath(spark, f"{index_path}/{MANIFEST_NAME}")
+    if not fs.exists(final):
+        return None
+    stream = fs.open(final)
+    try:
+        # py4j does NOT write Java-side mutations back into a passed
+        # bytearray, so read(byte[]) is unusable from Python — drain the
+        # stream JVM-side instead (commons-io ships with Spark)
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def partition_rows(manifest: dict, rel: str, values) -> int | None:
+    """Sum of manifest row counts over ``values`` of ``rel``'s partition
+    column — the no-job candidate-count statistic.  None when any
+    requested partition lacks a footer count (consumers fall back)."""
+    parts = manifest["relations"][rel].get("partitions")
+    if parts is None:
+        return manifest["relations"][rel].get("total_rows")
+    total = 0
+    for v in values:
+        p = parts.get(str(v))
+        if p is None:  # probed an empty partition: contributes 0 rows
+            continue
+        if p["rows"] is None:
+            return None
+        total += p["rows"]
+    return total
+
+
+def read_relation(
+    spark: SparkSession,
+    index_path: str,
+    rel: str,
+    manifest: dict | None = None,
+    partitions=None,
+) -> DataFrame:
+    """DataFrame over the manifest's explicit file list for ``rel`` —
+    ZERO Spark jobs scheduled (the stored schema skips inference, the
+    raised discovery threshold keeps the per-file stat driver-side), and
+    with ``partitions`` given, unprobed partition dirs are never touched
+    at all.  ``basePath`` restores the partition column for partitioned
+    relations."""
+    if manifest is None:
+        manifest = read_manifest(spark, index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no {MANIFEST_NAME} under {index_path}")
+    entry = manifest["relations"][rel]
+    return _relation_df(spark, f"{index_path}/{rel}", entry, partitions)
+
+
+def _stored_schema(entry: dict):
+    sj = entry.get("schema_json")
+    if sj is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(sj))
+
+
+def _relation_df(
+    spark: SparkSession, root: str, entry: dict, partitions
+) -> DataFrame:
+    schema = _stored_schema(entry)
+    if "partitions" in entry:
+        parts = entry["partitions"]
+        keys = (
+            sorted(parts)
+            if partitions is None
+            else [str(v) for v in partitions if str(v) in parts]
+        )
+        files = [f"{root}/{f['path']}" for k in keys for f in parts[k]["files"]]
+        reader = spark.read.option("basePath", root)
+        if not files and parts:
+            # every requested partition is vacant: an empty RESULT with
+            # the relation's schema, not an error (probes may select
+            # centroids that own no vectors yet)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            any_key = next(iter(sorted(parts)))
+            any_file = f"{root}/{parts[any_key]['files'][0]['path']}"
+            col = entry["partition_col"]
+            vals = [str(v) for v in (partitions or [])]
+            from pyspark.sql import functions as F
+
+            return reader.parquet(any_file).filter(
+                F.col(col).cast("string").isin(vals)
+            )
+    else:
+        files = [f"{root}/{f['path']}" for f in entry["files"]]
+        reader = spark.read
+    if not files:
+        raise ValueError(f"manifest lists no files for {root}")
+    if schema is not None:
+        reader = reader.schema(schema)
+    conf = spark.conf
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = conf.get(key)
+    try:
+        conf.set(key, str(max(len(files) + 1, 10_000)))
+        return reader.parquet(*files)
+    finally:
+        conf.set(key, prev)

@@ -1,0 +1,230 @@
+"""Build-time manifest for partitioned indexes (pipeline/index_manifest).
+
+The r13 d3c campaign measured a ~4 s distributed file-LISTING job on
+every cold read of the 1,414-partition IVF-PQ codes relation — ~90% of
+the query wall.  The manifest kills it: build/append commit an atomic
+file listing + per-partition row counts, and query paths read the
+probed partitions' explicit files (zero discovery jobs) and size the
+ADC shortlist from the probed candidate count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, tmp_path):
+    from data_integration_system_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, SF, idx)
+    return idx
+
+
+def test_manifest_roundtrip_and_partition_rows(spark, tmp_path):
+    """The committed manifest mirrors the filesystem exactly: every data
+    file listed, per-partition row counts equal to the actual partition
+    sizes, and read_relation reproduces the directory read — full and
+    partition-restricted."""
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    idx = _build(spark, tmp_path)
+    man = im.read_manifest(spark, idx)
+    assert man is not None and man["version"] == 1
+    assert set(man["relations"]) == {"codes", "centroids", "codebooks", "meta"}
+
+    direct = spark.read.parquet(f"{idx}/codes")
+    truth = {
+        (int(r.cent_id), int(r.cnt))
+        for r in direct.groupBy("cent_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    parts = man["relations"]["codes"]["partitions"]
+    assert {(int(k), int(v["rows"])) for k, v in parts.items()} == truth
+    assert man["relations"]["codes"]["total_rows"] == direct.count()
+
+    via = im.read_relation(spark, idx, "codes")
+    assert sorted(via.columns) == sorted(direct.columns)
+    key = [c for c in direct.columns if c != "codes"]
+    assert via.select(*key).exceptAll(direct.select(*key)).count() == 0
+    assert direct.select(*key).exceptAll(via.select(*key)).count() == 0
+
+    some = sorted(int(k) for k in parts)[:2]
+    pruned = im.read_relation(spark, idx, "codes", partitions=some)
+    assert pruned.count() == sum(r for c, r in truth if c in some)
+    assert {int(r.cent_id) for r in pruned.select("cent_id").distinct().collect()} == set(some)
+    assert im.partition_rows(man, "codes", some) == pruned.count()
+    # probing a vacant partition contributes 0, not an error
+    assert im.partition_rows(man, "codes", some + [10**9]) == pruned.count()
+
+
+def test_manifest_append_bumps_version_and_counts(spark, tmp_path):
+    """append_ivfpq_index recommits the manifest: version increments and
+    the new rows are visible through a COLD manifest read."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        append_ivfpq_index,
+    )
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    idx = _build(spark, tmp_path)
+    v1 = im.read_manifest(spark, idx)
+    emb = table(spark, SF, "embeddings")
+    extra = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+        .limit(7)
+    )
+    append_ivfpq_index(spark, idx, extra)
+    v2 = im.read_manifest(spark, idx)
+    assert v2["version"] == v1["version"] + 1
+    assert (
+        v2["relations"]["codes"]["total_rows"]
+        == v1["relations"]["codes"]["total_rows"] + 7
+    )
+    assert im.read_relation(spark, idx, "codes").count() == (
+        v2["relations"]["codes"]["total_rows"]
+    )
+
+
+def test_cold_read_schedules_no_listing_job_and_skips_unprobed_dirs(
+    spark, tmp_path
+):
+    """The two facts the manifest exists for, pinned directly:
+
+    1. With the discovery threshold forced to 1 (every directory read
+       escalates to a distributed listing job), the manifest-backed read
+       schedules ZERO Spark jobs while the plain directory read
+       schedules at least one (job-group attribution).
+    2. The manifest-backed pruned read never touches unprobed partition
+       dirs: making every other dir unreadable does not disturb it —
+       a listing walk would crash there."""
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    idx = _build(spark, tmp_path)
+    man = im.read_manifest(spark, idx)
+    parts = sorted(int(k) for k in man["relations"]["codes"]["partitions"])
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1")
+        sc.setJobGroup("manifest-listing-ab-plain", "plain dir read")
+        spark.read.parquet(f"{idx}/codes")
+        plain_jobs = tracker.getJobIdsForGroup("manifest-listing-ab-plain")
+        assert len(plain_jobs) >= 1, "A/B control: expected a listing job"
+
+        sc.setJobGroup("manifest-listing-ab-manifest", "manifest read")
+        im.read_relation(spark, idx, "codes", manifest=man, partitions=parts[:2])
+        assert tracker.getJobIdsForGroup("manifest-listing-ab-manifest") == []
+    finally:
+        spark.conf.set(key, prev)
+        sc.setJobGroup("", "")
+
+    probed = parts[:1]
+    locked = []
+    try:
+        for d in os.listdir(f"{idx}/codes"):
+            if d.startswith("cent_id=") and d != f"cent_id={probed[0]}":
+                p = f"{idx}/codes/{d}"
+                os.chmod(p, 0o000)
+                locked.append(p)
+        got = im.read_relation(
+            spark, idx, "codes", manifest=man, partitions=probed
+        ).count()
+        assert got == man["relations"]["codes"]["partitions"][str(probed[0])]["rows"]
+    finally:
+        for p in locked:
+            os.chmod(p, 0o755)
+
+
+def test_candidate_aware_shortlist_rule(spark):
+    """The shortlist default follows the r13 operating rule: explicit x
+    overrides, the x-floor holds where 15% of candidates is small, the
+    percentage takes over where the fixed cut starves (the d3c regime:
+    ~4.2k probed candidates -> ~637 slots, the measured-recovery zone)."""
+    from data_integration_system_spark.operators.similarity import (
+        _PQ_SHORTLIST_X,
+        candidate_aware_shortlist,
+    )
+
+    assert candidate_aware_shortlist(5, 4243, shortlist_x=8) == 40
+    assert candidate_aware_shortlist(5, None) == _PQ_SHORTLIST_X * 5
+    assert candidate_aware_shortlist(5, 100) == _PQ_SHORTLIST_X * 5
+    assert candidate_aware_shortlist(5, 4243) == 637  # ceil(0.15 * 4243)
+    assert candidate_aware_shortlist(5, 0) == _PQ_SHORTLIST_X * 5
+
+
+def test_read_relation_empty_probe_returns_empty_with_schema(spark, tmp_path):
+    """A probe set of vacant partitions is an empty RESULT, not an
+    error (serving must tolerate probes of centroids that own no
+    vectors yet)."""
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    idx = _build(spark, tmp_path)
+    df = im.read_relation(spark, idx, "codes", partitions=[10**9])
+    assert df.count() == 0
+    assert "cent_id" in df.columns and "codes" in df.columns
+
+
+def test_handle_and_oneshot_use_manifest_default_identically(spark, tmp_path):
+    """The serving handle and the one-shot path must agree under the
+    candidate-aware DEFAULT (both read the same manifest statistic),
+    and a pre-manifest index (manifest deleted) must stay queryable
+    through the directory-scan fallback with identical rows at the
+    explicit knob."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_SHORTLIST_X,
+        open_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    idx = _build(spark, tmp_path)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    vecs = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    oneshot = {
+        tuple(r)
+        for r in query_ivfpq_index(spark, idx, queries, vectors=vecs).collect()
+    }
+    handle = open_ivfpq_index(spark, idx)
+    assert handle.codes is None  # manifest-backed: no held full read
+    held = {tuple(r) for r in handle.query(queries, vectors=vecs).collect()}
+    assert oneshot == held and len(held) > 0
+
+    explicit = {
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, idx, queries, vectors=vecs, shortlist_x=_PQ_SHORTLIST_X
+        ).collect()
+    }
+    os.remove(f"{idx}/_manifest.json")
+    fallback = {
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, idx, queries, vectors=vecs, shortlist_x=_PQ_SHORTLIST_X
+        ).collect()
+    }
+    assert fallback == explicit
+    legacy = open_ivfpq_index(spark, idx)
+    assert legacy.codes is not None  # fallback: held full read
+    legacy_rows = {
+        tuple(r)
+        for r in legacy.query(
+            queries, vectors=vecs, shortlist_x=_PQ_SHORTLIST_X
+        ).collect()
+    }
+    assert legacy_rows == explicit

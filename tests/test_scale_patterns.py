@@ -1025,16 +1025,22 @@ def test_append_pq_index_matches_full_build(spark, tmp_path):
 
 def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
     """The materialized IVF-PQ index must answer exactly like the inline
-    similarity_ivfpq_topk plan (both fits deterministic), and the codes
-    scan must show cent_id PartitionFilters — the probe protocol prunes
-    PARTITIONS, it doesn't post-filter a full scan."""
+    similarity_ivfpq_topk plan (both fits deterministic, same explicit
+    shortlist knob — the materialized DEFAULT is candidate-aware and
+    covered by its own test), and the executed codes scan must read
+    only the probed partitions' files — the manifest prunes at the
+    FILE-LIST level, before Spark ever sees the other dirs."""
+    import os
+
     from data_integration_system_spark.catalog import table
     from data_integration_system_spark.operators.similarity import (
         _N_QUERIES,
+        _PQ_SHORTLIST_X,
         build_ivfpq_index,
         query_ivfpq_index,
         similarity_ivfpq_topk,
     )
+    from data_integration_system_spark.plans.metrics import executed_nodes
 
     idx = str(tmp_path / "ivfpq")
     build_ivfpq_index(spark, SF, idx)
@@ -1043,12 +1049,23 @@ def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     vecs = emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
-    df = query_ivfpq_index(spark, idx, queries, vectors=vecs)
+    df = query_ivfpq_index(
+        spark, idx, queries, vectors=vecs, shortlist_x=_PQ_SHORTLIST_X
+    )
     indexed = {(r.q_id, r.c_id, r.rnk, r.cos_sim) for r in df.collect()}
 
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "cent_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    total_files = sum(
+        1
+        for root, _, names in os.walk(f"{idx}/codes")
+        for n in names
+        if n.endswith(".parquet")
+    )
+    scanned = sum(
+        n.metrics.get("numFiles", 0)
+        for n in executed_nodes(df)
+        if n.cls.startswith("FileSourceScan") and "/codes" in n.detail
+    )
+    assert 0 < scanned < total_files, (scanned, total_files)
 
     inline = {
         (r.q_id, r.c_id, r.rnk, r.cos_sim)
