@@ -1472,6 +1472,8 @@ def generate_clustered_embeddings(
     dim: int = 64,
     sigma: float = _CLUSTER_SIGMA,
     seed: int = _CLUSTER_SEED,
+    cov_rank: int | None = None,
+    sigma_floor: float = 0.01,
 ) -> int:
     """Write ``{out_dir}/embeddings.parquet``: ``n`` vectors in
     ``n_clusters`` planted Gaussian clusters (vector i = unit
@@ -1479,12 +1481,25 @@ def generate_clustered_embeddings(
     id — so the label-mean seeding of fit_ivf_centroids starts from
     ~true centers and k_centroids == n_clusters by construction.
 
-    Deterministic under ANY partitioning: every center and every noise
-    vector is derived from a per-id seeded generator, not from a
-    partition-level stream — the same (n, n_clusters, seed) always
-    yields the same corpus, which is what lets recall floors be pinned
-    in pytest.  Generation is distributed (mapInPandas over
-    spark.range); nothing corpus-sized touches the driver."""
+    ``cov_rank`` switches the noise from isotropic to ANISOTROPIC
+    low-rank: each cluster gets its own seeded orthonormal basis B_c
+    (dim × cov_rank) and vector i = center + B_c·z_i with z ~
+    N(0, sigma²·I_r), plus a small isotropic floor (sigma_floor) so no
+    direction is exactly degenerate.  This is the geometry real
+    embedding residuals show (correlated, concentrated in a few
+    directions per region — the regime classical IVFADC papers report
+    residual-encoding wins in, Jégou et al. TPAMI 2011 §V) and the
+    fourth regime of the residual-encoding evidence table: the three
+    r13 regimes were all isotropic Gaussians, where a per-dim-spread
+    argument predicted (and measurement confirmed) flat ≈ residual.
+
+    Deterministic under ANY partitioning: every center, basis, and
+    noise vector is derived from a per-id or per-cluster seeded
+    generator, not from a partition-level stream — the same
+    (n, n_clusters, seed, cov_rank) always yields the same corpus,
+    which is what lets recall floors be pinned in pytest.  Generation
+    is distributed (mapInPandas over spark.range); nothing corpus-sized
+    touches the driver."""
     import pandas as pd
 
     par = spark.sparkContext.defaultParallelism
@@ -1494,12 +1509,23 @@ def generate_clustered_embeddings(
         import numpy as np
 
         centers: dict[int, object] = {}
+        bases: dict[int, object] = {}
 
         def center(c: int):
             if c not in centers:
                 g = np.random.default_rng((seed << 20) ^ c).standard_normal(dim)
                 centers[c] = g / np.linalg.norm(g)
             return centers[c]
+
+        def basis(c: int):
+            # per-cluster orthonormal residual subspace (seeded QR)
+            if c not in bases:
+                g = np.random.default_rng((seed << 24) ^ c).standard_normal(
+                    (dim, cov_rank)
+                )
+                q, _ = np.linalg.qr(g)
+                bases[c] = q
+            return bases[c]
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -1508,7 +1534,15 @@ def generate_clustered_embeddings(
             for j, i in enumerate(ids):
                 c = int(i) % n_clusters
                 rng = np.random.default_rng((seed << 1) ^ (int(i) * 0x9E3779B1))
-                v = center(c) + sigma * rng.standard_normal(dim)
+                if cov_rank is None:
+                    v = center(c) + sigma * rng.standard_normal(dim)
+                else:
+                    z = rng.standard_normal(cov_rank)
+                    v = (
+                        center(c)
+                        + sigma * (basis(c) @ z)
+                        + sigma_floor * rng.standard_normal(dim)
+                    )
                 embs.append(v.astype(np.float32))
                 labels[j] = c
             yield pd.DataFrame(

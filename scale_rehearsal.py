@@ -2636,6 +2636,373 @@ def run_ivfpq_tight(spark) -> None:
             print(f"  {mode} x={x}: recall {mrow[key]}")
 
 
+def run_ivfpq_manifest(spark) -> None:
+    """The r14 campaign: the committed manifest + candidate-aware
+    shortlist DEFAULT, priced in the regime that motivated both
+    (VERDICT r13 #1/#2/#7).  Backfills manifests onto the existing d3c /
+    d3t indexes (the sidecar needs no rebuild), then records:
+
+    * d3c DEFAULT-knob recall + med3 wall — Done-bar: recall >= the r13
+      x=128 point (0.80) at a wall within noise of the r13 x=8 default,
+      and the computed default shortlist itself (the knee re-stated
+      under the candidate-count rule);
+    * COLD one-shot wall vs handle steady-state — Done-bar: ~equal, the
+      1,414-task listing job being gone (pinned via max-stage-task-count
+      and the codes scan's executed numFiles);
+    * d3t flat/residual default-knob recall (the tight regime re-check);
+    * handle concurrency: queries/sec at 1/4/16 threads sharing one
+      IvfPqIndexHandle (the held state is read-only; the shared local
+      Spark scheduler is the expected ceiling).
+
+    Rows land under "d3_manifest" in SCALE_REHEARSAL_RECALL.json; every
+    sub-step resumes."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _IVFPQ_NPROBE,
+        _TOP_K,
+        _probe_sets,
+        candidate_aware_shortlist,
+        open_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from data_integration_system_spark.pipeline import index_manifest as im
+    from data_integration_system_spark.plans.metrics import executed_nodes
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    row = dict(prev.get("d3_manifest", {}))
+
+    def flush() -> None:
+        prev["d3_manifest"] = row
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    # --- manifest backfill onto the four existing d3-scale indexes ---
+    back = dict(row.get("backfill", {}))
+    for tag, idx in (
+        ("d3c_flat", D3C_IDX),
+        ("d3c_residual", D3C_IDX_RES),
+        ("d3t_flat", os.path.join(HERE, ".scale", "d3t_idx_flat")),
+        ("d3t_residual", os.path.join(HERE, ".scale", "d3t_idx_residual")),
+    ):
+        if tag in back or not os.path.exists(idx):
+            continue
+        if im.read_manifest(spark, idx) is None:
+            t0 = time.perf_counter()
+            im.write_manifest(
+                spark,
+                idx,
+                {"codes": "cent_id", "centroids": None, "codebooks": None,
+                 "meta": None},
+            )
+            back[tag] = round(time.perf_counter() - t0, 3)
+        else:
+            back[tag] = "present"
+        row["backfill"] = back
+        flush()
+        print(f"  backfill {tag}: {back[tag]}")
+
+    def _dataset(d: str):
+        emb = table(spark, d, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+        qdf = (
+            emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+            .localCheckpoint()
+        )
+        return corpus, qdf
+
+    corpus, qdf = _dataset(D3C)
+    truth = {
+        tuple(p) for p in prev["d3_clustered"]["truth"]["pairs"]
+    }
+
+    # --- the knee under the new rule: the computed default shortlist ---
+    if "default_shortlist" not in row:
+        man = im.read_manifest(spark, D3C_IDX)
+        cent = spark.read.parquet(f"{D3C_IDX}/centroids")
+        sets = _probe_sets(qdf, cent, _IVFPQ_NPROBE)
+        per_q = [im.partition_rows(man, "codes", s) for s in sets.values()]
+        row["default_shortlist"] = {
+            "max_per_query_candidates": max(per_q),
+            "min_per_query_candidates": min(per_q),
+            "shortlist_slots": candidate_aware_shortlist(_TOP_K, max(per_q)),
+            "r13_fixed_default_slots": 8 * _TOP_K,
+            "rule": "max(8*top_k, ceil(15% of probed candidates))",
+        }
+        flush()
+        print(f"  default shortlist: {row['default_shortlist']}")
+
+    # --- d3c default-knob: recall + med3 wall + listing-job absence ---
+    if "d3c_default" not in row:
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        walls, got = [], set()
+        max_tasks, codes_files = 0, None
+        for i in range(3):
+            group = f"ivfpq-manifest-default-{i}"
+            sc.setJobGroup(group, "d3c default-knob one-shot")
+            t0 = time.perf_counter()
+            df = query_ivfpq_index(spark, D3C_IDX, qdf, vectors=corpus, nprobe=3)
+            res = df.collect()
+            walls.append(round(time.perf_counter() - t0, 3))
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+            for jid in tracker.getJobIdsForGroup(group):
+                ji = tracker.getJobInfo(jid)
+                for sid in ji.stageIds:
+                    si = tracker.getStageInfo(sid)
+                    if si is not None:
+                        max_tasks = max(max_tasks, si.numTasks)
+            if codes_files is None:
+                codes_files = sum(
+                    nd.metrics.get("numFiles", 0)
+                    for nd in executed_nodes(df)
+                    if nd.cls.startswith("FileSourceScanExec")
+                    and "/codes" in nd.detail
+                )
+        sc.setJobGroup("", "")
+        row["d3c_default"] = {
+            "recall_at_5": round(len(got & truth) / len(truth), 4),
+            "query_sec_med3": statistics.median(walls),
+            "query_sec_runs": walls,
+            "codes_files_read": int(codes_files),
+            "max_stage_tasks": int(max_tasks),
+            "r13_x8_cold_med3": prev["d3_clustered"]["nprobe_curve"]["3"][
+                "query_sec_med3"
+            ],
+            "r13_x128_recall": prev["d3_clustered"]["shortlist_check"]["128"][
+                "recall_at_5"
+            ],
+        }
+        flush()
+        print(f"  d3c default: {row['d3c_default']}")
+
+    # --- handle steady-state at the default knob ---
+    if "d3c_handle" not in row:
+        h = open_ivfpq_index(spark, D3C_IDX)
+        h.query(qdf, nprobe=3).collect()  # warm the plan class
+        walls, got = [], set()
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = h.query(qdf, vectors=corpus, nprobe=3).collect()
+            walls.append(round(time.perf_counter() - t0, 3))
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+        row["d3c_handle"] = {
+            "query_sec_med": statistics.median(walls),
+            "query_sec_runs": walls,
+            "recall_at_5": round(len(got & truth) / len(truth), 4),
+            "r13_handle_med": prev["d3_clustered"]["handle_serving"][
+                "query_sec_med"
+            ],
+        }
+        flush()
+        print(f"  d3c handle: {row['d3c_handle']}")
+
+    # --- residual default-knob on d3c (dilution gone: does the r13
+    # 'loses on wide clusters' verdict survive an adequate shortlist?) ---
+    if "d3c_residual_default" not in row:
+        res = query_ivfpq_index(
+            spark, D3C_IDX_RES, qdf, vectors=corpus, nprobe=3
+        ).collect()
+        got = {(int(r.q_id), int(r.c_id)) for r in res}
+        row["d3c_residual_default"] = {
+            "recall_at_5": round(len(got & truth) / len(truth), 4),
+            "r13_x128_recall": prev["d3_clustered"]["residual"][
+                "shortlist_check"
+            ]["128"]["recall_at_5"],
+        }
+        flush()
+        print(f"  d3c residual default: {row['d3c_residual_default']}")
+
+    # --- d3t re-check at the default knob ---
+    if "d3t_default" not in row and os.path.exists(D3T):
+        t_corpus, t_qdf = _dataset(D3T)
+        t_truth = {tuple(p) for p in prev["d3_tight"]["truth"]["pairs"]}
+        out = {}
+        for mode in ("flat", "residual"):
+            idx = os.path.join(HERE, ".scale", f"d3t_idx_{mode}")
+            res = query_ivfpq_index(
+                spark, idx, t_qdf, vectors=t_corpus, nprobe=3
+            ).collect()
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+            out[mode] = {
+                "recall_at_5": round(len(got & t_truth) / len(t_truth), 4),
+                "r13_x8": prev["d3_tight"][mode]["recall_x8"],
+                "r13_x128": prev["d3_tight"][mode]["recall_x128"],
+            }
+        row["d3t_default"] = out
+        flush()
+        print(f"  d3t default: {out}")
+
+    # --- handle concurrency: N threads sharing one handle (VERDICT #7) ---
+    if "handle_concurrency" not in row:
+        import concurrent.futures as cf
+
+        h = open_ivfpq_index(spark, D3C_IDX)
+        h.query(qdf, vectors=corpus, nprobe=3).collect()  # warm
+        per_thread = 4
+        out = {}
+        for n_threads in (1, 4, 16):
+            def one(_):
+                return len(h.query(qdf, vectors=corpus, nprobe=3).collect())
+
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(max_workers=n_threads) as ex:
+                counts = list(ex.map(one, range(n_threads * per_thread)))
+            wall = time.perf_counter() - t0
+            assert all(c == counts[0] for c in counts)
+            out[str(n_threads)] = {
+                "batches": n_threads * per_thread,
+                "wall_sec": round(wall, 3),
+                "batches_per_sec": round(n_threads * per_thread / wall, 3),
+            }
+            print(f"  concurrency {n_threads} threads: {out[str(n_threads)]}")
+        row["handle_concurrency"] = out
+        flush()
+
+
+D3L = os.path.join(HERE, ".scale", "d3l")
+D3L_SIGMA = 0.3   #: in-subspace std: ||residual|| ~ 0.3·sqrt(8) ~ 0.85·||center||
+D3L_RANK = 8      #: residual subspace rank (of dim 64)
+
+
+def run_ivfpq_lowrank(spark) -> None:
+    """The FOURTH residual regime (VERDICT r13 #5): anisotropic
+    low-rank cluster noise — each cluster's residuals live in a seeded
+    8-of-64-dim subspace (generate_clustered_embeddings cov_rank=8) at
+    a residual-norm/vector-norm ratio (~0.65) where the r13 isotropic
+    measurement said flat wins.  If residual encoding wins HERE, the
+    operating rule is about covariance STRUCTURE, not just the norm
+    ratio — which is what classical IVFADC reports on real descriptors
+    (Jégou et al. TPAMI 2011 §V).  Rows land under "d3_lowrank";
+    every sub-step resumes."""
+    import statistics
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _TOP_K,
+        build_ivfpq_index,
+        exact_topk_np,
+        generate_clustered_embeddings,
+        query_ivfpq_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    row = dict(prev.get("d3_lowrank", {}))
+    row.setdefault("n", D3C_N)
+    row.setdefault("k_centroids", D3C_K)
+    row.setdefault("sigma", D3L_SIGMA)
+    row.setdefault("cov_rank", D3L_RANK)
+
+    def flush() -> None:
+        prev["d3_lowrank"] = row
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    if not os.path.exists(os.path.join(D3L, "embeddings.parquet", "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_clustered_embeddings(
+            spark, D3L, D3C_N, D3C_K, sigma=D3L_SIGMA, cov_rank=D3L_RANK
+        )
+        print(f"  d3l generated in {time.perf_counter() - t0:.1f}s")
+
+    emb = table(spark, D3L, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    qdf = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .localCheckpoint()
+    )
+    q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+
+    if "truth" not in row:
+        t0 = time.perf_counter()
+        truth_rows = exact_topk_np(corpus, q_rows, _TOP_K).collect()
+        row["truth"] = {
+            "exact_bruteforce_sec": round(time.perf_counter() - t0, 3),
+            "pairs": sorted((int(r.q_id), int(r.c_id)) for r in truth_rows),
+        }
+        flush()
+        print(f"  exact truth: {row['truth']['exact_bruteforce_sec']}s")
+    truth = {tuple(p) for p in row["truth"]["pairs"]}
+
+    # measured residual-norm/vector-norm ratio (the r13 operating-rule
+    # statistic) on a 2k sample against the TRUE planted centers
+    if "residual_ratio" not in row:
+        sample = [
+            (list(r.embedding), int(r.label))
+            for r in emb.filter(F.col("vec_id") % 997 == 0)
+            .select("embedding", "label")
+            .limit(2000)
+            .collect()
+        ]
+        from data_integration_system_spark.operators.similarity import (
+            _CLUSTER_SEED,
+        )
+
+        ratios = []
+        for vec, c in sample:
+            g = np.random.default_rng((_CLUSTER_SEED << 20) ^ c).standard_normal(64)
+            center = g / np.linalg.norm(g)
+            v = np.asarray(vec, dtype=np.float64)
+            ratios.append(float(np.linalg.norm(v - center) / np.linalg.norm(v)))
+        row["residual_ratio"] = {
+            "mean": round(float(np.mean(ratios)), 4),
+            "n_sampled": len(ratios),
+        }
+        flush()
+        print(f"  residual ratio: {row['residual_ratio']}")
+
+    for mode, residual in (("flat", False), ("residual", True)):
+        mrow = dict(row.get(mode, {}))
+        idx = os.path.join(HERE, ".scale", f"d3l_idx_{mode}")
+        built = os.path.exists(os.path.join(idx, "codes", "_SUCCESS"))
+        if "build_sec" not in mrow or not built:
+            t0 = time.perf_counter()
+            build_ivfpq_index(spark, D3L, idx, residual=residual)
+            mrow["build_sec"] = round(time.perf_counter() - t0, 3)
+            row[mode] = mrow
+            flush()
+            print(f"  {mode} build: {mrow['build_sec']}s")
+        if "recall_default" not in mrow:
+            walls, got = [], set()
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = query_ivfpq_index(
+                    spark, idx, qdf, vectors=corpus, nprobe=3
+                ).collect()
+                walls.append(round(time.perf_counter() - t0, 3))
+                got = {(int(r.q_id), int(r.c_id)) for r in res}
+            mrow["recall_default"] = round(len(got & truth) / len(truth), 4)
+            mrow["query_sec_med3"] = statistics.median(walls)
+            row[mode] = mrow
+            flush()
+            print(f"  {mode} default: recall {mrow['recall_default']} "
+                  f"med3 {mrow['query_sec_med3']}s")
+
+
 def run_jobs_overhead(spark) -> None:
     """Per-job overhead breakdown of the worker daemon (VERDICT r12
     #6): the r12 snapshot costs ~14 s/job of fixed orchestration; this
@@ -2890,6 +3257,16 @@ def main() -> None:
         help="tight-cluster residual regime rows (.scale/d3t)",
     )
     ap.add_argument(
+        "--ivfpq-manifest", action="store_true",
+        help="r14: manifest backfill + candidate-aware default recall/wall "
+        "+ handle concurrency on d3c/d3t",
+    )
+    ap.add_argument(
+        "--ivfpq-lowrank", action="store_true",
+        help="r14: fourth residual regime — anisotropic low-rank cluster "
+        "noise (.scale/d3l), flat vs residual at the default knob",
+    )
+    ap.add_argument(
         "--jobs-overhead", action="store_true",
         help="worker-daemon per-job overhead breakdown (8-job fixture)",
     )
@@ -2979,6 +3356,10 @@ def main() -> None:
         run_jobs_overhead(spark)
     if args.ivfpq_tight:
         run_ivfpq_tight(spark)
+    if args.ivfpq_manifest:
+        run_ivfpq_manifest(spark)
+    if args.ivfpq_lowrank:
+        run_ivfpq_lowrank(spark)
 
 
 if __name__ == "__main__":

@@ -1343,6 +1343,61 @@ def test_clustered_corpus_generator_deterministic(spark, tmp_path):
     assert labels == set(range(17))
 
 
+def test_clustered_generator_lowrank_geometry(spark, tmp_path):
+    """cov_rank plants ANISOTROPIC clusters: residuals (vector minus the
+    seeded true center) must concentrate in each cluster's own
+    cov_rank-dim subspace — >=90% of residual energy in-subspace (the
+    isotropic floor owns the rest), against ~cov_rank/dim (12.5% at
+    4/32) for the isotropic mode.  Also deterministic across calls,
+    like the isotropic path."""
+    import numpy as np
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _CLUSTER_SEED,
+        generate_clustered_embeddings,
+    )
+
+    root = str(tmp_path / "lowrank")
+    dim, rank, k = 32, 4, 6
+    generate_clustered_embeddings(
+        spark, root, n=600, n_clusters=k, dim=dim, sigma=0.3,
+        cov_rank=rank, sigma_floor=0.01,
+    )
+    rows = table(spark, root, "embeddings").collect()
+    assert len(rows) == 600
+
+    def center(c):
+        g = np.random.default_rng((_CLUSTER_SEED << 20) ^ c).standard_normal(dim)
+        return g / np.linalg.norm(g)
+
+    def basis(c):
+        g = np.random.default_rng((_CLUSTER_SEED << 24) ^ c).standard_normal(
+            (dim, rank)
+        )
+        q, _ = np.linalg.qr(g)
+        return q
+
+    in_frac = []
+    for r in rows:
+        res = np.asarray(list(r.embedding), dtype=np.float64) - center(r.label)
+        proj = basis(r.label).T @ res
+        in_frac.append((proj @ proj) / max(res @ res, 1e-30))
+    assert np.mean(in_frac) >= 0.90, np.mean(in_frac)
+
+    again = str(tmp_path / "lowrank2")
+    generate_clustered_embeddings(
+        spark, again, n=600, n_clusters=k, dim=dim, sigma=0.3,
+        cov_rank=rank, sigma_floor=0.01,
+    )
+    a = {(r.vec_id, tuple(r.embedding)) for r in rows}
+    b = {
+        (r.vec_id, tuple(r.embedding))
+        for r in table(spark, again, "embeddings").collect()
+    }
+    assert a == b
+
+
 def test_ivfpq_clustered_recall_floor_and_probed_fraction(spark):
     """The honest-regime loop end-to-end at test scale: planted-cluster
     corpus, k ~ sqrt(n) centroids, materialized IVFADC build, literal-
