@@ -3003,6 +3003,135 @@ def run_ivfpq_lowrank(spark) -> None:
                   f"med3 {mrow['query_sec_med3']}s")
 
 
+def run_index_cold_probes(spark) -> None:
+    """VERDICT r13 #4: the cold-open listing cost of the OTHER four
+    index tiers, one row each.  The d3c IVFADC paid ~4 s of listing at
+    1,414 partition dirs; these tiers sit at 256 (minhash, fingerprint
+    — above the 32-dir discovery threshold, so a distributed listing
+    job DOES fire) and ~sqrt-ish k / 1 (IVF / PQ — below it, driver-
+    side listing).  Each row: dir/file counts, COLD first-probe wall,
+    warm med3 (the shared FileStatusCache makes every later read warm),
+    and the max stage task count attributed to the cold probe (the
+    listing job's signature is ~n_dirs tasks).  Adjudication and any
+    manifest extension decision land in SCALE.md.  Section
+    "index_cold_probes" in SCALE_REHEARSAL.json; resumes per tier."""
+    import glob
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.dedup import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+    from data_integration_system_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        query_ivf_index,
+        query_pq_index,
+    )
+    from data_integration_system_spark.operators.textops import (
+        build_fingerprint_index,
+        query_fingerprint_index,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("index_cold_probes", {}))
+
+    def flush() -> None:
+        prev["index_cold_probes"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    docs_q = table(spark, sf, "documents").limit(8).localCheckpoint()
+    emb = table(spark, sf, "embeddings")
+    qdf = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .localCheckpoint()
+    )
+    vecs = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+
+    tiers = {
+        "minhash": {
+            "build": lambda idx: build_minhash_index(spark, sf, idx),
+            "probe": lambda idx: query_minhash_index(spark, idx, docs_q),
+            "rel": "bands",
+        },
+        "fingerprint": {
+            "build": lambda idx: build_fingerprint_index(spark, sf, idx),
+            "probe": lambda idx: query_fingerprint_index(spark, idx, docs_q),
+            "rel": "bands",
+        },
+        "ivf": {
+            "build": lambda idx: build_ivf_index(spark, sf, idx),
+            "probe": lambda idx: query_ivf_index(spark, idx, qdf),
+            "rel": "corpus",
+        },
+        "pq": {
+            "build": lambda idx: build_pq_index(spark, sf, idx),
+            "probe": lambda idx: query_pq_index(spark, idx, qdf, vectors=vecs),
+            "rel": "codes",
+        },
+    }
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for tier, spec in tiers.items():
+        if tier in section:
+            continue
+        idx = os.path.join(HERE, ".scale", f"coldidx_{tier}")
+        rel_root = os.path.join(idx, spec["rel"])
+        if not glob.glob(os.path.join(rel_root, "**", "_SUCCESS")) and not \
+                os.path.exists(os.path.join(rel_root, "_SUCCESS")):
+            spec["build"](idx)
+        dirs = [
+            d for d in os.listdir(rel_root)
+            if "=" in d and os.path.isdir(os.path.join(rel_root, d))
+        ]
+        n_files = len(glob.glob(f"{rel_root}/**/*.parquet", recursive=True))
+
+        group = f"cold-probe-{tier}"
+        sc.setJobGroup(group, f"{tier} cold probe")
+        t0 = time.perf_counter()
+        n_rows = spec["probe"](idx).collect()
+        cold = round(time.perf_counter() - t0, 3)
+        max_tasks = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            ji = tracker.getJobInfo(jid)
+            for sid in ji.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is not None:
+                    max_tasks = max(max_tasks, si.numTasks)
+        sc.setJobGroup("", "")
+        warm = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec["probe"](idx).collect()
+            warm.append(round(time.perf_counter() - t0, 3))
+        section[tier] = {
+            "n_partition_dirs": len(dirs),
+            "n_files": n_files,
+            "cold_probe_sec": cold,
+            "warm_probe_sec_med3": statistics.median(warm),
+            "warm_probe_runs": warm,
+            "cold_max_stage_tasks": int(max_tasks),
+            "result_rows": len(n_rows),
+            "sf_dir": sf,
+        }
+        flush()
+        print(f"  {tier}: {section[tier]}")
+
+
 def run_jobs_overhead(spark) -> None:
     """Per-job overhead breakdown of the worker daemon (VERDICT r12
     #6): the r12 snapshot costs ~14 s/job of fixed orchestration; this
@@ -3267,6 +3396,11 @@ def main() -> None:
         "noise (.scale/d3l), flat vs residual at the default knob",
     )
     ap.add_argument(
+        "--index-cold-probes", action="store_true",
+        help="r14: cold-open listing cost of the minhash/fingerprint/ivf/pq "
+        "tiers (one row each; $SPARK_GRAFT_SF_DIR corpus)",
+    )
+    ap.add_argument(
         "--jobs-overhead", action="store_true",
         help="worker-daemon per-job overhead breakdown (8-job fixture)",
     )
@@ -3360,6 +3494,8 @@ def main() -> None:
         run_ivfpq_manifest(spark)
     if args.ivfpq_lowrank:
         run_ivfpq_lowrank(spark)
+    if args.index_cold_probes:
+        run_index_cold_probes(spark)
 
 
 if __name__ == "__main__":
