@@ -1759,6 +1759,90 @@ def similarity_ivfpq_clustered_recall(
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query("similarity_ivfpq_lowrank_residual_gain", oracle=None)
+def similarity_ivfpq_lowrank_residual_gain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual (true-IVFADC) vs flat PQ on an ANISOTROPIC corpus — the
+    regime classical IVFADC papers report wins in, and the fourth row
+    of the residual-encoding evidence table (SCALE.md r14): per-cluster
+    residuals planted in seeded low-rank subspaces
+    (generate_clustered_embeddings cov_rank=8, sigma=0.3 — residual
+    norm ~0.63 of vector norm), both modes built through the REAL
+    materialized index and queried at the deliberately STARVED
+    shortlist (x=8), where per-slot ADC resolution is what separates
+    them.  At d3l (2M vectors, k=1,414) this measures flat 0.80 /
+    residual 0.90 recall@5; at the driver's sf the gap narrows (both
+    near-perfect — the regime bites at realistic fan-out), so the row
+    reports BOTH modes per query and the floor pinned in pytest is
+    range+shape, with the direction claim owned by the campaign row.
+    Approximate by construction -> rows-only.
+
+    Scale shape: identical to similarity_ivfpq_clustered_recall —
+    distributed seeded generation, BLAS assignment, pruned ADC probe,
+    partial-topk numpy truth; the residual build adds per-probed-
+    centroid LUTs (KBs per query), not data movement."""
+    import math as _math
+    import shutil
+    import tempfile
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(_N_QUERIES + 2, _math.isqrt(n))
+    root = tempfile.mkdtemp(prefix="ivfpq_lowrank_")
+    try:
+        generate_clustered_embeddings(
+            spark, root, n, k, sigma=0.3, cov_rank=8
+        )
+        emb = table(spark, root, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+        truth = exact_topk_np(corpus, q_rows, _TOP_K).select("q_id", "c_id")
+        truth = truth.localCheckpoint()
+        hits = {}
+        for mode, residual in (("flat", False), ("residual", True)):
+            idx = f"{root}/idx_{mode}"
+            build_ivfpq_index(spark, root, idx, residual=residual)
+            got = query_ivfpq_index(
+                spark, idx, qdf, vectors=corpus, shortlist_x=_PQ_SHORTLIST_X
+            ).select("q_id", "c_id")
+            hits[mode] = (
+                got.join(truth, ["q_id", "c_id"], "left_semi")
+                .groupBy("q_id")
+                .agg(F.count("*").cast("long").alias(f"n_hits_{mode}"))
+            )
+        out = (
+            qdf.select("q_id")
+            .join(hits["flat"], "q_id", "left")
+            .join(hits["residual"], "q_id", "left")
+            .select(
+                "q_id",
+                F.lit(k).cast("long").alias("k_centroids"),
+                F.coalesce("n_hits_flat", F.lit(0))
+                .cast("long")
+                .alias("n_hits_flat"),
+                F.coalesce("n_hits_residual", F.lit(0))
+                .cast("long")
+                .alias("n_hits_residual"),
+                F.expr(f"coalesce(n_hits_flat, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_flat_e2"),
+                F.expr(f"coalesce(n_hits_residual, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_residual_e2"),
+            )
+            .orderBy("q_id")
+            .localCheckpoint()  # sever lineage from the temp corpus
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 class IvfPqIndexHandle:
     """An OPENED composed index — the serving-process pattern the d3c
     campaign motivated (SCALE.md r13): a cold `query_ivfpq_index` once

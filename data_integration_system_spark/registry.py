@@ -88,8 +88,9 @@ _DRIVER_HEAD: list[str] = [
     # the plan from data with `python rehearse.py --coverage` instead of
     # hand-counting.
     #
-    # (1) NEW this round (policy tier 1):
-    #   (none landed yet)
+    # (1) NEW this round (policy tier 1; each displaces the window's
+    # last r11-tier name into _NEXT_ROTATION_FIRST at that moment):
+    "similarity_ivfpq_lowrank_residual_gain",  # landed: 4th residual regime
     # (2) the 30 r10-stale queries (the registry's oldest rows):
     "multimodal_frame_sample",
     "multimodal_mp4_frame_sample",
@@ -141,7 +142,6 @@ _DRIVER_HEAD: list[str] = [
     "event_value_mad",
     "excess_stock_suppliers",
     "join_broadcast_dim",
-    "join_sortmerge_fact",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -152,6 +152,7 @@ _DRIVER_HEAD: list[str] = [
 #: from data with ``python rehearse.py --coverage`` (writes
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "join_sortmerge_fact",  # displaced by similarity_ivfpq_lowrank_residual_gain
     "lang_confusion_matrix",
     "lang_source_grouping_sets",
     "lang_source_rollcall",

@@ -3071,7 +3071,7 @@ def run_index_cold_probes(spark) -> None:
         "fingerprint": {
             "build": lambda idx: build_fingerprint_index(spark, sf, idx),
             "probe": lambda idx: query_fingerprint_index(spark, idx, docs_q),
-            "rel": "bands",
+            "rel": "fps",
         },
         "ivf": {
             "build": lambda idx: build_ivf_index(spark, sf, idx),

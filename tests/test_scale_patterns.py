@@ -1467,6 +1467,30 @@ def test_ivfpq_clustered_recall_floor_and_probed_fraction(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_ivfpq_lowrank_residual_gain_executes_with_floor(spark):
+    """The fourth-regime comparison row (anisotropic low-rank clusters,
+    both PQ modes at the STARVED x=8 shortlist): one row per query,
+    recalls in range, and a functional floor — at this scale the
+    low-rank geometry makes both modes near-ceiling (the d3l campaign
+    row owns the flat-0.80/residual-0.90 direction claim at realistic
+    fan-out); a collapse below the floor means the loop broke, not the
+    regime."""
+    from data_integration_system_spark.operators.similarity import _N_QUERIES
+    from data_integration_system_spark.registry import get_queries
+
+    rows = get_queries()["similarity_ivfpq_lowrank_residual_gain"](
+        spark, SF
+    ).collect()
+    assert len(rows) == _N_QUERIES
+    assert all(
+        0 <= r.recall_flat_e2 <= 100 and 0 <= r.recall_residual_e2 <= 100
+        for r in rows
+    )
+    mf = sum(r.recall_flat_e2 for r in rows) / len(rows)
+    mr = sum(r.recall_residual_e2 for r in rows) / len(rows)
+    assert mf >= 80 and mr >= 80, (mf, mr)
+
+
 def test_exact_topk_np_matches_sql_bruteforce(spark):
     """The numpy truth path == similarity_topk's JVM brute force on the
     same corpus (ids and ranks; both order sim desc, c_id asc) — the
