@@ -260,6 +260,24 @@ def _bench_index_probes(spark, sf_dir: str, timings: dict, builds: dict) -> None
             lambda: query_fingerprint_index(spark, f"{root}/fp", probe_docs).count(),
         )
 
+        # composed IVF-PQ index (r14): build commits the file manifest;
+        # the probe is the manifest-backed serving path — explicit
+        # probed-file scan, candidate-aware shortlist default
+        from data_integration_system_spark.operators.similarity import (
+            build_ivfpq_index,
+            query_ivfpq_index,
+        )
+
+        t0 = time.perf_counter()
+        build_ivfpq_index(spark, sf_dir, f"{root}/ivfpq")
+        builds["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
+        probe3(
+            "ivfpq_index_probe",
+            lambda: query_ivfpq_index(
+                spark, f"{root}/ivfpq", probe_vecs
+            ).count(),
+        )
+
         # bloom-backed content-hash layout: build = write path, probe =
         # the registered point-lookup query (cache primed to the fresh
         # build so the probe never re-pays the write)

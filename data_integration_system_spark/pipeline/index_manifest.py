@@ -119,15 +119,37 @@ def _partition_value(rel_path: str, partition_col: str) -> str | None:
     return None
 
 
+class ManifestConflict(RuntimeError):
+    """Optimistic-concurrency failure: the committed manifest moved
+    between a writer's read and its write (two maintenance jobs racing
+    the same index).  The loser re-reads and retries — the same OCC
+    contract as pipeline/snapshots.py's pointer swap."""
+
+
 def write_manifest(
     spark: SparkSession,
     index_path: str,
     relations: dict[str, str | None],
+    expected_version: int | None = None,
 ) -> dict:
     """Snapshot ``{index_path}/{rel}`` for each ``rel -> partition_col``
     (None = unpartitioned) into ``{index_path}/_manifest.json``,
-    atomically (temp + rename).  Returns the manifest dict."""
+    atomically (temp + rename).  Returns the manifest dict.
+
+    ``expected_version`` turns the commit optimistic: raise
+    ManifestConflict unless the on-disk manifest is still at exactly
+    that version (None for "first manifest").  The builders' default is
+    last-wins (single maintenance writer — the documented cadence);
+    pass the version read before a concurrent append campaign to make
+    races loud instead of silent."""
     prev = read_manifest(spark, index_path)
+    if expected_version is not None or prev is not None:
+        on_disk = prev["version"] if prev else None
+        if expected_version is not None and on_disk != expected_version:
+            raise ManifestConflict(
+                f"{index_path}: manifest at version {on_disk}, writer "
+                f"expected {expected_version} — re-read and retry"
+            )
     manifest: dict = {
         "version": (prev["version"] + 1) if prev else 1,
         "relations": {},

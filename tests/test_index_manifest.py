@@ -93,6 +93,26 @@ def test_manifest_append_bumps_version_and_counts(spark, tmp_path):
     )
 
 
+def test_manifest_occ_conflict_raises(spark, tmp_path):
+    """expected_version turns the commit optimistic: a writer that read
+    version N must fail loudly if another writer committed N+1 in
+    between (snapshot-store OCC contract); the matching version
+    commits fine and increments."""
+    import pytest
+
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    idx = _build(spark, tmp_path)
+    rels = {"codes": "cent_id", "centroids": None, "codebooks": None,
+            "meta": None}
+    v1 = im.read_manifest(spark, idx)["version"]
+    im.write_manifest(spark, idx, rels)  # racing writer commits v1+1
+    with pytest.raises(im.ManifestConflict):
+        im.write_manifest(spark, idx, rels, expected_version=v1)
+    out = im.write_manifest(spark, idx, rels, expected_version=v1 + 1)
+    assert out["version"] == v1 + 2
+
+
 def test_cold_read_schedules_no_listing_job_and_skips_unprobed_dirs(
     spark, tmp_path
 ):
