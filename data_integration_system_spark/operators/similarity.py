@@ -1250,11 +1250,23 @@ def append_ivfpq_index(
     cmap = _centroid_map(cent.collect()) if _meta_residual(meta) else None
     codes = pq_encode(
         assigned, books, carry=("cent_id",), residual_centroids=cmap
-    )
+    ).localCheckpoint()  # one assignment feeds the write AND the touched set
     cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
         "append"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
-    _write_ivfpq_manifest(spark, index_path)
+    # manifest upkeep: an append touches only its batch's partitions —
+    # re-list just those (sub-second) instead of walking all ~sqrt(n)
+    # dirs (~25 s at d3c), so streaming micro-batch ingest stays cheap;
+    # a pre-manifest index gets a full backfill commit instead
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    touched = [
+        int(r.cent_id) for r in codes.select("cent_id").distinct().collect()
+    ]
+    if im.read_manifest(spark, index_path) is None:
+        _write_ivfpq_manifest(spark, index_path)
+    else:
+        im.update_manifest_partitions(spark, index_path, "codes", touched)
 
 
 def _write_ivfpq_manifest(spark: SparkSession, index_path: str) -> None:

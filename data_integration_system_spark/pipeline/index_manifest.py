@@ -196,6 +196,69 @@ def write_manifest(
             entry["schema_json"] = _relation_df(spark, root, entry, None).schema.json()
         manifest["relations"][rel] = entry
 
+    _commit(spark, index_path, manifest)
+    return manifest
+
+
+def update_manifest_partitions(
+    spark: SparkSession,
+    index_path: str,
+    rel: str,
+    values,
+    expected_version: int | None = None,
+) -> dict:
+    """Incremental manifest commit after an APPEND that touched only
+    ``values`` of ``rel``'s partition column: re-list just those
+    partition dirs and splice them into the committed manifest
+    (version+1, same atomic rename).  A micro-batch append touches a
+    handful of partitions, so this costs a few dir walks instead of the
+    full-index walk ``write_manifest`` does at build time — the
+    difference between ~25 s and sub-second per streaming batch at
+    1,414 partitions.  Unpartitioned relations and schema entries are
+    carried forward untouched."""
+    man = read_manifest(spark, index_path)
+    if man is None:
+        raise FileNotFoundError(
+            f"no {MANIFEST_NAME} under {index_path} — incremental update "
+            "needs a committed base; run write_manifest first"
+        )
+    if expected_version is not None and man["version"] != expected_version:
+        raise ManifestConflict(
+            f"{index_path}: manifest at version {man['version']}, writer "
+            f"expected {expected_version} — re-read and retry"
+        )
+    entry = man["relations"][rel]
+    part_col = entry["partition_col"]
+    parts = entry["partitions"]
+    root = f"{index_path}/{rel}"
+    for v in values:
+        sub = f"{part_col}={v}"
+        files = _list_data_files(spark, f"{root}/{sub}")
+        if not files:
+            parts.pop(str(v), None)
+            continue
+        p: dict = {"files": [], "rows": 0}
+        for rel_path, size in files:
+            full_rel = f"{sub}/{rel_path}"
+            rows = _footer_rows(spark, root, full_rel)
+            p["files"].append({"path": full_rel, "size": size, "rows": rows})
+            p["rows"] = (
+                None if (rows is None or p["rows"] is None) else p["rows"] + rows
+            )
+        parts[str(v)] = p
+    total: int | None = 0
+    n_files = 0
+    for p in parts.values():
+        n_files += len(p["files"])
+        total = None if (p["rows"] is None or total is None) else total + p["rows"]
+    entry["total_rows"] = total
+    entry["n_files"] = n_files
+    man["version"] += 1
+    _commit(spark, index_path, man)
+    return man
+
+
+def _commit(spark: SparkSession, index_path: str, manifest: dict) -> None:
     data = json.dumps(manifest, sort_keys=True).encode()
     fs = _fs(spark, index_path)
     final = _jpath(spark, f"{index_path}/{MANIFEST_NAME}")
@@ -209,7 +272,6 @@ def write_manifest(
         fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"manifest rename failed: {tmp} -> {final}")
-    return manifest
 
 
 def read_manifest(spark: SparkSession, index_path: str) -> dict | None:

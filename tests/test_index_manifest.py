@@ -91,6 +91,19 @@ def test_manifest_append_bumps_version_and_counts(spark, tmp_path):
     assert im.read_relation(spark, idx, "codes").count() == (
         v2["relations"]["codes"]["total_rows"]
     )
+    # the append path commits INCREMENTALLY (re-lists only touched
+    # partitions); its result must equal a full build-time walk
+    full = im.write_manifest(
+        spark, idx,
+        {"codes": "cent_id", "centroids": None, "codebooks": None,
+         "meta": None},
+    )
+    assert full["relations"]["codes"]["partitions"] == (
+        v2["relations"]["codes"]["partitions"]
+    )
+    assert full["relations"]["codes"]["n_files"] == (
+        v2["relations"]["codes"]["n_files"]
+    )
 
 
 def test_manifest_occ_conflict_raises(spark, tmp_path):
