@@ -71,15 +71,42 @@ def _local_path(uri: str) -> str | None:
 
 def _list_data_files(spark: SparkSession, root: str) -> list[tuple[str, int]]:
     """Recursive (relative_path, size) listing of data files under
-    ``root`` — ONE driver-side Hadoop FS walk, no Spark job.  Hidden
-    files (``_SUCCESS``, ``.crc``, the manifest itself) are skipped, the
-    same visibility rule Spark's own InMemoryFileIndex applies."""
+    ``root`` — driver-side, no Spark job.  Hidden files (``_SUCCESS``,
+    ``.crc``, the manifest itself) are skipped, the same visibility rule
+    Spark's own InMemoryFileIndex applies.
+
+    On local filesystems the walk is pure Python ``os.scandir`` — the
+    Hadoop-FS RemoteIterator costs 4+ py4j round-trips PER FILE
+    (~13 s of the original 21 s wall at 1,414 partitions); the JVM walk
+    is kept only for non-local schemes, where it is one RPC stream."""
+    import os
+
+    lroot = _local_root(spark, root)
+    if lroot is not None:
+        if not os.path.isdir(lroot):
+            return []
+        out: list[tuple[str, int]] = []
+        stack = [""]
+        while stack:
+            sub = stack.pop()
+            with os.scandir(f"{lroot}/{sub}" if sub else lroot) as it:
+                for e in it:
+                    if e.name.startswith(("_", ".")):
+                        continue
+                    rel = f"{sub}/{e.name}" if sub else e.name
+                    if e.is_dir(follow_symlinks=False):
+                        stack.append(rel)
+                    elif e.is_file(follow_symlinks=False):
+                        out.append((rel, e.stat().st_size))
+        out.sort()
+        return out
+
     fs = _fs(spark, root)
     jroot = _jpath(spark, root)
     if not fs.exists(jroot):
         return []
     root_uri = fs.makeQualified(jroot).toString().rstrip("/")
-    out: list[tuple[str, int]] = []
+    out = []
     it = fs.listFiles(jroot, True)
     while it.hasNext():
         st = it.next()
@@ -95,19 +122,31 @@ def _list_data_files(spark: SparkSession, root: str) -> list[tuple[str, int]]:
     return out
 
 
-def _footer_rows(spark: SparkSession, root: str, rel_file: str) -> int | None:
+def _local_root(spark: SparkSession, root: str) -> str | None:
+    """The relation root as a plain filesystem path (None off local fs)
+    — computed ONCE per relation so per-file footer reads are pure
+    Python+pyarrow.  The first manifest walk spent ~25 s at 1,414
+    partitions because every footer read created a fresh JVM Path +
+    FileSystem through py4j; hoisting the qualification removes every
+    per-file JVM round-trip."""
+    fs = _fs(spark, root)
+    qualified = fs.makeQualified(_jpath(spark, root)).toString()
+    return _local_path(qualified)
+
+
+def _footer_rows(spark: SparkSession, root: str, rel_file: str,
+                 local_root: str | None = None) -> int | None:
     """Per-file row count from the parquet footer (driver-side pyarrow;
     ~0.1 ms/file on local fs).  None when the footer isn't reachable —
     consumers must treat missing rows as 'statistic unavailable'."""
-    fs = _fs(spark, root)
-    qualified = fs.makeQualified(_jpath(spark, f"{root}/{rel_file}")).toString()
-    local = _local_path(qualified)
-    if local is None:
+    if local_root is None:
+        local_root = _local_root(spark, root)
+    if local_root is None:
         return None
     try:
         import pyarrow.parquet as pq
 
-        return int(pq.read_metadata(local).num_rows)
+        return int(pq.read_metadata(f"{local_root}/{rel_file}").num_rows)
     except Exception:
         return None
 
@@ -157,12 +196,13 @@ def write_manifest(
     for rel, part_col in relations.items():
         root = f"{index_path}/{rel}"
         files = _list_data_files(spark, root)
+        lroot = _local_root(spark, root) if files else None
         entry: dict = {"n_files": len(files)}
         total_rows: int | None = 0
         if part_col is None:
             recs = []
             for rel_path, size in files:
-                rows = _footer_rows(spark, root, rel_path)
+                rows = _footer_rows(spark, root, rel_path, lroot)
                 total_rows = (
                     None if (rows is None or total_rows is None) else total_rows + rows
                 )
@@ -175,7 +215,7 @@ def write_manifest(
                 val = _partition_value(rel_path, part_col)
                 if val is None:  # stray unpartitioned file — keep it visible
                     val = ""
-                rows = _footer_rows(spark, root, rel_path)
+                rows = _footer_rows(spark, root, rel_path, lroot)
                 p = parts.setdefault(val, {"files": [], "rows": 0})
                 p["files"].append({"path": rel_path, "size": size, "rows": rows})
                 p["rows"] = (
@@ -231,6 +271,7 @@ def update_manifest_partitions(
     part_col = entry["partition_col"]
     parts = entry["partitions"]
     root = f"{index_path}/{rel}"
+    lroot = _local_root(spark, root)
     for v in values:
         sub = f"{part_col}={v}"
         files = _list_data_files(spark, f"{root}/{sub}")
@@ -240,7 +281,7 @@ def update_manifest_partitions(
         p: dict = {"files": [], "rows": 0}
         for rel_path, size in files:
             full_rel = f"{sub}/{rel_path}"
-            rows = _footer_rows(spark, root, full_rel)
+            rows = _footer_rows(spark, root, full_rel, lroot)
             p["files"].append({"path": full_rel, "size": size, "rows": rows})
             p["rows"] = (
                 None if (rows is None or p["rows"] is None) else p["rows"] + rows
