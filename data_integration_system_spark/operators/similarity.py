@@ -1216,9 +1216,19 @@ def build_ivfpq_index(
     codes = pq_encode(
         assigned, books, carry=("cent_id",), residual_centroids=cmap
     )
-    cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
+    k = cent.count()
+    cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+    # the raw vectors live INSIDE the index, co-partitioned with their
+    # codes: every shortlist candidate is in a PROBED partition by
+    # construction, so the exact re-rank reads nprobe/k of this relation
+    # instead of joining against the full corpus (512 MB/query at d3c,
+    # unbounded at 100 TB) — the IVFFlat-refine layout production ANN
+    # services run; storage pays one extra corpus copy at the index
+    cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     _write_pq_codebooks(spark, books, index_path, residual=residual)
     _write_ivfpq_manifest(spark, index_path)
@@ -1246,27 +1256,44 @@ def append_ivfpq_index(
     )
     assigned = nearest_centroid(
         new_vectors.select("vec_id", "embedding"), cent
-    )
+    ).localCheckpoint()  # one assignment feeds both writes + touched set
     cmap = _centroid_map(cent.collect()) if _meta_residual(meta) else None
     codes = pq_encode(
         assigned, books, carry=("cent_id",), residual_centroids=cmap
-    ).localCheckpoint()  # one assignment feeds the write AND the touched set
-    cluster_for_partitioned_write(codes, "cent_id", cent.count()).write.mode(
+    )
+    k = cent.count()
+    cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
         "append"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+    # vectors relation stays in lockstep with codes — but ONLY if the
+    # index has one (appending vectors a pre-r14 index lacks for older
+    # rows would make the index-resident re-rank silently partial)
+    has_vectors = _fs_exists(spark, f"{index_path}/vectors")
+    if has_vectors:
+        cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
+            "append"
+        ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
     # manifest upkeep: an append touches only its batch's partitions —
     # re-list just those (sub-second) instead of walking all ~sqrt(n)
-    # dirs (~25 s at d3c), so streaming micro-batch ingest stays cheap;
+    # dirs (~21 s at d3c), so streaming micro-batch ingest stays cheap;
     # a pre-manifest index gets a full backfill commit instead
     from data_integration_system_spark.pipeline import index_manifest as im
 
     touched = [
-        int(r.cent_id) for r in codes.select("cent_id").distinct().collect()
+        int(r.cent_id) for r in assigned.select("cent_id").distinct().collect()
     ]
-    if im.read_manifest(spark, index_path) is None:
+    man = im.read_manifest(spark, index_path)
+    if man is None or (has_vectors and "vectors" not in man["relations"]):
+        # no manifest, or the vectors relation exists on disk but not in
+        # the committed manifest (mid-migration state): full reconcile —
+        # a partial vectors manifest would silently DROP re-rank
+        # candidates whose files it doesn't list
         _write_ivfpq_manifest(spark, index_path)
     else:
-        im.update_manifest_partitions(spark, index_path, "codes", touched)
+        updates = {"codes": touched}
+        if has_vectors:
+            updates["vectors"] = touched  # lockstep, one atomic commit
+        im.update_manifest_partitions(spark, index_path, updates)
 
 
 def _write_ivfpq_manifest(spark: SparkSession, index_path: str) -> None:
@@ -1279,15 +1306,53 @@ def _write_ivfpq_manifest(spark: SparkSession, index_path: str) -> None:
         write_manifest,
     )
 
-    write_manifest(
-        spark,
-        index_path,
-        {
-            "codes": "cent_id",
-            "centroids": None,
-            "codebooks": None,
-            "meta": None,
-        },
+    relations: dict = {
+        "codes": "cent_id",
+        "centroids": None,
+        "codebooks": None,
+        "meta": None,
+    }
+    # r14+: builds co-locate the raw vectors inside the index; a
+    # pre-vectors index backfilled with a manifest simply lacks the
+    # relation (queries fall back to caller-supplied vectors / pure ADC)
+    if _fs_exists(spark, f"{index_path}/vectors"):
+        relations["vectors"] = "cent_id"
+    write_manifest(spark, index_path, relations)
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _index_resident_vectors(
+    spark: SparkSession,
+    index_path: str,
+    manifest: dict | None,
+    probed: list,
+) -> DataFrame | None:
+    """The exact-re-rank relation for an index that stores its raw
+    vectors co-partitioned with the codes (r14+ builds): every
+    shortlist candidate is in a PROBED partition by construction, so
+    the re-rank reads nprobe/k of this relation instead of scanning the
+    caller's full corpus — the IVFFlat-refine layout.  None for
+    pre-vectors indexes (callers keep pure-ADC ranking or pass their
+    own corpus)."""
+    if manifest is not None:
+        if "vectors" not in manifest.get("relations", {}):
+            return None
+        from data_integration_system_spark.pipeline import index_manifest as im
+
+        return im.read_relation(
+            spark, index_path, "vectors", manifest=manifest, partitions=probed
+        ).select("vec_id", "embedding")
+    if not _fs_exists(spark, f"{index_path}/vectors"):
+        return None
+    return (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("cent_id").isin(probed))
+        .select("vec_id", "embedding")
     )
 
 
@@ -1323,7 +1388,12 @@ def query_ivfpq_index(
     centroids table -> the probed cent_ids prune the codes scan; the
     per-query probe mask inside pq_shortlist keeps each query's
     candidates to its OWN probes; the shortlist re-ranks exactly against
-    ``vectors`` when supplied.  ``queries`` is (q_id, qe).
+    ``vectors`` when supplied — and when it is None, against the
+    INDEX-RESIDENT vectors relation (r14+ builds co-locate the raw
+    vectors with their codes), which reads only the probed partitions:
+    the re-rank I/O is nprobe/k of the corpus, not a full-corpus join.
+    Pre-vectors indexes with ``vectors=None`` keep pure-ADC ranking.
+    ``queries`` is (q_id, qe).
 
     With a committed manifest (every build/append/rebuild writes one)
     the codes scan is built from the manifest's explicit file list —
@@ -1351,6 +1421,8 @@ def query_ivfpq_index(
         codes = spark.read.parquet(f"{index_path}/codes").filter(
             F.col("cent_id").isin(probed)  # literal -> PartitionFilters
         )
+    if vectors is None:
+        vectors = _index_resident_vectors(spark, index_path, man, probed)
     q_rows = [(r[0], list(r[1])) for r in queries.collect()]
     cmap = (
         _centroid_map(cent.collect()) if _meta_residual(meta) else None
@@ -1961,6 +2033,10 @@ class IvfPqIndexHandle:
             )
         else:
             codes = self.codes.filter(F.col("cent_id").isin(probed))
+        if vectors is None:
+            vectors = _index_resident_vectors(
+                self.spark, self.index_path, self.manifest, probed
+            )
         short = pq_shortlist(
             codes,
             q_rows,

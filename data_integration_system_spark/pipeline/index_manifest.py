@@ -243,19 +243,19 @@ def write_manifest(
 def update_manifest_partitions(
     spark: SparkSession,
     index_path: str,
-    rel: str,
-    values,
+    updates: dict,
     expected_version: int | None = None,
 ) -> dict:
-    """Incremental manifest commit after an APPEND that touched only
-    ``values`` of ``rel``'s partition column: re-list just those
-    partition dirs and splice them into the committed manifest
-    (version+1, same atomic rename).  A micro-batch append touches a
-    handful of partitions, so this costs a few dir walks instead of the
-    full-index walk ``write_manifest`` does at build time — the
-    difference between ~25 s and sub-second per streaming batch at
-    1,414 partitions.  Unpartitioned relations and schema entries are
-    carried forward untouched."""
+    """Incremental manifest commit after an APPEND: for each
+    ``rel -> touched partition values`` in ``updates``, re-list just
+    those partition dirs and splice them into the committed manifest —
+    ONE atomic version bump for the whole batch, so a reader never sees
+    the codes relation updated but its lockstep vectors relation not.
+    A micro-batch append touches a handful of partitions, so this costs
+    a few dir walks instead of the full-index walk ``write_manifest``
+    does at build time (measured 0.15 s vs ~21 s at 1,414 partitions).
+    Unpartitioned relations and schema entries are carried forward
+    untouched."""
     man = read_manifest(spark, index_path)
     if man is None:
         raise FileNotFoundError(
@@ -267,33 +267,40 @@ def update_manifest_partitions(
             f"{index_path}: manifest at version {man['version']}, writer "
             f"expected {expected_version} — re-read and retry"
         )
-    entry = man["relations"][rel]
-    part_col = entry["partition_col"]
-    parts = entry["partitions"]
-    root = f"{index_path}/{rel}"
-    lroot = _local_root(spark, root)
-    for v in values:
-        sub = f"{part_col}={v}"
-        files = _list_data_files(spark, f"{root}/{sub}")
-        if not files:
-            parts.pop(str(v), None)
-            continue
-        p: dict = {"files": [], "rows": 0}
-        for rel_path, size in files:
-            full_rel = f"{sub}/{rel_path}"
-            rows = _footer_rows(spark, root, full_rel, lroot)
-            p["files"].append({"path": full_rel, "size": size, "rows": rows})
-            p["rows"] = (
-                None if (rows is None or p["rows"] is None) else p["rows"] + rows
+    for rel, values in updates.items():
+        entry = man["relations"][rel]
+        part_col = entry["partition_col"]
+        parts = entry["partitions"]
+        root = f"{index_path}/{rel}"
+        lroot = _local_root(spark, root)
+        for v in values:
+            sub = f"{part_col}={v}"
+            files = _list_data_files(spark, f"{root}/{sub}")
+            if not files:
+                parts.pop(str(v), None)
+                continue
+            p: dict = {"files": [], "rows": 0}
+            for rel_path, size in files:
+                full_rel = f"{sub}/{rel_path}"
+                rows = _footer_rows(spark, root, full_rel, lroot)
+                p["files"].append(
+                    {"path": full_rel, "size": size, "rows": rows}
+                )
+                p["rows"] = (
+                    None
+                    if (rows is None or p["rows"] is None)
+                    else p["rows"] + rows
+                )
+            parts[str(v)] = p
+        total: int | None = 0
+        n_files = 0
+        for p in parts.values():
+            n_files += len(p["files"])
+            total = (
+                None if (p["rows"] is None or total is None) else total + p["rows"]
             )
-        parts[str(v)] = p
-    total: int | None = 0
-    n_files = 0
-    for p in parts.values():
-        n_files += len(p["files"])
-        total = None if (p["rows"] is None or total is None) else total + p["rows"]
-    entry["total_rows"] = total
-    entry["n_files"] = n_files
+        entry["total_rows"] = total
+        entry["n_files"] = n_files
     man["version"] += 1
     _commit(spark, index_path, man)
     return man

@@ -37,7 +37,9 @@ def test_manifest_roundtrip_and_partition_rows(spark, tmp_path):
     idx = _build(spark, tmp_path)
     man = im.read_manifest(spark, idx)
     assert man is not None and man["version"] == 1
-    assert set(man["relations"]) == {"codes", "centroids", "codebooks", "meta"}
+    assert set(man["relations"]) == {
+        "codes", "vectors", "centroids", "codebooks", "meta",
+    }
 
     direct = spark.read.parquet(f"{idx}/codes")
     truth = {
@@ -104,6 +106,66 @@ def test_manifest_append_bumps_version_and_counts(spark, tmp_path):
     assert full["relations"]["codes"]["n_files"] == (
         v2["relations"]["codes"]["n_files"]
     )
+
+
+def test_index_resident_rerank_matches_explicit_corpus(spark, tmp_path):
+    """r14 builds co-locate the raw vectors with their codes: a query
+    with vectors=None must exact-re-rank against the INDEX-RESIDENT
+    copy and return exactly the rows an explicit-corpus re-rank does —
+    while reading only the probed partitions of the vectors relation
+    (executed numFiles < total vectors files).  Appends keep the two
+    relations in lockstep: an appended twin must appear in a
+    vectors=None query's results."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        append_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from data_integration_system_spark.plans.metrics import executed_nodes
+
+    idx = _build(spark, tmp_path)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    df = query_ivfpq_index(spark, idx, queries)  # vectors=None
+    resident = {tuple(r) for r in df.collect()}
+    explicit = {
+        tuple(r)
+        for r in query_ivfpq_index(spark, idx, queries, vectors=corpus).collect()
+    }
+    assert resident == explicit and len(resident) > 0
+    assert "cos_sim" in df.columns  # exact re-rank, not ADC ranking
+
+    total_vec_files = sum(
+        1
+        for root, _, names in os.walk(f"{idx}/vectors")
+        for n in names
+        if n.endswith(".parquet")
+    )
+    scanned = sum(
+        n.metrics.get("numFiles", 0)
+        for n in executed_nodes(df)
+        if n.cls.startswith("FileSourceScan") and "/vectors" in n.detail
+    )
+    assert 0 < scanned < total_vec_files, (scanned, total_vec_files)
+
+    # append a twin of query 0's vector: it must win rank 1 through the
+    # lockstep-appended vectors relation
+    twin = queries.filter(F.col("q_id") == 0).select(
+        F.lit(99_000_000).cast("long").alias("vec_id"),
+        F.col("qe").alias("embedding"),
+    )
+    append_ivfpq_index(spark, idx, twin)
+    got = {
+        (r.q_id, r.c_id, r.rnk)
+        for r in query_ivfpq_index(spark, idx, queries).collect()
+    }
+    assert (0, 99_000_000, 1) in got
 
 
 def test_manifest_occ_conflict_raises(spark, tmp_path):
