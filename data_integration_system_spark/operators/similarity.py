@@ -1189,6 +1189,7 @@ def build_ivfpq_index(
     index_path: str,
     lloyd_iters: int = _LLOYD_ITERS,
     residual: bool = False,
+    store_vectors: bool = True,
 ) -> None:
     """Materialize the composed index: ``{index}/codes`` PARTITIONED BY
     cent_id (each vector's m-byte PQ code lives in its IVF partition),
@@ -1225,10 +1226,13 @@ def build_ivfpq_index(
     # construction, so the exact re-rank reads nprobe/k of this relation
     # instead of joining against the full corpus (512 MB/query at d3c,
     # unbounded at 100 TB) — the IVFFlat-refine layout production ANN
-    # services run; storage pays one extra corpus copy at the index
-    cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
-        "overwrite"
-    ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
+    # services run; storage pays one extra corpus copy at the index.
+    # store_vectors=False opts out (evaluation loops that re-rank
+    # against an explicit corpus anyway, storage-tight deployments).
+    if store_vectors:
+        cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
     _write_pq_codebooks(spark, books, index_path, residual=residual)
     _write_ivfpq_manifest(spark, index_path)
@@ -1806,7 +1810,7 @@ def similarity_ivfpq_clustered_recall(
     try:
         generate_clustered_embeddings(spark, root, n, k)
         idx = f"{root}/idx"
-        build_ivfpq_index(spark, root, idx)
+        build_ivfpq_index(spark, root, idx, store_vectors=False)
         emb = table(spark, root, "embeddings")
         corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
             "vec_id", "embedding"
@@ -1890,7 +1894,9 @@ def similarity_ivfpq_lowrank_residual_gain(
         hits = {}
         for mode, residual in (("flat", False), ("residual", True)):
             idx = f"{root}/idx_{mode}"
-            build_ivfpq_index(spark, root, idx, residual=residual)
+            build_ivfpq_index(
+                spark, root, idx, residual=residual, store_vectors=False
+            )
             got = query_ivfpq_index(
                 spark, idx, qdf, vectors=corpus, shortlist_x=_PQ_SHORTLIST_X
             ).select("q_id", "c_id")
