@@ -136,7 +136,19 @@ def local_rows_df(spark, rows, schema):
 
     names = spark.createDataFrame([], schema).columns
     pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
-    df = spark.createDataFrame(pdf, schema)
+    # the Arrow fast path is what produces a LocalRelation, and
+    # spark.sql.execution.arrow.pyspark.enabled defaults to FALSE — on a
+    # plain session (the external driver's, notably) createDataFrame
+    # (pandas) would quietly take the pickled-RDD path and restore the
+    # write tax.  Enable it around the conversion (runtime-settable,
+    # restored after) so the plan shape is session-independent.
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        df = spark.createDataFrame(pdf, schema)
+    finally:
+        spark.conf.set(key, prev)
     if len(rows) <= _LOCAL_ROWS_ASSERT_BOUND:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         if "LocalRelation" not in plan.split("\n", 1)[0]:
