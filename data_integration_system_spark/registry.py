@@ -74,85 +74,25 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 14 window (CORRECTNESS_r13 landed 46/46 exact + 4
-    # rows-only-by-design, zero err, so the whole r13 head rotates OUT).
+    # Round 15 window (CORRECTNESS_r14 landed 49/49 exact + 1
+    # rows-only-by-design, zero err, so the whole r14 head rotates OUT).
     # Coverage histogram after `python rehearse.py --coverage` through
-    # r13: r10=30, r11=50, r12=50, r13=50.  Window = the 30 r10-stale
-    # queries (== the r13 _NEXT_ROTATION_FIRST queue, verbatim) + the
-    # first 20 of the r11 tier (alphabetical), exactly 50; the displaced
-    # 30-query r11 alphabetical tail sits in _NEXT_ROTATION_FIRST for
-    # r15.  Queries NEW in r14 go at the very front as they land (names
+    # r14: r11=31, r12=50, r13=50, r14=50.  Window = the 31 r11-stale
+    # queries (== the r14 _NEXT_ROTATION_FIRST queue, verbatim) + the
+    # first 19 of the r12 tier (alphabetical), exactly 50; the displaced
+    # 31-query r12 alphabetical tail sits in _NEXT_ROTATION_FIRST for
+    # r16.  Queries NEW in r15 go at the very front as they land (names
     # UNCOMMENTED only once registered — the registry rejects unknown
-    # names), each displacing the window's LAST r11-tier name into
+    # names), each displacing the window's LAST r12-tier name into
     # _NEXT_ROTATION_FIRST at the moment of displacement.  Regenerate
     # the plan from data with `python rehearse.py --coverage` instead of
     # hand-counting.
     #
     # (1) NEW this round (policy tier 1; each displaces the window's
-    # last r11-tier name into _NEXT_ROTATION_FIRST at that moment):
-    "similarity_ivfpq_lowrank_residual_gain",  # landed: 4th residual regime
-    # (2) the 30 r10-stale queries (the registry's oldest rows):
-    "multimodal_frame_sample",
-    "multimodal_mp4_frame_sample",
-    "multimodal_pixel_stats",
-    "multimodal_video_frames",
-    "national_market_share",
-    "orders_above_customer_avg",
-    "pack_sequences",
-    "part_value_concentration",
-    "pivot_lang_counts",
-    "pricing_summary",
-    "priority_counts_with_lineitem",
-    "project_content_hash",
-    "project_domain",
-    "promo_revenue_share",
-    "rare_token_score",
-    "repetition_top_bigram",
-    "scan_project",
-    "streaming_funnel_pairs_snapshot",
-    "streaming_length_profile_snapshot",
-    "streaming_quality_monitor_snapshot",
-    "streaming_retention_snapshot",
-    "streaming_session_windows_snapshot",
-    "streaming_tumbling_counts_snapshot",
-    "token_count_exact",
-    "top_sources_per_lang",
-    "transition_degrees",
-    "transition_reachability",
-    "user_modal_event_type",
-    "user_value_ewma",
-    "weighted_resample",
-    # (3) the first 20 of the r11 tier (alphabetical):
-    "anti_join_unvisited",
-    "asof_latest_event_per_order",
-    "bigram_lift_top",
-    "cross_source_duplicate_matrix",
-    "customer_rfm_scores",
-    "customer_spend_percentile",
-    "daily_active_users",
-    "dedup_exact",
-    "dedup_exact_full",
-    "dedup_keep_latest",
-    "discount_band_pivot",
-    "discount_band_unpivot",
-    "doc_length_histogram",
-    "dq_orders_report",
-    "dup_rate_by_source",
-    "event_type_gini_per_user",
-    "event_value_mad",
-    "excess_stock_suppliers",
-    "join_broadcast_dim",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it).  After the r14 rotation this queue
-#: holds the 30-query alphabetical tail of the r11 tier displaced by
-#: window math; any query displaced mid-round by an r14 newcomer is
-#: APPENDED here at the moment of displacement.  Regenerate the plan
-#: from data with ``python rehearse.py --coverage`` (writes
-#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    "join_sortmerge_fact",  # displaced by similarity_ivfpq_lowrank_residual_gain
+    # last r12-tier name into _NEXT_ROTATION_FIRST at that moment):
+    # (none yet)
+    # (2) the 31 r11-stale queries (the registry's oldest rows):
+    "join_sortmerge_fact",
     "lang_confusion_matrix",
     "lang_source_grouping_sets",
     "lang_source_rollcall",
@@ -183,6 +123,67 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "topk_oldest_pending",
     "union_pages_files",
     "zorder_range_scan",
+    # (3) the first 19 of the r12 tier (alphabetical):
+    "brand_supplier_counts",
+    "contamination_check",
+    "conversion_by_signup_week",
+    "current_jobs_fold",
+    "daily_volume_anomalies",
+    "decontaminate_filter",
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    "dedup_embedding_near",
+    "dedup_embedding_topk",
+    "dedup_minhash_near",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_ngram_novelty",
+    "domain_mix_weights",
+    "embedding_centroid_per_label",
+    "event_type_daily_trend",
+    "event_type_transitions",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it).  After the r15 rotation this queue
+#: holds the 31-query alphabetical tail of the r12 tier displaced by
+#: window math; any query displaced mid-round by an r15 newcomer is
+#: APPENDED here at the moment of displacement.  Regenerate the plan
+#: from data with ``python rehearse.py --coverage`` (writes
+#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "event_zscore_outliers",
+    "fingerprint_overlap_pairs",
+    "group_quantiles",
+    "idle_rich_customers",
+    "kmeans_assign_int",
+    "large_volume_orders",
+    "pareto_revenue_share",
+    "percentile_approx_check",
+    "purchase_streak_islands",
+    "quantity_price_correlation",
+    "range_join_events",
+    "rolling_7day_event_volume",
+    "salted_event_type_rollup",
+    "semi_join_existing",
+    "session_windows",
+    "shipmode_priority_counts",
+    "shipping_priority",
+    "similarity_ann_recall_matrix",
+    "similarity_ivfpq_topk",
+    "similarity_recall_at_k",
+    "sliding_window_avg",
+    "streaming_dup_rate_snapshot",
+    "streaming_jobs_fold_snapshot",
+    "streaming_user_ewma_jvm_snapshot",
+    "token_count_bpe",
+    "tumbling_window_counts",
+    "upsert_changed_rows",
+    "user_value_ewma_jvm",
+    "volume_shipping",
+    "weekday_order_stats",
+    "window_rank_frames",
 ]
 
 
