@@ -16,6 +16,8 @@ hash aggregate with map-side partials.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -125,11 +127,20 @@ def local_rows_df(spark, rows, schema):
     local-relation threshold
     (``spark.sql.execution.arrow.maxRecordsPerBatch`` spill to an RDD
     plan), silently rebuilds the pickled-RDD plan and quietly restores
-    the ~28x write tax this helper removes.  The guard below asserts
-    the produced plan really is a LocalRelation for every call at or
-    under _LOCAL_ROWS_ASSERT_BOUND rows (all intended call sites are
-    tiny metadata row-sets), so a silent fallback fails loudly at the
-    call site instead of as a mystery 5 s write."""
+    the ~28x write tax this helper removes.  The guard below checks the
+    produced plan really is a LocalRelation for every call at or under
+    _LOCAL_ROWS_ASSERT_BOUND rows (all intended call sites are tiny
+    metadata row-sets).  On a miss it emits a LOUD warning and returns
+    the fallback frame — many call sites are durability paths
+    (streaming checkpoint/status writes) where slow beats outage — and
+    raises only under LOCAL_ROWS_STRICT (on in the test suite, so the
+    plan shape can't silently regress in CI).
+
+    Thread safety: the session conf is process-global, so the
+    set/convert/restore window is serialized under a module lock —
+    concurrent callers (multiple streaming queries' foreachBatch writes)
+    can no longer interleave a finally-restore into another thread's
+    conversion (the r14 ADVICE race)."""
     if not rows:
         return spark.createDataFrame([], schema)
     import pandas as pd
@@ -143,22 +154,28 @@ def local_rows_df(spark, rows, schema):
     # write tax.  Enable it around the conversion (runtime-settable,
     # restored after) so the plan shape is session-independent.
     key = "spark.sql.execution.arrow.pyspark.enabled"
-    prev = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "true")
-        df = spark.createDataFrame(pdf, schema)
-    finally:
-        spark.conf.set(key, prev)
+    with _SESSION_CONF_LOCK:
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "true")
+            df = spark.createDataFrame(pdf, schema)
+        finally:
+            spark.conf.set(key, prev)
     if len(rows) <= _LOCAL_ROWS_ASSERT_BOUND:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         if "LocalRelation" not in plan.split("\n", 1)[0]:
-            raise AssertionError(
+            msg = (
                 "local_rows_df: Arrow fast path fell back to a pickled-RDD "
                 "plan (write tasks would spawn Python workers; ~28x write "
                 f"tax — see SCALE.md r13). Optimized plan head: "
                 f"{plan.splitlines()[0]!r}. An Arrow-unconvertible value in "
                 "the rows is the usual cause."
             )
+            if LOCAL_ROWS_STRICT:
+                raise AssertionError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return df
 
 
@@ -166,3 +183,17 @@ def local_rows_df(spark, rows, schema):
 #: handful of metadata rows; 4096 comfortably covers them while keeping the
 #: check off any hypothetical bulk path.
 _LOCAL_ROWS_ASSERT_BOUND = 4096
+
+#: Escalate the local_rows_df plan-shape check from loud-warning to hard
+#: failure.  Default off: metadata writes are durability paths and must
+#: degrade to slow, not crash, when a deployment's Arrow config
+#: legitimately falls back (lowered maxRecordsPerBatch, unconvertible
+#: value).  The test suite flips it on (tests/conftest.py) so a plan-shape
+#: regression still fails CI loudly.
+LOCAL_ROWS_STRICT = False
+
+#: Serializes session-conf set/restore windows (local_rows_df's Arrow
+#: toggle).  The conf is process-global; without the lock, two concurrent
+#: callers interleave so one thread's restore lands mid-conversion of the
+#: other (r14 ADVICE).
+_SESSION_CONF_LOCK = threading.Lock()

@@ -1266,17 +1266,23 @@ def append_ivfpq_index(
         assigned, books, carry=("cent_id",), residual_centroids=cmap
     )
     k = cent.count()
-    cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
-        "append"
-    ).partitionBy("cent_id").parquet(f"{index_path}/codes")
     # vectors relation stays in lockstep with codes — but ONLY if the
     # index has one (appending vectors a pre-r14 index lacks for older
-    # rows would make the index-resident re-rank silently partial)
+    # rows would make the index-resident re-rank silently partial).
+    # Write VECTORS FIRST: a crash between the two writes then leaves
+    # orphan vectors (harmless — never shortlisted, reconciled away by
+    # the next rebuild), where the old codes-first order left orphan
+    # CODES whose re-rank join silently dropped those candidates forever
+    # (r14 ADVICE).  The manifest lockstep check below makes any
+    # surviving divergence fail loudly at commit time.
     has_vectors = _fs_exists(spark, f"{index_path}/vectors")
     if has_vectors:
         cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
             "append"
         ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
+    cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(f"{index_path}/codes")
     # manifest upkeep: an append touches only its batch's partitions —
     # re-list just those (sub-second) instead of walking all ~sqrt(n)
     # dirs (~21 s at d3c), so streaming micro-batch ingest stays cheap;
@@ -1297,7 +1303,9 @@ def append_ivfpq_index(
         updates = {"codes": touched}
         if has_vectors:
             updates["vectors"] = touched  # lockstep, one atomic commit
-        im.update_manifest_partitions(spark, index_path, updates)
+        im.update_manifest_partitions(
+            spark, index_path, updates, lockstep=_IVFPQ_LOCKSTEP
+        )
 
 
 def _write_ivfpq_manifest(spark: SparkSession, index_path: str) -> None:
@@ -1321,7 +1329,14 @@ def _write_ivfpq_manifest(spark: SparkSession, index_path: str) -> None:
     # relation (queries fall back to caller-supplied vectors / pure ADC)
     if _fs_exists(spark, f"{index_path}/vectors"):
         relations["vectors"] = "cent_id"
-    write_manifest(spark, index_path, relations)
+    write_manifest(spark, index_path, relations, lockstep=_IVFPQ_LOCKSTEP)
+
+
+#: Relations whose per-partition row counts must match at every manifest
+#: commit: a codes row without its vector would be silently dropped by the
+#: index-resident re-rank (inner join), so divergence refuses the commit
+#: (ManifestLockstepError) instead of being committed into the manifest.
+_IVFPQ_LOCKSTEP = [("codes", "vectors")]
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
@@ -1951,7 +1966,18 @@ class IvfPqIndexHandle:
     manifest — `reopen()` (or a fresh open) picks them up; scheduled
     rebuilds swap in a new handle.  At 100 TB the manifest's role is
     played by a metastore/table format; in-process, the handle holding
-    it IS the cache."""
+    it IS the cache.
+
+    Thread safety: open once, share freely — `.query(...)` only READS
+    handle state (manifest dict, numpy centroid matrix, codebook
+    broadcast), and the two session-global conf windows its reads pass
+    through (the manifest reader's discovery-threshold raise, the
+    metadata writer's Arrow toggle) are serialized under module locks
+    (index_manifest._DISCOVERY_CONF_LOCK, _common._SESSION_CONF_LOCK —
+    r15, closing the r14 ADVICE race).  The measured 16-thread ladder
+    (SCALE.md r14: 0.83/2.37/2.75 batches/s at 1/4/16 threads) is the
+    supported shape; `reopen()` is NOT safe concurrent with queries —
+    swap in a fresh handle instead (open-new-then-replace)."""
 
     def __init__(self, spark: SparkSession, index_path: str):
         self.spark = spark

@@ -28,8 +28,14 @@ IVF-PQ shortlist default is sized from the PROBED candidate count
 probed partitions' manifest rows — no count job at query time.
 
 Concurrency contract: single writer (the build/append/rebuild job),
-many readers — the atomic rename means a reader sees the old or the new
-manifest, never a torn one.  Appends bump ``version``; an opened handle
+many readers.  On local filesystems the commit is ``os.replace`` — an
+atomic OVERWRITING rename, so a reader sees the old or the new
+manifest, never a torn or missing one.  On non-local Hadoop
+filesystems plain rename won't clobber, so the commit is
+delete+rename: a reader (or a crash) can land in a brief NO-manifest
+window — readers absorb it by design (``read_manifest`` → None →
+directory-scan fallback / full reconcile), so only the fast path, not
+correctness, degrades.  Appends bump ``version``; an opened handle
 serves its open-time manifest until ``reopen()`` (the staleness cadence
 IvfPqIndexHandle documents).
 
@@ -43,10 +49,21 @@ analogs).
 from __future__ import annotations
 
 import json
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_manifest.json"
+
+#: Serializes the parallelPartitionDiscovery.threshold set/restore window
+#: in _relation_df.  The session conf is process-global: without the lock,
+#: two concurrent manifest-backed reads (the documented 16-thread handle
+#: serving) can interleave so one thread's finally-restore strands the
+#: session at the raised threshold, or restores it mid-relation-resolve of
+#: the other thread (re-scheduling the discovery job).  The guarded window
+#: is driver-side relation resolution only (microseconds per file) — query
+#: EXECUTION is outside the lock.
+_DISCOVERY_CONF_LOCK = threading.Lock()
 
 
 def _jpath(spark: SparkSession, path: str):
@@ -165,11 +182,61 @@ class ManifestConflict(RuntimeError):
     contract as pipeline/snapshots.py's pointer swap."""
 
 
+class ManifestLockstepError(RuntimeError):
+    """Two relations declared lockstep (per-partition row counts must
+    match — the IVF-PQ codes/vectors pair) diverged at commit time: a
+    crashed or partial append left one side short.  The commit is
+    refused so the divergence is repaired (re-append the missing side /
+    full rebuild) instead of silently dropping re-rank candidates."""
+
+
+def assert_lockstep(
+    manifest: dict, pairs: list[tuple[str, str]], index_path: str = ""
+) -> None:
+    """Raise ManifestLockstepError if, for any declared ``(dependent,
+    required)`` pair, a partition has MORE dependent rows than required
+    rows — for the IVF-PQ ``("codes", "vectors")`` pair, a code row
+    whose vector is missing would be silently dropped by the
+    index-resident re-rank forever, so that commit is refused.  The
+    check is deliberately DIRECTIONAL: surplus required rows (orphan
+    vectors from a crash between the vectors-first and codes writes)
+    are harmless — never shortlisted, reconciled away by the next
+    rebuild — and must not block the recovery commit.  A pair is
+    checked only when BOTH relations are in the manifest (pre-vectors
+    indexes simply lack the second side); a partition whose footer
+    count is unavailable (rows None) is skipped — the statistic, not
+    the files, is what's missing there."""
+    for a, b in pairs:
+        rels = manifest["relations"]
+        if a not in rels or b not in rels:
+            continue
+        pa = rels[a].get("partitions") or {}
+        pb = rels[b].get("partitions") or {}
+        diverged = {}
+        for key in set(pa) | set(pb):
+            ra = pa[key]["rows"] if key in pa else 0
+            rb = pb[key]["rows"] if key in pb else 0
+            if ra is None or rb is None:
+                continue
+            if ra > rb:
+                diverged[key] = (ra, rb)
+        if diverged:
+            sample = dict(sorted(diverged.items())[:8])
+            raise ManifestLockstepError(
+                f"{index_path or '<index>'}: relation {a!r} has rows with "
+                f"no {b!r} counterpart in {len(diverged)} partition(s) "
+                f"(rows {a}/{b}): {sample} — a partial append left "
+                f"{b!r} short; repair (re-append / rebuild) before "
+                "committing"
+            )
+
+
 def write_manifest(
     spark: SparkSession,
     index_path: str,
     relations: dict[str, str | None],
     expected_version: int | None = None,
+    lockstep: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Snapshot ``{index_path}/{rel}`` for each ``rel -> partition_col``
     (None = unpartitioned) into ``{index_path}/_manifest.json``,
@@ -180,7 +247,15 @@ def write_manifest(
     that version (None for "first manifest").  The builders' default is
     last-wins (single maintenance writer — the documented cadence);
     pass the version read before a concurrent append campaign to make
-    races loud instead of silent."""
+    races loud instead of silent.
+
+    ``lockstep`` declares ``(dependent, required)`` relation pairs — no
+    partition may hold more dependent rows than required rows (the
+    IVF-PQ codes/vectors pair: a code row whose vector is missing would
+    be silently dropped by the index-resident re-rank forever; surplus
+    vectors are harmless crash orphans).  A violation raises
+    ManifestLockstepError BEFORE the commit, so a torn append fails
+    loudly instead of being committed into the manifest."""
     prev = read_manifest(spark, index_path)
     if expected_version is not None or prev is not None:
         on_disk = prev["version"] if prev else None
@@ -234,8 +309,17 @@ def write_manifest(
         # it, parquet schema inference runs a 1-task Spark job per open)
         if files:
             entry["schema_json"] = _relation_df(spark, root, entry, None).schema.json()
+        else:
+            # a relation emptied since the last commit (compaction, full
+            # retention expiry) keeps its schema, so readers still get an
+            # empty RESULT with the right shape instead of an error
+            prev_entry = (prev or {}).get("relations", {}).get(rel, {})
+            if prev_entry.get("schema_json") is not None:
+                entry["schema_json"] = prev_entry["schema_json"]
         manifest["relations"][rel] = entry
 
+    if lockstep:
+        assert_lockstep(manifest, lockstep, index_path)
     _commit(spark, index_path, manifest)
     return manifest
 
@@ -245,6 +329,7 @@ def update_manifest_partitions(
     index_path: str,
     updates: dict,
     expected_version: int | None = None,
+    lockstep: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Incremental manifest commit after an APPEND: for each
     ``rel -> touched partition values`` in ``updates``, re-list just
@@ -302,12 +387,35 @@ def update_manifest_partitions(
         entry["total_rows"] = total
         entry["n_files"] = n_files
     man["version"] += 1
+    if lockstep:
+        assert_lockstep(man, lockstep, index_path)
     _commit(spark, index_path, man)
     return man
 
 
 def _commit(spark: SparkSession, index_path: str, manifest: dict) -> None:
+    """Publish the manifest.  On local filesystems ``os.replace`` is an
+    atomic OVERWRITING rename — a reader sees the old or the new
+    manifest, never a torn one and never a missing one.  On non-local
+    Hadoop filesystems, plain rename won't clobber, so the fallback is
+    delete+rename: there is a (crash-durable) window with NO manifest.
+    Readers degrade gracefully — ``read_manifest`` returns None and
+    consumers fall back to a directory scan / full reconcile — so the
+    weaker remote contract is availability-of-the-fast-path, not
+    correctness."""
     data = json.dumps(manifest, sort_keys=True).encode()
+    lroot = _local_root(spark, index_path)
+    if lroot is not None:
+        import os
+
+        os.makedirs(lroot, exist_ok=True)
+        tmp_path = f"{lroot}/.{MANIFEST_NAME}.tmp"
+        with open(tmp_path, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_path, f"{lroot}/{MANIFEST_NAME}")
+        return
     fs = _fs(spark, index_path)
     final = _jpath(spark, f"{index_path}/{MANIFEST_NAME}")
     tmp = _jpath(spark, f"{index_path}/.{MANIFEST_NAME}.tmp")
@@ -402,12 +510,9 @@ def _relation_df(
         )
         files = [f"{root}/{f['path']}" for k in keys for f in parts[k]["files"]]
         reader = spark.read.option("basePath", root)
-        if not files and parts:
-            # every requested partition is vacant: an empty RESULT with
-            # the relation's schema, not an error (probes may select
-            # centroids that own no vectors yet)
-            if schema is not None:
-                return spark.createDataFrame([], schema)
+        if not files and parts and schema is None:
+            # vacant requested partitions, pre-schema manifest: infer the
+            # schema from any one listed file, filtered to nothing
             any_key = next(iter(sorted(parts)))
             any_file = f"{root}/{parts[any_key]['files'][0]['path']}"
             col = entry["partition_col"]
@@ -421,14 +526,25 @@ def _relation_df(
         files = [f"{root}/{f['path']}" for f in entry["files"]]
         reader = spark.read
     if not files:
-        raise ValueError(f"manifest lists no files for {root}")
+        # vacant partitions / a relation later emptied by compaction /
+        # a zero-row build: the documented contract is an empty RESULT
+        # with the relation's schema, not an error (write_manifest
+        # carries schema_json forward across emptying commits)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"manifest lists no files for {root} and stores no schema "
+            "(pre-schema manifest of an empty relation) — rebuild the "
+            "manifest with write_manifest to capture one"
+        )
     if schema is not None:
         reader = reader.schema(schema)
     conf = spark.conf
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    prev = conf.get(key)
-    try:
-        conf.set(key, str(max(len(files) + 1, 10_000)))
-        return reader.parquet(*files)
-    finally:
-        conf.set(key, prev)
+    with _DISCOVERY_CONF_LOCK:
+        prev = conf.get(key)
+        try:
+            conf.set(key, str(max(len(files) + 1, 10_000)))
+            return reader.parquet(*files)
+        finally:
+            conf.set(key, prev)

@@ -269,6 +269,148 @@ def test_read_relation_empty_probe_returns_empty_with_schema(spark, tmp_path):
     assert "cent_id" in df.columns and "codes" in df.columns
 
 
+def test_lockstep_refuses_orphan_codes_allows_orphan_vectors(spark, tmp_path):
+    """The codes/vectors lockstep check is DIRECTIONAL (r15, from r14
+    ADVICE): a partition with code rows whose vectors are missing would
+    be silently dropped by the index-resident re-rank forever, so that
+    commit is refused; surplus vectors (the harmless orphan a crash
+    between the vectors-first and codes writes leaves) must NOT block
+    the recovery commit."""
+    import shutil
+
+    import pytest
+
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    rels = {"codes": "cent_id", "vectors": "cent_id", "centroids": None,
+            "codebooks": None, "meta": None}
+    pair = [("codes", "vectors")]
+
+    idx = _build(spark, tmp_path)
+    parts = sorted(
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("cent_id=")
+    )
+    # orphan CODES: drop one vectors partition -> full commit refused
+    shutil.rmtree(f"{idx}/vectors/{parts[0]}")
+    with pytest.raises(im.ManifestLockstepError):
+        im.write_manifest(spark, idx, rels, lockstep=pair)
+    # the incremental (append-path) commit must refuse it too
+    with pytest.raises(im.ManifestLockstepError):
+        im.update_manifest_partitions(
+            spark, idx,
+            {"codes": [parts[0].split("=")[1]],
+             "vectors": [parts[0].split("=")[1]]},
+            lockstep=pair,
+        )
+    # orphan VECTORS: drop the matching codes partition as well (now
+    # vectors are the only missing side elsewhere? no — drop a codes
+    # partition so vectors > codes there) -> commit allowed
+    shutil.rmtree(f"{idx}/codes/{parts[1]}")
+    shutil.rmtree(f"{idx}/codes/{parts[0]}")  # heal partition 0 (both gone)
+    man = im.write_manifest(spark, idx, rels, lockstep=pair)
+    assert parts[1].split("=")[1] in man["relations"]["vectors"]["partitions"]
+    assert parts[1].split("=")[1] not in man["relations"]["codes"]["partitions"]
+
+
+def test_concurrent_manifest_reads_keep_conf_and_results(spark, tmp_path):
+    """The r14 ADVICE race: _relation_df's discovery-threshold
+    set/restore is session-global — 16 threads of manifest-backed reads
+    (the documented handle serving shape) must neither strand the
+    session at the raised threshold nor disturb each other's results.
+    The window is now serialized under a module lock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    idx = _build(spark, tmp_path)
+    man = im.read_manifest(spark, idx)
+    parts = sorted(int(k) for k in man["relations"]["codes"]["partitions"])
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    before = spark.conf.get(key)
+
+    def one_read(i: int) -> int:
+        probe = [parts[i % len(parts)]]
+        df = im.read_relation(spark, idx, "codes", manifest=man,
+                              partitions=probe)
+        return df.count()
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        got = list(pool.map(one_read, range(64)))
+    want = [
+        man["relations"]["codes"]["partitions"][str(parts[i % len(parts)])]["rows"]
+        for i in range(64)
+    ]
+    assert got == want
+    assert spark.conf.get(key) == before
+
+
+def test_commit_is_atomic_overwrite_on_local_fs(spark, tmp_path):
+    """On local filesystems the commit is os.replace — a reader polling
+    read_manifest across many commits must NEVER see a missing manifest
+    (the delete+rename fallback's window), and versions must be
+    monotonic."""
+    import threading
+
+    from data_integration_system_spark.operators._common import local_rows_df
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    root = str(tmp_path / "tinyidx")
+    local_rows_df(spark, [(1, "a")], "id long, s string").write.parquet(
+        f"{root}/rel"
+    )
+    im.write_manifest(spark, root, {"rel": None})
+
+    seen: list = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.append(im.read_manifest(spark, root))
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for _ in range(25):
+            im.write_manifest(spark, root, {"rel": None})
+    finally:
+        stop.set()
+        t.join()
+    assert seen and all(m is not None for m in seen)
+    versions = [m["version"] for m in seen]
+    assert versions == sorted(versions)
+    assert not os.path.exists(f"{root}/.{im.MANIFEST_NAME}.tmp")
+
+
+def test_emptied_relation_keeps_schema_and_reads_empty(spark, tmp_path):
+    """A relation whose files all disappear between commits (compaction,
+    retention expiry) keeps its stored schema across the re-commit, and
+    read_relation returns an EMPTY result with that schema instead of
+    raising — both for unpartitioned and fully-emptied partitioned
+    relations (r14 ADVICE)."""
+    from data_integration_system_spark.operators._common import local_rows_df
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    root = str(tmp_path / "emptyidx")
+    rows = local_rows_df(spark, [(1, "x", 3)], "id long, s string, p int")
+    rows.write.parquet(f"{root}/flat")
+    rows.write.partitionBy("p").parquet(f"{root}/parts")
+    im.write_manifest(spark, root, {"flat": None, "parts": "p"})
+
+    for sub in ("flat", "parts"):
+        for dirpath, _, names in os.walk(f"{root}/{sub}"):
+            for n in names:
+                if not n.startswith((".", "_")):
+                    os.remove(f"{dirpath}/{n}")
+    man2 = im.write_manifest(spark, root, {"flat": None, "parts": "p"})
+    assert man2["relations"]["flat"]["schema_json"] is not None
+    assert man2["relations"]["parts"]["schema_json"] is not None
+
+    flat = im.read_relation(spark, root, "flat")
+    assert flat.count() == 0 and set(flat.columns) == {"id", "s", "p"}
+    parts = im.read_relation(spark, root, "parts")
+    assert parts.count() == 0 and set(parts.columns) == {"id", "s", "p"}
+
+
 def test_handle_and_oneshot_use_manifest_default_identically(spark, tmp_path):
     """The serving handle and the one-shot path must agree under the
     candidate-aware DEFAULT (both read the same manifest statistic),

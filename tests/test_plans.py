@@ -744,3 +744,59 @@ def test_local_rows_df_is_local_table_scan(spark):
     assert "LocalTableScan" in plan and "ExistingRDD" not in plan
     rows = {(r.s, r.n, tuple(r.v)) for r in df.collect()}
     assert rows == {("a", 1, (1.0, 2.0)), ("b", None, ())}
+
+
+def test_local_rows_df_concurrent_threads_keep_conf(spark):
+    """The r14 ADVICE race: local_rows_df's Arrow-conf set/restore is
+    session-global — concurrent callers (multiple streaming queries'
+    foreachBatch status writes) must not interleave a restore into
+    another thread's conversion.  Serialized under a module lock: every
+    thread's plan stays a LocalTableScan (strict mode raises otherwise)
+    and the conf lands back at its pre-call value."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    before = spark.conf.get(key)
+
+    def one(i: int) -> int:
+        df = local_rows_df(spark, [(i, f"s{i}")], "n long, s string")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+        return df.collect()[0].n
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        assert list(pool.map(one, range(64))) == list(range(64))
+    assert spark.conf.get(key) == before
+
+
+def test_local_rows_df_fallback_warns_by_default_raises_under_strict(spark):
+    """A legitimate Arrow fallback (forced here by zeroing the Arrow
+    local-relation threshold) must DEGRADE on durability paths: loud
+    RuntimeWarning + a working (slow) frame by default, hard failure
+    only under LOCAL_ROWS_STRICT (CI's setting, so the plan shape can't
+    silently regress)."""
+    import warnings
+
+    import pytest
+
+    from data_integration_system_spark.operators import _common
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    key = "spark.sql.execution.arrow.localRelationThreshold"
+    prev = spark.conf.get(key)
+    prev_strict = _common.LOCAL_ROWS_STRICT
+    try:
+        spark.conf.set(key, "0")
+        with pytest.raises(AssertionError, match="pickled-RDD"):
+            local_rows_df(spark, [(1, "a")], "n long, s string")
+        _common.LOCAL_ROWS_STRICT = False
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            df = local_rows_df(spark, [(1, "a")], "n long, s string")
+        assert any("pickled-RDD" in str(w.message) for w in caught)
+        assert [(r.n, r.s) for r in df.collect()] == [(1, "a")]
+    finally:
+        _common.LOCAL_ROWS_STRICT = prev_strict
+        spark.conf.set(key, prev)
