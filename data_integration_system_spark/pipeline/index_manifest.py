@@ -168,6 +168,14 @@ def _footer_rows(spark: SparkSession, root: str, rel_file: str,
         return None
 
 
+def _rel_root(index_path: str, rel: str) -> str:
+    """Filesystem root of relation ``rel`` under ``index_path``.  The
+    empty relation name means the index root ITSELF is the relation —
+    the shape the snapshot store uses, where a version dir is one
+    self-contained table rather than a directory of named relations."""
+    return f"{index_path}/{rel}" if rel else index_path
+
+
 def _partition_value(rel_path: str, partition_col: str) -> str | None:
     for seg in rel_path.split("/")[:-1]:
         if seg.startswith(partition_col + "="):
@@ -269,7 +277,7 @@ def write_manifest(
         "relations": {},
     }
     for rel, part_col in relations.items():
-        root = f"{index_path}/{rel}"
+        root = _rel_root(index_path, rel)
         files = _list_data_files(spark, root)
         lroot = _local_root(spark, root) if files else None
         entry: dict = {"n_files": len(files)}
@@ -356,7 +364,7 @@ def update_manifest_partitions(
         entry = man["relations"][rel]
         part_col = entry["partition_col"]
         parts = entry["partitions"]
-        root = f"{index_path}/{rel}"
+        root = _rel_root(index_path, rel)
         lroot = _local_root(spark, root)
         for v in values:
             sub = f"{part_col}={v}"
@@ -485,7 +493,7 @@ def read_relation(
     if manifest is None:
         raise FileNotFoundError(f"no {MANIFEST_NAME} under {index_path}")
     entry = manifest["relations"][rel]
-    return _relation_df(spark, f"{index_path}/{rel}", entry, partitions)
+    return _relation_df(spark, _rel_root(index_path, rel), entry, partitions)
 
 
 def _stored_schema(entry: dict):

@@ -18,6 +18,24 @@ At 100 TB this is also the performance answer: the merged table is
 written exactly once with no executor-memory pinning (the old
 localCheckpoint-then-overwrite approach held the whole merge in block
 storage), and old snapshots double as time-travel until pruned.
+
+File-manifest discipline (r15): the store's partition count TRACKS the
+corpus — a site-partitioned page store at 100 TB has metastore-scale
+partition counts (sites × dates), so a cold ``spark.read.parquet``
+over a version dir pays the same distributed file-LISTING job the
+IVF-PQ index tier measured at ~4 s / 1,414 dirs (SCALE.md r13) — the
+repo's own r14 rule says such a tier routes through
+``pipeline/index_manifest.py`` from day one.  Every snapshot commit
+therefore writes ``{root}/{vNNNNNN}/_manifest.json`` (explicit file
+list + per-partition row counts + stored schema) INSIDE the version
+dir, BEFORE the ``_CURRENT`` swap: the version dir is write-once and
+invisible until the pointer swap, so the one existing atomic commit
+publishes data and file manifest together — no second OCC protocol.
+Readers (``read_current`` / ``read_version``) build the scan from the
+manifest's explicit file list: zero discovery jobs on a cold read, and
+a ``partitions=`` restriction never touches unprobed dirs at all.
+Pre-manifest versions (legacy stores, externally-written dirs) fall
+back to the plain directory read unchanged.
 """
 
 from __future__ import annotations
@@ -155,6 +173,9 @@ def write_snapshot(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(f"{root}/{name}")
+    # file manifest INSIDE the write-once version dir, before the
+    # pointer swap — the swap atomically publishes data + manifest
+    _commit_data_manifest(spark, root, name, partition_by)
     _check_expected(spark, root, expect_current)  # re-check after the slow write
     _write_manifest(spark, root, name)
     return name
@@ -184,9 +205,69 @@ def commit_version(
     derived from, same optimistic-concurrency contract as
     ``write_snapshot``."""
     _check_expected(spark, root, expect_current)
+    _commit_data_manifest(spark, root, name, _detect_partition(spark, root, name))
     p, fs = hadoop_path(spark, f"{root}/{name}/_SUCCESS")
     fs.create(p, True).close()
     _write_manifest(spark, root, name)
+
+
+def _detect_partition(spark: SparkSession, root: str, name: str) -> str | None:
+    """Partition column of an externally-built version dir (hive
+    ``col=value`` child dirs), or None for a flat table — one driver-side
+    listing of the version dir's immediate children."""
+    from data_integration_system_spark.pipeline.fsutil import hadoop_path as hp
+
+    p, fs = hp(spark, f"{root}/{name}")
+    for st in fs.listStatus(p):
+        child = st.getPath().getName()
+        if st.isDirectory() and "=" in child:
+            return child.split("=", 1)[0]
+    return None
+
+
+def _commit_data_manifest(
+    spark: SparkSession, root: str, name: str, partition_by: str | None
+) -> None:
+    """Write the version dir's file manifest (explicit file list +
+    per-partition row counts + stored schema — see
+    pipeline/index_manifest.py).  Called BEFORE the pointer swap on a
+    write-once dir, so it needs no OCC of its own and is immutable once
+    the version is visible."""
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    im.write_manifest(spark, f"{root}/{name}", {"": partition_by})
+
+
+def _version_df(
+    spark: SparkSession, root: str, name: str, partitions=None
+) -> DataFrame:
+    """DataFrame over a committed version: manifest-backed (explicit
+    file list, stored schema — zero discovery jobs, unprobed partition
+    dirs never touched) when the version has one; plain directory read
+    for pre-manifest versions (``partitions`` then degrades to a
+    partition-column filter, pruned by Catalyst from the directory
+    listing)."""
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    path = f"{root}/{name}"
+    man = im.read_manifest(spark, path)
+    if man is not None and "" in man.get("relations", {}):
+        return im.read_relation(
+            spark, path, "", manifest=man, partitions=partitions
+        )
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        from pyspark.sql import functions as F
+
+        entry_col = _detect_partition(spark, root, name)
+        if entry_col is None:
+            raise ValueError(
+                f"partitions= given but {path} is not hive-partitioned"
+            )
+        df = df.filter(
+            F.col(entry_col).cast("string").isin([str(v) for v in partitions])
+        )
+    return df
 
 
 def _legacy_data(spark: SparkSession, root: str) -> bool:
@@ -205,15 +286,22 @@ def snapshot_exists(spark: SparkSession, root: str) -> bool:
     return current_version(spark, root) is not None or _legacy_data(spark, root)
 
 
-def read_current(spark: SparkSession, root: str) -> DataFrame:
-    """Resolve the manifest and read the active snapshot.  A root with
-    data but no manifest is a legacy plain-parquet table — read it
-    directly, so pre-snapshot stores keep working unchanged."""
+def read_current(spark: SparkSession, root: str, partitions=None) -> DataFrame:
+    """Resolve the manifest and read the active snapshot — through the
+    version's FILE manifest when it has one (zero discovery jobs on a
+    cold read; with ``partitions`` given, a list of partition-dir value
+    strings, unprobed dirs are never touched at all — the point-probe
+    shape for a site-partitioned store).  A root with data but no
+    manifest is a legacy plain-parquet table — read it directly, so
+    pre-snapshot stores keep working unchanged."""
     name = current_version(spark, root)
     if name is not None:
-        return spark.read.parquet(f"{root}/{name}")
+        return _version_df(spark, root, name, partitions)
     if _legacy_data(spark, root):
-        return spark.read.parquet(root)
+        df = spark.read.parquet(root)
+        if partitions is not None:
+            raise ValueError(f"partitions= needs a versioned store: {root}")
+        return df
     raise FileNotFoundError(f"no committed snapshot or data at {root}")
 
 
@@ -241,10 +329,13 @@ def list_versions(spark: SparkSession, root: str) -> list[str]:
     return [f"v{v:06d}" for v in _versions(spark, root)]
 
 
-def read_version(spark: SparkSession, root: str, version: str | int) -> DataFrame:
+def read_version(
+    spark: SparkSession, root: str, version: str | int, partitions=None
+) -> DataFrame:
     """Time-travel read: a specific retained snapshot, by name
     ("v000003") or ordinal (3).  Copy-on-write versions are immutable,
-    so this is a plain pruned-path parquet scan — no log replay, no
+    so this is a manifest-backed explicit-file scan (plain pruned-path
+    parquet for pre-manifest versions) — no log replay, no
     reconstruction (the same property that makes `prune_snapshots` a
     pure storage knob)."""
     name = f"v{version:06d}" if isinstance(version, int) else version
@@ -253,7 +344,7 @@ def read_version(spark: SparkSession, root: str, version: str | int) -> DataFram
             f"snapshot {name} not retained at {root} "
             f"(have: {list_versions(spark, root)})"
         )
-    return spark.read.parquet(f"{root}/{name}")
+    return _version_df(spark, root, name, partitions)
 
 
 def snapshot_diff(

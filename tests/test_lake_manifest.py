@@ -1,0 +1,174 @@
+"""File-manifest discipline for the LAKE relations (r15).
+
+The snapshot store's partition count tracks the corpus (sites × dates
+at 100 TB is metastore-scale), so — by the repo's own r14 rule — its
+reads must not pay the distributed file-LISTING job a cold
+``spark.read.parquet`` schedules over a many-partition dir.  Every
+snapshot commit now writes ``{version}/_manifest.json`` inside the
+write-once version dir BEFORE the ``_CURRENT`` pointer swap (one atomic
+publish, no second OCC protocol), and ``read_current``/``read_version``
+build scans from the explicit file list.  These tests reuse the index
+tier's two pins: job-group attribution for zero-listing-job, and
+chmod-locked unprobed dirs for never-touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_integration_system_spark.pipeline import index_manifest as im
+from data_integration_system_spark.pipeline import snapshots as sn
+
+
+def _site_df(spark, n_rows: int = 400, n_sites: int = 40):
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("site"), (F.col("id") % n_sites)).alias("site"),
+            (F.col("id") * 7).alias("val"),
+        )
+    )
+
+
+def test_snapshot_commit_writes_version_manifest(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = _site_df(spark)
+    name = sn.write_snapshot(df, root, partition_by="site")
+    man = im.read_manifest(spark, f"{root}/{name}")
+    assert man is not None and "" in man["relations"]
+    entry = man["relations"][""]
+    assert entry["partition_col"] == "site"
+    assert entry["total_rows"] == 400
+    assert len(entry["partitions"]) == 40
+    assert entry["schema_json"] is not None
+
+    via = sn.read_current(spark, root)
+    assert via.count() == 400
+    assert sorted(via.columns) == ["id", "site", "val"]
+    direct = spark.read.parquet(f"{root}/{name}")
+    assert via.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via).count() == 0
+
+    probe = sn.read_current(spark, root, partitions=["site3"])
+    assert probe.count() == 10
+    assert {r.site for r in probe.select("site").distinct().collect()} == {"site3"}
+
+
+def test_snapshot_cold_read_no_listing_job_and_unprobed_dirs_untouched(
+    spark, tmp_path
+):
+    """The index tier's two pins, applied to the lake store: with the
+    discovery threshold forced to 1, the manifest-backed read schedules
+    ZERO jobs while the plain directory read schedules at least one;
+    and a partitions= probe never touches unprobed site dirs (all
+    chmod-000)."""
+    root = str(tmp_path / "store")
+    sn.write_snapshot(_site_df(spark), root, partition_by="site")
+    name = sn.current_version(spark, root)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1")
+        sc.setJobGroup("lake-listing-ab-plain", "plain dir read")
+        spark.read.parquet(f"{root}/{name}")
+        assert len(tracker.getJobIdsForGroup("lake-listing-ab-plain")) >= 1
+
+        sc.setJobGroup("lake-listing-ab-manifest", "manifest read")
+        sn.read_current(spark, root)
+        assert tracker.getJobIdsForGroup("lake-listing-ab-manifest") == []
+    finally:
+        spark.conf.set(key, prev)
+        sc.setJobGroup("", "")
+
+    locked = []
+    try:
+        for d in os.listdir(f"{root}/{name}"):
+            if d.startswith("site=") and d != "site=site7":
+                p = f"{root}/{name}/{d}"
+                os.chmod(p, 0o000)
+                locked.append(p)
+        probe = sn.read_current(spark, root, partitions=["site7"])
+        assert probe.count() == 10
+    finally:
+        for p in locked:
+            os.chmod(p, 0o755)
+
+
+def test_compaction_recommits_manifest_both_paths(spark, tmp_path):
+    """Both compaction paths produce a NEW version with its own file
+    manifest: full-rewrite compact_snapshot and selective
+    compact_partitions (whose untouched partitions are file-copied) —
+    content identical, manifest row counts matching, reads still
+    manifest-backed."""
+    from data_integration_system_spark.pipeline.layout import (
+        compact_partitions,
+        compact_snapshot,
+    )
+
+    root = str(tmp_path / "store")
+    # fragment: 8 files per site dir
+    df = _site_df(spark).repartition(8)
+    sn.write_snapshot(df, root, partition_by="site")
+    before = {(r.id, r.site, r.val) for r in sn.read_current(spark, root).collect()}
+
+    rep = compact_partitions(spark, root, target_file_bytes=1 << 30)
+    assert rep["compacted"]
+    v2 = rep["version"]
+    man2 = im.read_manifest(spark, f"{root}/{v2}")
+    assert man2 is not None and man2["relations"][""]["total_rows"] == 400
+    assert {
+        (r.id, r.site, r.val) for r in sn.read_current(spark, root).collect()
+    } == before
+
+    root2 = str(tmp_path / "store2")
+    sn.write_snapshot(_site_df(spark).repartition(8), root2, partition_by="site")
+    rep2 = compact_snapshot(spark, root2, target_file_bytes=1 << 30)
+    assert rep2["compacted"]
+    man3 = im.read_manifest(spark, f"{root2}/{rep2['version']}")
+    assert man3 is not None and man3["relations"][""]["total_rows"] == 400
+    assert {
+        (r.id, r.site, r.val) for r in sn.read_current(spark, root2).collect()
+    } == before
+
+
+def test_pre_manifest_version_falls_back_to_directory_read(spark, tmp_path):
+    """A version written before the manifest discipline (simulated by
+    deleting its manifest) stays readable through the plain directory
+    scan, including the partitions= restriction (degrades to a pruned
+    filter instead of an explicit file list)."""
+    root = str(tmp_path / "store")
+    sn.write_snapshot(_site_df(spark), root, partition_by="site")
+    name = sn.current_version(spark, root)
+    os.remove(f"{root}/{name}/{im.MANIFEST_NAME}")
+
+    assert sn.read_current(spark, root).count() == 400
+    probe = sn.read_current(spark, root, partitions=["site5"])
+    assert probe.count() == 10
+    assert {r.site for r in probe.select("site").distinct().collect()} == {"site5"}
+
+
+def test_externally_built_version_gets_manifest_on_commit(spark, tmp_path):
+    """commit_version (the selective-compaction path for externally
+    assembled version dirs) detects the hive layout and commits the
+    file manifest before stamping _SUCCESS and swapping the pointer."""
+    root = str(tmp_path / "store")
+    sn.write_snapshot(_site_df(spark), root, partition_by="site")
+    v1 = sn.current_version(spark, root)
+    name = sn.allocate_version(spark, root)
+    from data_integration_system_spark.pipeline.fsutil import copy_tree
+
+    for d in os.listdir(f"{root}/{v1}"):
+        if d.startswith("site="):
+            copy_tree(spark, f"{root}/{v1}/{d}", f"{root}/{name}/{d}")
+    sn.commit_version(spark, root, name, expect_current=v1)
+    man = im.read_manifest(spark, f"{root}/{name}")
+    assert man is not None
+    assert man["relations"][""]["partition_col"] == "site"
+    assert man["relations"][""]["total_rows"] == 400
+    assert sn.read_current(spark, root).count() == 400
