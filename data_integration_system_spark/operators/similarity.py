@@ -1025,10 +1025,17 @@ def _write_pq_codebooks(
     books: list,
     index_path: str,
     residual: bool = False,
+    auto_stats: dict | None = None,
 ) -> None:
     """``{index}/codebooks`` (one row per (subspace, code)) + ``{index}/
     meta``; k is informational (read-back groups actual rows, never
-    trusts k) — record the LARGEST subspace so a ragged fit is visible."""
+    trusts k) — record the LARGEST subspace so a ragged fit is visible.
+
+    ``auto_stats`` (from choose_residual_mode) marks the residual flag
+    as auto-chosen and logs both measured statistics, so a rebuild's
+    mode decision is auditable from the index alone.  Explicit builds
+    record mode='explicit' with NULL statistics; pre-r15 indexes simply
+    lack the columns (readers access meta fields by name)."""
     rows = [
         (j, c, [float(v) for v in cent])
         for j, book in enumerate(books)
@@ -1041,8 +1048,16 @@ def _write_pq_codebooks(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     local_rows_df(
         spark,
-        [(len(books), max(len(b) for b in books), residual)],
-        "m int, k int, residual boolean",
+        [(
+            len(books),
+            max(len(b) for b in books),
+            residual,
+            "auto" if auto_stats is not None else "explicit",
+            auto_stats.get("ratio") if auto_stats else None,
+            auto_stats.get("lowrank_frac") if auto_stats else None,
+        )],
+        "m int, k int, residual boolean, residual_mode string, "
+        "auto_residual_ratio double, auto_lowrank_frac double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1183,12 +1198,98 @@ def _centroid_map(cent_rows: list) -> dict:
     return {int(r.cent_id): list(r.centroid) for r in cent_rows}
 
 
+#: residual="auto" decision thresholds — the executable form of the
+#: four-regime operating rule (SCALE.md r13/r14/r15).  Residual encoding
+#: pays when clusters are TIGHT (mean normalized residual norm well under
+#: the wide-isotropic band: d3t measures ~0.37, d3c/d3l ~0.63, pure noise
+#: ~1.4) or when residuals are STRUCTURED/low-rank (per-cluster
+#: participation ratio of the residual covariance far below the dimension:
+#: rank-8-of-64 measures ~0.12 vs isotropic ~0.5-1.0 depending on sample
+#: size).  Thresholds sit mid-band so sampling noise can't flip a regime.
+_AUTO_TIGHT_RATIO = 0.5
+_AUTO_LOWRANK_FRAC = 0.35
+_AUTO_SAMPLE_CAP = 20_000
+_AUTO_MIN_CLUSTER_ROWS = 16
+
+
+def choose_residual_mode(
+    assigned: DataFrame,
+    residual_centroids: dict,
+    sample_cap: int = _AUTO_SAMPLE_CAP,
+) -> tuple[bool, dict]:
+    """Measure the residual geometry on a bounded, deterministic sample
+    and decide flat-vs-residual PQ encoding — the r13/r14 evidence
+    table's operating rule made executable (build_ivfpq_index's
+    ``residual="auto"``).  Returns ``(use_residual, stats)`` where
+    stats carries the two measured statistics for the meta log:
+
+    * ``ratio`` — mean L2 norm of the normalized-space residual
+      (vectors are unit, so this IS residual-norm/vector-norm).  Tight
+      clusters (d3t: ~0.37) are where residual encoding wins 6x; the
+      wide-isotropic band (d3c: ~0.63) is where it loses; pure noise
+      (~1.4) is where centroids resolve nothing.
+    * ``lowrank_frac`` — per-cluster participation ratio of the
+      residual covariance, sample-weighted, over the dimension:
+      (sum lam)^2 / sum lam^2 / d.  Anisotropic low-rank residuals
+      (d3l: rank 8 of 64 -> ~0.12) are the structured regime where
+      residual wins at equal norm ratio (Jegou et al. TPAMI 2011 §V);
+      isotropic residuals read ~0.5-1.0.  Computed PER CLUSTER because
+      pooling across clusters with different subspaces washes the
+      structure out to isotropic.
+
+    The sample is the same hash-thinned deterministic draw as
+    fit_pq_codebooks (no RNG — auto picks the same mode on every
+    rebuild of the same corpus), capped small (stats need far fewer
+    rows than a codebook fit).  Clusters with fewer than
+    _AUTO_MIN_CLUSTER_ROWS sampled members are skipped for the
+    covariance statistic (a 64-dim PR from a handful of rows is
+    meaningless); when no cluster qualifies, the decision falls back
+    to the ratio test alone."""
+    import numpy as np
+
+    n = assigned.count()
+    stride = max(1, n // sample_cap)
+    sample = (
+        assigned.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(1 << 20)), "vec_id")
+        .limit(sample_cap)
+        .select("embedding", "cent_id")
+        .collect()
+    )
+    x = np.asarray([r.embedding for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    cmap = _normalized_centroid_map(residual_centroids)
+    cids = np.asarray([int(r.cent_id) for r in sample])
+    resid = x - np.stack([cmap[int(c)] for c in cids])
+    ratio = float(np.linalg.norm(resid, axis=1).mean())
+    d = x.shape[1]
+    prs: list[float] = []
+    weights: list[int] = []
+    for c in np.unique(cids):
+        rc = resid[cids == c]
+        if len(rc) < _AUTO_MIN_CLUSTER_ROWS:
+            continue
+        rc = rc - rc.mean(axis=0)
+        lam = np.linalg.svd(rc, compute_uv=False) ** 2
+        tot = float(lam.sum())
+        if tot <= 0:
+            continue
+        prs.append(tot * tot / float((lam**2).sum()))
+        weights.append(len(rc))
+    frac = float(np.average(prs, weights=weights) / d) if prs else None
+    use_residual = ratio <= _AUTO_TIGHT_RATIO or (
+        frac is not None and frac <= _AUTO_LOWRANK_FRAC
+    )
+    return use_residual, {"ratio": ratio, "lowrank_frac": frac}
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
     index_path: str,
     lloyd_iters: int = _LLOYD_ITERS,
-    residual: bool = False,
+    residual: bool | str = False,
     store_vectors: bool = True,
 ) -> None:
     """Materialize the composed index: ``{index}/codes`` PARTITIONED BY
@@ -1198,7 +1299,13 @@ def build_ivfpq_index(
     fit_pq_codebooks), so incremental growth against the FROZEN
     centroids+codebooks answers identically to a rebuild on the same
     corpus — the same grow-online/refit-offline cadence as the IVF and
-    PQ tiers it composes."""
+    PQ tiers it composes.
+
+    ``residual="auto"`` measures the residual geometry on the fit
+    sample and applies the four-regime operating rule
+    (choose_residual_mode); the chosen mode and both measured
+    statistics are logged into ``{index}/meta`` so a rebuild's choice
+    is auditable."""
     from data_integration_system_spark.operators._common import (
         cluster_for_partitioned_write,
         parallelize_scan,
@@ -1210,7 +1317,13 @@ def build_ivfpq_index(
     assigned = nearest_centroid(
         corpus.select("vec_id", "embedding"), cent
     ).localCheckpoint()  # one assignment feeds fit + encode + write
-    cmap = _centroid_map(cent.collect()) if residual else None
+    cent_rows = cent.collect()
+    auto_stats = None
+    if residual == "auto":
+        residual, auto_stats = choose_residual_mode(
+            assigned, _centroid_map(cent_rows)
+        )
+    cmap = _centroid_map(cent_rows) if residual else None
     books = fit_pq_codebooks(
         assigned if residual else corpus, residual_centroids=cmap
     )
@@ -1234,7 +1347,9 @@ def build_ivfpq_index(
             "overwrite"
         ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    _write_pq_codebooks(spark, books, index_path, residual=residual)
+    _write_pq_codebooks(
+        spark, books, index_path, residual=residual, auto_stats=auto_stats
+    )
     _write_ivfpq_manifest(spark, index_path)
 
 

@@ -1318,6 +1318,100 @@ def test_nearest_centroid_np_matches_hof(spark, tmp_path):
     assert hof == blas and len(hof) == 400
 
 
+def test_residual_auto_lands_on_the_winner_in_all_four_regimes(spark, tmp_path):
+    """residual="auto" is the executable form of the four-regime
+    evidence table (SCALE.md r13/r14): flat on wide-isotropic clusters
+    and on pure noise, residual on tight clusters (norm-ratio rule) and
+    on anisotropic low-rank residuals (structure rule — same norm ratio
+    as the isotropic-flat regime, so the ratio alone CANNOT separate
+    them; the per-cluster participation ratio does).  All four fixtures
+    are seeded, so the choice is pinned, not probabilistic."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators import similarity as sim
+
+    def choice(root):
+        emb = table(spark, root, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= sim._N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        cent = sim.fit_ivf_centroids(spark, root, lloyd_iters=2)
+        assigned = sim.nearest_centroid(corpus, cent).localCheckpoint()
+        return sim.choose_residual_mode(assigned, sim._centroid_map(cent.collect()))
+
+    # wide isotropic (d3c shape, sigma=0.15): flat — ratio in the wide
+    # band, residual covariance ~isotropic
+    iso = str(tmp_path / "iso")
+    sim.generate_clustered_embeddings(spark, iso, n=2000, n_clusters=20)
+    use, st = choice(iso)
+    assert not use
+    assert st["ratio"] > sim._AUTO_TIGHT_RATIO
+    assert st["lowrank_frac"] > sim._AUTO_LOWRANK_FRAC
+
+    # tight (d3t shape, sigma=0.05): residual, via the norm-ratio rule
+    tight = str(tmp_path / "tight")
+    sim.generate_clustered_embeddings(spark, tight, n=2000, n_clusters=20,
+                                      sigma=0.05)
+    use, st = choice(tight)
+    assert use
+    assert st["ratio"] <= sim._AUTO_TIGHT_RATIO
+
+    # anisotropic low-rank (d3l shape, sigma=0.3 rank 8): residual via
+    # the STRUCTURE rule — the ratio sits in the same wide band as the
+    # isotropic-flat regime
+    low = str(tmp_path / "lowrank")
+    sim.generate_clustered_embeddings(spark, low, n=2000, n_clusters=20,
+                                      sigma=0.3, cov_rank=8)
+    use, st = choice(low)
+    assert use
+    assert st["ratio"] > sim._AUTO_TIGHT_RATIO
+    assert st["lowrank_frac"] <= sim._AUTO_LOWRANK_FRAC
+
+    # noise (the unclustered synthetic embeddings table): flat — the
+    # centroids resolve nothing, residual norm ~ vector norm
+    use, st = choice("/root/testdata/sf0.001")
+    assert not use
+    assert st["ratio"] > sim._AUTO_TIGHT_RATIO
+
+
+def test_residual_auto_build_logs_choice_into_meta(spark, tmp_path):
+    """A full build with residual='auto' commits the chosen mode AND
+    both measured statistics into {index}/meta (auditable rebuilds);
+    explicit builds record mode='explicit' with NULL stats."""
+    from data_integration_system_spark.operators import similarity as sim
+
+    root = str(tmp_path / "tightcorpus")
+    sim.generate_clustered_embeddings(spark, root, n=1500, n_clusters=15,
+                                      sigma=0.05)
+    idx = str(tmp_path / "idx_auto")
+    sim.build_ivfpq_index(spark, root, idx, residual="auto")
+    meta = spark.read.parquet(f"{idx}/meta").head()
+    assert meta["residual"] is True  # tight regime -> residual
+    assert meta["residual_mode"] == "auto"
+    assert meta["auto_residual_ratio"] is not None
+    assert meta["auto_residual_ratio"] <= sim._AUTO_TIGHT_RATIO
+    # the built index answers queries through the normal path
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+
+    emb = table(spark, root, "embeddings")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    got = sim.query_ivfpq_index(spark, idx, queries).collect()
+    assert len(got) > 0
+
+    idx2 = str(tmp_path / "idx_explicit")
+    sim.build_ivfpq_index(spark, root, idx2, residual=False,
+                          store_vectors=False)
+    meta2 = spark.read.parquet(f"{idx2}/meta").head()
+    assert meta2["residual"] is False
+    assert meta2["residual_mode"] == "explicit"
+    assert meta2["auto_residual_ratio"] is None
+
+
 def test_clustered_corpus_generator_deterministic(spark, tmp_path):
     """Same (n, n_clusters, seed) => byte-identical corpus regardless of
     how generation was partitioned — the property that lets recall
