@@ -41,6 +41,7 @@ from data_integration_system_spark.pipeline.snapshots import (
     read_current,
     write_snapshot,
 )
+from data_integration_system_spark.registry import query
 
 #: Default parquet row-group target.  Small enough that a selective
 #: filter prunes at useful granularity, large enough that scans stay
@@ -49,6 +50,58 @@ from data_integration_system_spark.pipeline.snapshots import (
 DEFAULT_ROWGROUP_BYTES = 16 * 1024 * 1024
 
 DEFAULT_FILE_BYTES = 128 * 1024 * 1024
+
+
+@query(
+    "snapshot_store_source_probe",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE source IN ('src3', 'src7')
+    GROUP BY source, lang
+    """,
+)
+def snapshot_store_source_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake point probe through the versioned snapshot store (r15): the
+    documents table is committed as a source-partitioned copy-on-write
+    snapshot (pipeline/snapshots.py — the page-store shape, reference
+    filesystem_store.py:201-211 partitioned-by-site writes), then two
+    sources are probed through ``read_current(partitions=...)`` — the
+    manifest-backed read that schedules ZERO file-discovery jobs and
+    never touches unprobed partition dirs (pins:
+    tests/test_lake_manifest.py).  The result is an exact per-
+    (source, lang) rollup, so the oracle is the same aggregation over
+    the raw table — identical rows prove the store's commit + probe
+    path end-to-end.
+
+    Scale shape: the store's partition count tracks the corpus (sites ×
+    dates at 100 TB); the probe reads ONLY the two requested sources'
+    files — listing cost is the manifest JSON, scan cost is the probed
+    slice, and the aggregation is one map-side-combined shuffle on the
+    (source, lang) grain (measured at a 2,000-partition store:
+    0.22 s probe vs 4.9 s plain cold resolve — SCALE.md r15)."""
+    import tempfile
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    root = tempfile.mkdtemp(prefix="snapstore_") + "/store"
+    write_snapshot(
+        cluster_for_partitioned_write(docs, "source", n_sources),
+        root,
+        partition_by="source",
+    )
+    probe = read_current(spark, root, partitions=["src3", "src7"])
+    return probe.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
 
 
 def write_clustered(

@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from data_integration_system_spark.pipeline import jobs as _pjobs  # noqa: F401
+    from data_integration_system_spark.pipeline import layout as _playout  # noqa: F401
     from data_integration_system_spark.streaming import jobs  # noqa: F401
 
 
@@ -90,7 +91,7 @@ _DRIVER_HEAD: list[str] = [
     #
     # (1) NEW this round (policy tier 1; each displaces the window's
     # last r12-tier name into _NEXT_ROTATION_FIRST at that moment):
-    # (none yet)
+    "snapshot_store_source_probe",  # displaced event_type_transitions
     # (2) the 31 r11-stale queries (the registry's oldest rows):
     "join_sortmerge_fact",
     "lang_confusion_matrix",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "domain_mix_weights",
     "embedding_centroid_per_label",
     "event_type_daily_trend",
-    "event_type_transitions",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -153,6 +153,7 @@ _DRIVER_HEAD: list[str] = [
 #: from data with ``python rehearse.py --coverage`` (writes
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "event_type_transitions",  # displaced by r15 newcomer snapshot_store_source_probe
     "event_zscore_outliers",
     "fingerprint_overlap_pairs",
     "group_quantiles",
