@@ -1387,6 +1387,114 @@ def run_retime_minhash_build(spark, tag: str) -> None:
     print(f"  minhash_index_build retime: {row}")
 
 
+def run_online_sink_cadence(spark) -> None:
+    """r15 (VERDICT r14 #8): per-micro-batch cost of the minhash /
+    fingerprint ONLINE sinks at a D3-SCALE index (5M docs) — the
+    24/7-serving cadence question their r11 sf0.1 rows left open.  For
+    each tier: build (or resume) the index over .scale/d3, then drive
+    the sink's foreachBatch callable directly with 3 batches of 400
+    re-ingested docs (shifted ids, identical text — guaranteed matches,
+    output bounded by top_k / min_shared), timing append, probe, and
+    total per batch.  Rows land in SCALE_REHEARSAL_D3.json under
+    ``online_sink_cadence_d3``; a tier already recorded is skipped
+    (resume contract).  Needs the 48g campaign env
+    (SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE_PARTITIONS=128)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.dedup import build_minhash_index
+    from data_integration_system_spark.operators.textops import (
+        build_fingerprint_index,
+    )
+    from data_integration_system_spark.streaming.jobs import (
+        fingerprint_overlap_sink,
+        near_dup_sink,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("online_sink_cadence_d3", {}))
+
+    def flush() -> None:
+        prev["online_sink_cadence_d3"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    docs = table(spark, D3, "documents")
+    n_docs = docs.count()
+
+    def batches(n_batches: int = 3, per_batch: int = 400):
+        from data_integration_system_spark.operators._common import local_rows_df
+
+        base = docs.orderBy("doc_id").limit(n_batches * per_batch).collect()
+        for b in range(n_batches):
+            rows = [
+                (int(r.doc_id) + 9_000_000_000_000 + b * 1_000_000, r.text)
+                for r in base[b * per_batch:(b + 1) * per_batch]
+            ]
+            yield local_rows_df(spark, rows, "doc_id long, text string")
+
+    tiers = {
+        "minhash_near_dup_sink": {
+            "idx_rel": "bands",
+            "idx": os.path.join(HERE, ".scale", "d3_minhash_online"),
+            "build": lambda idx: build_minhash_index(spark, D3, idx),
+            "sink": lambda idx, pairs: near_dup_sink(
+                spark, idx, pairs, top_k_neighbors=4
+            ),
+        },
+        "fingerprint_overlap_sink": {
+            "idx_rel": "fps",
+            "idx": os.path.join(HERE, ".scale", "d3_fp_online"),
+            "build": lambda idx: build_fingerprint_index(spark, D3, idx),
+            "sink": lambda idx, pairs: fingerprint_overlap_sink(
+                spark, idx, pairs
+            ),
+        },
+    }
+    import shutil
+    import tempfile
+
+    for tier, spec in tiers.items():
+        if tier in section:
+            print(f"  {tier}: already recorded, skipping")
+            continue
+        idx = spec["idx"]
+        rel_root = os.path.join(idx, spec["idx_rel"])
+        row: dict = {"corpus_docs": int(n_docs), "batch_docs": 400}
+        if not _glob.glob(os.path.join(rel_root, "**", "_SUCCESS")) and not (
+            os.path.exists(os.path.join(rel_root, "_SUCCESS"))
+        ):
+            t0 = time.perf_counter()
+            spec["build"](idx)
+            row["build_sec"] = round(time.perf_counter() - t0, 3)
+        row["index_files"] = len(
+            _glob.glob(f"{rel_root}/**/*.parquet", recursive=True)
+        )
+        pairs = tempfile.mkdtemp(prefix=f"online_{tier}_") + "/pairs"
+        apply = spec["sink"](idx, pairs)
+        walls = []
+        for i, batch in enumerate(batches()):
+            t0 = time.perf_counter()
+            apply(batch, i)
+            walls.append(round(time.perf_counter() - t0, 3))
+        row["batch_walls_sec"] = walls
+        row["pairs_emitted"] = int(spark.read.parquet(pairs).count())
+        shutil.rmtree(os.path.dirname(pairs), ignore_errors=True)
+        section[tier] = row
+        flush()
+        print(f"  {tier}: {row}")
+
+
 def run_pq_recall(spark) -> None:
     """Design-band recall for the PQ tier at d3 (2M vectors), via the
     planted-twin protocol the sign-LSH campaign uses: plant N_TWINS
@@ -3409,6 +3517,11 @@ def main() -> None:
         help="EWMA sf10 JVM-fold drain (the fold-expressible escape "
         "hatch) against the same pre-staged fixture as --ewma-split",
     )
+    ap.add_argument(
+        "--online-sink-cadence", action="store_true",
+        help="r15: per-micro-batch cost of the minhash/fingerprint "
+        "ONLINE sinks at a d3-scale (5M-doc) index",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -3470,6 +3583,8 @@ def main() -> None:
         run_ewma_fixture_split(spark)
     if args.ewma_jvm_split:
         run_ewma_jvm_split(spark)
+    if args.online_sink_cadence:
+        run_online_sink_cadence(spark)
     if args.time_passjoin:
         run_passjoin_timing(spark)
     if args.ivfpq_curve:
