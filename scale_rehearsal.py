@@ -1495,6 +1495,86 @@ def run_online_sink_cadence(spark) -> None:
         print(f"  {tier}: {row}")
 
 
+def run_online_sink_geometry(spark) -> None:
+    """r15 follow-up to --online-sink-cadence: the per-batch probe cost
+    at 5M docs is dominated by how much of the bands relation the
+    batch's probe buckets cover — 400 docs × 8 bands over 256 fixed
+    buckets covers ~all of them, so the probe SCAN tracks corpus size
+    (the r8 geometry rule, resurfacing at the index tier: bucket count
+    must scale with data).  Quantify both levers on the minhash sink:
+    batch size (400 vs 40 docs) × bucket count (256 — the existing
+    cadence index — vs 4096).  Rows land under
+    ``online_sink_geometry_d3`` (resume: recorded rows are skipped)."""
+    from data_integration_system_spark.operators._common import local_rows_df
+    from data_integration_system_spark.operators.dedup import build_minhash_index
+    from data_integration_system_spark.streaming.jobs import near_dup_sink
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_D3.json")
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    prev = dict(prev)
+    section = dict(prev.get("online_sink_geometry_d3", {}))
+
+    def flush() -> None:
+        prev["online_sink_geometry_d3"] = section
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    from data_integration_system_spark.catalog import table
+
+    docs = table(spark, D3, "documents")
+    base = docs.orderBy("doc_id").limit(1200).collect()
+
+    def batch_df(per_batch: int, b: int, id_base: int):
+        rows = [
+            (int(r.doc_id) + id_base + b * 1_000_000, r.text)
+            for r in base[b * per_batch:(b + 1) * per_batch]
+        ]
+        return local_rows_df(spark, rows, "doc_id long, text string")
+
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    idx256 = os.path.join(HERE, ".scale", "d3_minhash_online")
+    idx4k = os.path.join(HERE, ".scale", "d3_minhash_online4k")
+    cases = {
+        "minhash_256_batch40": (idx256, 256, 40, 9_100_000_000_000),
+        "minhash_4096_batch400": (idx4k, 4096, 400, 9_200_000_000_000),
+        "minhash_4096_batch40": (idx4k, 4096, 40, 9_300_000_000_000),
+    }
+    for name, (idx, n_buckets, per_batch, id_base) in cases.items():
+        if name in section:
+            print(f"  {name}: already recorded, skipping")
+            continue
+        row: dict = {"n_buckets": n_buckets, "batch_docs": per_batch}
+        rel_root = os.path.join(idx, "bands")
+        if not _glob.glob(os.path.join(rel_root, "**", "_SUCCESS")) and not (
+            os.path.exists(os.path.join(rel_root, "_SUCCESS"))
+        ):
+            t0 = time.perf_counter()
+            build_minhash_index(spark, D3, idx, n_buckets=n_buckets)
+            row["build_sec"] = round(time.perf_counter() - t0, 3)
+        pairs = tempfile.mkdtemp(prefix=f"geom_{name}_") + "/pairs"
+        apply = near_dup_sink(spark, idx, pairs, top_k_neighbors=4)
+        walls = []
+        for b in range(3):
+            t0 = time.perf_counter()
+            apply(batch_df(per_batch, b, id_base), b)
+            walls.append(round(time.perf_counter() - t0, 3))
+        row["batch_walls_sec"] = walls
+        row["pairs_emitted"] = int(spark.read.parquet(pairs).count())
+        shutil.rmtree(os.path.dirname(pairs), ignore_errors=True)
+        section[name] = row
+        flush()
+        print(f"  {name}: {row}")
+
+
 def run_pq_recall(spark) -> None:
     """Design-band recall for the PQ tier at d3 (2M vectors), via the
     planted-twin protocol the sign-LSH campaign uses: plant N_TWINS
@@ -3522,6 +3602,11 @@ def main() -> None:
         help="r15: per-micro-batch cost of the minhash/fingerprint "
         "ONLINE sinks at a d3-scale (5M-doc) index",
     )
+    ap.add_argument(
+        "--online-sink-geometry", action="store_true",
+        help="r15: batch-size x bucket-count levers of the online "
+        "minhash sink's per-batch probe cost at d3 scale",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -3585,6 +3670,8 @@ def main() -> None:
         run_ewma_jvm_split(spark)
     if args.online_sink_cadence:
         run_online_sink_cadence(spark)
+    if args.online_sink_geometry:
+        run_online_sink_geometry(spark)
     if args.time_passjoin:
         run_passjoin_timing(spark)
     if args.ivfpq_curve:
