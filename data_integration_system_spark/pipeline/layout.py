@@ -104,6 +104,69 @@ def snapshot_store_source_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_time_travel_diff",
+    oracle="""
+    WITH cur AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ), nxt AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT COALESCE(c.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'DELETED'
+                WHEN c.doc_id IS NULL THEN 'ADDED'
+                WHEN c.h = n.h        THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS change
+    FROM cur c FULL OUTER JOIN nxt n ON c.doc_id = n.doc_id
+    """,
+)
+def snapshot_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel audit diff THROUGH the versioned store (r15):
+    snapshot_reconcile's exact classification (DELETED/ADDED/CHANGED/
+    UNCHANGED by key + hash — reference D5 read-compare,
+    db/postgres_store.py:126-184), but run between two RETAINED
+    versions of one copy-on-write store instead of two in-flight
+    frames: both table versions are COMMITTED via write_snapshot (each
+    publishing its per-version file manifest under the atomic pointer
+    swap), then snapshot_diff resolves them by version name through
+    read_version's manifest-backed scans.  Identical rows to the
+    derivation-level oracle prove commit → retain → time-travel →
+    diff end-to-end under the driver gate; snapshot_reconcile keeps
+    owning the bare join shape.
+
+    Scale shape: the diff joins two (key, hash) PROJECTIONS — payloads
+    never move; version resolution is two manifest JSON reads, zero
+    listing jobs (tests/test_lake_manifest.py pins)."""
+    import tempfile
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.pipeline.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="snapdiff_") + "/store"
+    cur = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    nxt = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("h"),
+    )
+    v1 = write_snapshot(cur, root)
+    v2 = write_snapshot(nxt, root)
+    return snapshot_diff(spark, root, v1, v2, key="doc_id", hash_col="h").select(
+        "doc_id", F.col("status").alias("change")
+    )
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

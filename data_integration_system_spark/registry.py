@@ -92,6 +92,7 @@ _DRIVER_HEAD: list[str] = [
     # (1) NEW this round (policy tier 1; each displaces the window's
     # last r12-tier name into _NEXT_ROTATION_FIRST at that moment):
     "snapshot_store_source_probe",  # displaced event_type_transitions
+    "snapshot_time_travel_diff",  # displaced event_type_daily_trend
     # (2) the 31 r11-stale queries (the registry's oldest rows):
     "join_sortmerge_fact",
     "lang_confusion_matrix",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "doc_ngram_novelty",
     "domain_mix_weights",
     "embedding_centroid_per_label",
-    "event_type_daily_trend",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -154,6 +154,7 @@ _DRIVER_HEAD: list[str] = [
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
     "event_type_transitions",  # displaced by r15 newcomer snapshot_store_source_probe
+    "event_type_daily_trend",  # displaced by r15 newcomer snapshot_time_travel_diff
     "event_zscore_outliers",
     "fingerprint_overlap_pairs",
     "group_quantiles",
