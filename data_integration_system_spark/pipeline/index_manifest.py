@@ -401,6 +401,70 @@ def update_manifest_partitions(
     return man
 
 
+def splice_manifest_from(
+    spark: SparkSession,
+    index_path: str,
+    base: dict,
+    relisted: dict,
+    lockstep: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Commit a manifest for a NEW root derived from another root's
+    committed manifest: every entry is carried forward VERBATIM (the
+    derivation copied those files byte-for-byte — selective compaction's
+    clean partitions), and only ``relisted`` ``{rel: [partition
+    values]}`` are re-walked at ``index_path``.  The new root gets a
+    fresh version counter (it is a different, write-once directory —
+    per-version manifests never mutate).
+
+    This is the between-roots sibling of ``update_manifest_partitions``
+    (r14's within-root splice): without it, selective compaction of a
+    metastore-scale store pays a FULL directory walk per commit even
+    when it rewrote one partition of ten thousand — the exact
+    per-commit regression the r14 streaming-append audit caught for the
+    index tier."""
+    import copy
+
+    manifest: dict = {"version": 1, "relations": {}}
+    for rel, entry in base.get("relations", {}).items():
+        manifest["relations"][rel] = copy.deepcopy(entry)
+    for rel, values in relisted.items():
+        entry = manifest["relations"][rel]
+        part_col = entry["partition_col"]
+        parts = entry["partitions"]
+        root = _rel_root(index_path, rel)
+        lroot = _local_root(spark, root)
+        for v in values:
+            sub = f"{part_col}={v}"
+            files = _list_data_files(spark, f"{root}/{sub}")
+            if not files:
+                parts.pop(str(v), None)
+                continue
+            p: dict = {"files": [], "rows": 0}
+            for rel_path, size in files:
+                full_rel = f"{sub}/{rel_path}"
+                rows = _footer_rows(spark, root, full_rel, lroot)
+                p["files"].append({"path": full_rel, "size": size, "rows": rows})
+                p["rows"] = (
+                    None
+                    if (rows is None or p["rows"] is None)
+                    else p["rows"] + rows
+                )
+            parts[str(v)] = p
+        total: int | None = 0
+        n_files = 0
+        for p in parts.values():
+            n_files += len(p["files"])
+            total = (
+                None if (p["rows"] is None or total is None) else total + p["rows"]
+            )
+        entry["total_rows"] = total
+        entry["n_files"] = n_files
+    if lockstep:
+        assert_lockstep(manifest, lockstep, index_path)
+    _commit(spark, index_path, manifest)
+    return manifest
+
+
 def _commit(spark: SparkSession, index_path: str, manifest: dict) -> None:
     """Publish the manifest.  On local filesystems ``os.replace`` is an
     atomic OVERWRITING rename — a reader sees the old or the new

@@ -232,9 +232,16 @@ def _commit_data_manifest(
     per-partition row counts + stored schema — see
     pipeline/index_manifest.py).  Called BEFORE the pointer swap on a
     write-once dir, so it needs no OCC of its own and is immutable once
-    the version is visible."""
+    the version is visible.  An externally-assembled version that
+    already shipped its own manifest (selective compaction's SPLICED
+    commit — index_manifest.splice_manifest_from) is left untouched:
+    the dir is write-once and single-writer, so a present manifest is
+    authoritative and re-walking it would undo the splice's whole
+    point."""
     from data_integration_system_spark.pipeline import index_manifest as im
 
+    if im.read_manifest(spark, f"{root}/{name}") is not None:
+        return
     im.write_manifest(spark, f"{root}/{name}", {"": partition_by})
 
 

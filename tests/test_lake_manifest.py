@@ -137,6 +137,35 @@ def test_compaction_recommits_manifest_both_paths(spark, tmp_path):
     } == before
 
 
+def test_selective_compaction_splices_manifest_not_full_walk(spark, tmp_path):
+    """Selective compaction commits the new version's manifest by
+    SPLICE: copied clean partitions carry their base entries verbatim,
+    only rewritten partitions are re-listed — and the result must be
+    byte-equal (relations dict) to a full walk of the same version dir.
+    Commit cost then tracks REWRITES, not store size."""
+    from data_integration_system_spark.pipeline.layout import compact_partitions
+
+    root = str(tmp_path / "store")
+    sn.write_snapshot(_site_df(spark).repartition(8), root, partition_by="site")
+    before = {(r.id, r.site, r.val) for r in sn.read_current(spark, root).collect()}
+
+    rep = compact_partitions(spark, root, target_file_bytes=1 << 30,
+                             max_rewrites=3)
+    assert rep["compacted"] and len(rep["rewritten"]) == 3
+    v2 = rep["version"]
+    spliced = im.read_manifest(spark, f"{root}/{v2}")
+    assert spliced is not None and spliced["version"] == 1
+    # the spliced relations must equal a fresh full walk of the same dir
+    full = im.write_manifest(spark, f"{root}/{v2}", {"": "site"})
+    assert spliced["relations"] == full["relations"]
+    assert {
+        (r.id, r.site, r.val) for r in sn.read_current(spark, root).collect()
+    } == before
+    # rewritten partitions really were re-listed (1 file now, was 8)
+    rewritten_val = rep["rewritten"][0].split("=", 1)[1]
+    assert len(spliced["relations"][""]["partitions"][rewritten_val]["files"]) == 1
+
+
 def test_pre_manifest_version_falls_back_to_directory_read(spark, tmp_path):
     """A version written before the manifest discipline (simulated by
     deleting its manifest) stays readable through the plain directory
