@@ -93,6 +93,7 @@ _DRIVER_HEAD: list[str] = [
     # last r12-tier name into _NEXT_ROTATION_FIRST at that moment):
     "snapshot_store_source_probe",  # displaced event_type_transitions
     "snapshot_time_travel_diff",  # displaced event_type_daily_trend
+    "similarity_ivfpq_opq_gain",  # displaced embedding_centroid_per_label
     # (2) the 31 r11-stale queries (the registry's oldest rows):
     "join_sortmerge_fact",
     "lang_confusion_matrix",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "doc_fingerprint",
     "doc_ngram_novelty",
     "domain_mix_weights",
-    "embedding_centroid_per_label",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -155,6 +155,7 @@ _DRIVER_HEAD: list[str] = [
 _NEXT_ROTATION_FIRST: list[str] = [
     "event_type_transitions",  # displaced by r15 newcomer snapshot_store_source_probe
     "event_type_daily_trend",  # displaced by r15 newcomer snapshot_time_travel_diff
+    "embedding_centroid_per_label",  # displaced by r15 newcomer similarity_ivfpq_opq_gain
     "event_zscore_outliers",
     "fingerprint_overlap_pairs",
     "group_quantiles",

@@ -1318,6 +1318,86 @@ def test_nearest_centroid_np_matches_hof(spark, tmp_path):
     assert hof == blas and len(hof) == 400
 
 
+def test_opq_rotation_pays_on_anisotropic_corpus(spark, tmp_path):
+    """OPQ (Ge et al. CVPR 2013): build_ivfpq_index(opq=True) learns an
+    orthogonal rotation that decorrelates the subspace split.  Pinned
+    on the seeded anisotropic fixture at the STARVED x=8 shortlist
+    (where per-slot ADC resolution separates modes): OPQ recall@5 beats
+    flat by a clear margin (measured 0.400 vs 0.275), the stored
+    rotation is orthogonal, the mode round-trips through meta + the
+    manifest, an APPENDED twin is findable (the append path loads and
+    applies the rotation), and the serving handle matches the one-shot
+    path exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators import similarity as sim
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    root = str(tmp_path / "corpus")
+    sim.generate_clustered_embeddings(spark, root, n=4000, n_clusters=20,
+                                      sigma=0.3, cov_rank=8)
+    emb = table(spark, root, "embeddings")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= sim._N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    rows = corpus.collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    X = np.asarray([list(r.embedding) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {}
+    for r in queries.collect():
+        q = np.asarray(list(r.qe))
+        q = q / np.linalg.norm(q)
+        truth[r.q_id] = set(ids[np.argsort(-(Xn @ q))[:5]])
+
+    def recall(idx):
+        got: dict = {}
+        for r in sim.query_ivfpq_index(spark, idx, queries, top_k=5,
+                                       shortlist_x=8).collect():
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / (
+            5 * len(truth)
+        )
+
+    flat_idx = str(tmp_path / "flat")
+    opq_idx = str(tmp_path / "opq")
+    sim.build_ivfpq_index(spark, root, flat_idx, store_vectors=False)
+    sim.build_ivfpq_index(spark, root, opq_idx, store_vectors=False, opq=True)
+
+    meta = spark.read.parquet(f"{opq_idx}/meta").head()
+    assert meta["opq"] is True and meta["residual"] is False
+    R = np.asarray(sim._read_rotation(spark, opq_idx, meta))
+    assert float(np.abs(R @ R.T - np.eye(R.shape[0])).max()) < 1e-9
+    man = im.read_manifest(spark, opq_idx)
+    assert "rotation" in man["relations"]
+
+    rf, ro = recall(flat_idx), recall(opq_idx)
+    assert ro >= rf + 0.05, (rf, ro)
+
+    # append path applies the stored rotation: a twin of query 0 must
+    # win rank 1 through the rotated codes
+    twin = queries.filter(F.col("q_id") == 0).select(
+        F.lit(99_000_000).cast("long").alias("vec_id"),
+        F.col("qe").alias("embedding"),
+    )
+    sim.append_ivfpq_index(spark, opq_idx, twin)
+    got = {
+        (r.q_id, r.c_id, r.rnk)
+        for r in sim.query_ivfpq_index(spark, opq_idx, queries).collect()
+    }
+    assert (0, 99_000_000, 1) in got
+
+    handle = sim.open_ivfpq_index(spark, opq_idx)
+    a = {tuple(r) for r in sim.query_ivfpq_index(spark, opq_idx, queries).collect()}
+    b = {tuple(r) for r in handle.query(queries).collect()}
+    assert a == b
+
+
 def test_residual_auto_lands_on_the_winner_in_all_four_regimes(spark, tmp_path):
     """residual="auto" is the executable form of the four-regime
     evidence table (SCALE.md r13/r14): flat on wide-isotropic clusters
