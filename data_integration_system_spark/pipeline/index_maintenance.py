@@ -52,17 +52,22 @@ def _builders() -> dict[str, Callable[[SparkSession, str, str], None]]:
 
 
 def rebuild_index(
-    spark: SparkSession, kind: str, sf_dir: str, index_path: str
+    spark: SparkSession, kind: str, sf_dir: str, index_path: str, **knobs
 ) -> str:
     """Full refit-and-rewrite of one index tier into ``index_path``;
     returns the path.  All builders share the (spark, sf_dir,
     index_path) contract and their own determinism guarantees, so a
     rebuild on an unchanged corpus is bit-identical to the original
-    build (the append tests' invariant)."""
+    build (the append tests' invariant).  ``knobs`` pass through to the
+    builder — the ivfpq tier's ``residual`` ("auto" measures the fit
+    sample and logs the choice into meta) and ``opq`` (learned-rotation
+    codebooks), so a scheduled rebuild can apply the measured operating
+    rules instead of silently resetting a mode-built index to the
+    defaults."""
     builders = _builders()
     if kind not in builders:
         raise ValueError(f"unknown index kind {kind!r}; have {sorted(builders)}")
-    builders[kind](spark, sf_dir, index_path)
+    builders[kind](spark, sf_dir, index_path, **knobs)
     return index_path
 
 
@@ -82,12 +87,32 @@ def _main(argv: list[str]) -> int:
         metavar="INDEX_PATH",
         help="overwrite an existing index (offline windows only — not atomic under probes)",
     )
+    ap.add_argument(
+        "--residual",
+        choices=["auto", "true", "false"],
+        help="ivfpq only: PQ encoding mode ('auto' measures the fit "
+        "sample and applies the four-regime rule, logged into meta)",
+    )
+    ap.add_argument(
+        "--opq",
+        action="store_true",
+        help="ivfpq only: fit learned-rotation (OPQ) codebooks",
+    )
     args = ap.parse_args(argv)
+    knobs: dict = {}
+    if args.residual is not None:
+        knobs["residual"] = {
+            "auto": "auto", "true": True, "false": False,
+        }[args.residual]
+    if args.opq:
+        knobs["opq"] = True
+    if knobs and args.kind != "ivfpq":
+        ap.error("--residual/--opq apply to the ivfpq tier only")
     from data_integration_system_spark.session import get_spark
 
     spark = get_spark("index-maintenance")
     target = args.into or args.in_place
-    rebuild_index(spark, args.kind, args.sf_dir, target)
+    rebuild_index(spark, args.kind, args.sf_dir, target, **knobs)
     print(f"rebuilt {args.kind} index at {target}")
     return 0
 

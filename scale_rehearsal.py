@@ -3191,6 +3191,91 @@ def run_ivfpq_lowrank(spark) -> None:
                   f"med3 {mrow['query_sec_med3']}s")
 
 
+def run_opq_d3l(spark) -> None:
+    """r15: OPQ at production scale — the fifth row of the code-quality
+    evidence table.  The d3l corpus (2M vectors, anisotropic rank-8
+    cluster noise, k=1,414) is where r14 measured flat 0.80 / residual
+    0.90 recall@5 at the starved x=8 shortlist; OPQ attacks the same
+    anisotropy from the other side (rotate the split instead of
+    re-centering the codes), so this section places it on the same
+    ladder: build .scale/d3l_idx_opq (flat codes + learned rotation),
+    reuse the stored truth pairs (r14 campaign-reuse rule), measure
+    recall at x=8 and at the counted default, plus an in-session flat
+    A/B replay to anchor against the recorded 0.80.  Section "d3l_opq"
+    in SCALE_REHEARSAL_RECALL.json; every sub-step resumes."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    with open(path) as fh:
+        prev = json.load(fh)
+    prev = dict(prev)
+    row = dict(prev.get("d3l_opq", {}))
+
+    def flush() -> None:
+        prev["d3l_opq"] = row
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    truth = {tuple(p) for p in prev["d3_lowrank"]["truth"]["pairs"]}
+    emb = table(spark, D3L, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    qdf = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .localCheckpoint()
+    )
+
+    idx = os.path.join(HERE, ".scale", "d3l_idx_opq")
+    if "build_sec" not in row or not os.path.exists(
+        os.path.join(idx, "rotation", "_SUCCESS")
+    ):
+        t0 = time.perf_counter()
+        build_ivfpq_index(spark, D3L, idx, opq=True)
+        row["build_sec"] = round(time.perf_counter() - t0, 3)
+        flush()
+        print(f"  opq build: {row['build_sec']}s")
+
+    def measure(idx_path, **kw):
+        walls, got = [], set()
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = query_ivfpq_index(
+                spark, idx_path, qdf, vectors=corpus, nprobe=3, **kw
+            ).collect()
+            walls.append(round(time.perf_counter() - t0, 3))
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+        return {
+            "recall_at_5": round(len(got & truth) / len(truth), 4),
+            "query_sec_med3": statistics.median(walls),
+        }
+
+    if "opq_x8" not in row:
+        row["opq_x8"] = measure(idx, shortlist_x=8)
+        flush()
+        print(f"  opq x8: {row['opq_x8']}")
+    if "opq_default" not in row:
+        row["opq_default"] = measure(idx)
+        flush()
+        print(f"  opq default: {row['opq_default']}")
+    if "flat_x8_replay" not in row:
+        flat_idx = os.path.join(HERE, ".scale", "d3l_idx_flat")
+        row["flat_x8_replay"] = measure(flat_idx, shortlist_x=8)
+        row["r14_recorded"] = {
+            "flat_x8": prev["d3_lowrank"]["flat"]["recall_x8"],
+            "residual_x8": prev["d3_lowrank"]["residual"]["recall_x8"],
+        }
+        flush()
+        print(f"  flat x8 replay: {row['flat_x8_replay']}")
+
+
 def run_index_cold_probes(spark) -> None:
     """VERDICT r13 #4: the cold-open listing cost of the OTHER four
     index tiers, one row each.  The d3c IVFADC paid ~4 s of listing at
@@ -3607,6 +3692,11 @@ def main() -> None:
         help="r15: batch-size x bucket-count levers of the online "
         "minhash sink's per-batch probe cost at d3 scale",
     )
+    ap.add_argument(
+        "--opq-d3l", action="store_true",
+        help="r15: OPQ recall at d3l scale (2M anisotropic vectors) "
+        "vs the recorded flat/residual x8 rows",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -3672,6 +3762,8 @@ def main() -> None:
         run_online_sink_cadence(spark)
     if args.online_sink_geometry:
         run_online_sink_geometry(spark)
+    if args.opq_d3l:
+        run_opq_d3l(spark)
     if args.time_passjoin:
         run_passjoin_timing(spark)
     if args.ivfpq_curve:
