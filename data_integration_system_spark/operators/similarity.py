@@ -1424,6 +1424,38 @@ def choose_residual_mode(
     return use_residual, {"ratio": ratio, "lowrank_frac": frac}
 
 
+def choose_codes_mode(
+    assigned: DataFrame,
+    residual_centroids: dict,
+    sample_cap: int = _AUTO_SAMPLE_CAP,
+) -> tuple[str, dict]:
+    """The FIVE-ROW code-quality ladder (SCALE.md r15) made executable
+    — build_ivfpq_index(mode="auto")'s decision function.  Same two
+    measured statistics as choose_residual_mode, one more outcome:
+
+    * tight clusters (ratio <= 0.5) -> **residual** — re-centering is
+      the win there (a rotation cannot shrink a norm; d3t: 6x).
+    * structured / low-rank residuals (lowrank_frac <= 0.35) ->
+      **opq** — at d3l scale OPQ matches residual's starved-shortlist
+      recall (0.90) at 1.65x lower query cost (one LUT per query vs
+      one per probed centroid), so on structure alone OPQ dominates.
+    * isotropic wide / noise -> **flat** — both alternatives measured
+      as pure cost there.
+
+    Returns ``(mode, stats)`` with mode in {"flat", "residual",
+    "opq"}.  choose_residual_mode keeps its two-way semantics for the
+    ``residual="auto"`` knob (residual-vs-flat, the r14 evidence);
+    this is the r15 front door that also knows OPQ exists."""
+    use_residual, stats = choose_residual_mode(
+        assigned, residual_centroids, sample_cap
+    )
+    if stats["ratio"] <= _AUTO_TIGHT_RATIO:
+        return "residual", stats
+    if use_residual:  # structure rule fired, not the tight rule
+        return "opq", stats
+    return "flat", stats
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1432,6 +1464,7 @@ def build_ivfpq_index(
     residual: bool | str = False,
     store_vectors: bool = True,
     opq: bool = False,
+    mode: str | None = None,
 ) -> None:
     """Materialize the composed index: ``{index}/codes`` PARTITIONED BY
     cent_id (each vector's m-byte PQ code lives in its IVF partition),
@@ -1453,7 +1486,14 @@ def build_ivfpq_index(
     stored as ``{index}/rotation`` (KBs) and flagged in meta, and
     every encode/LUT path applies it symmetrically.  Pays on
     anisotropic data (correlated dims split across subspaces); on
-    isotropic data it degrades gracefully to plain PQ."""
+    isotropic data it degrades gracefully to plain PQ.
+
+    ``mode`` is the unified front door over both knobs: "flat",
+    "residual", "opq" set them explicitly; ``mode="auto"`` measures the
+    fit sample and applies the full five-row ladder
+    (choose_codes_mode: tight→residual, structured→opq,
+    isotropic/noise→flat), logged into meta.  When ``mode`` is given it
+    overrides ``residual``/``opq``."""
     from data_integration_system_spark.operators._common import (
         cluster_for_partitioned_write,
         parallelize_scan,
@@ -1467,7 +1507,20 @@ def build_ivfpq_index(
     ).localCheckpoint()  # one assignment feeds fit + encode + write
     cent_rows = cent.collect()
     auto_stats = None
-    if residual == "auto":
+    if mode is not None:
+        if mode == "auto":
+            chosen, auto_stats = choose_codes_mode(
+                assigned, _centroid_map(cent_rows)
+            )
+        elif mode in ("flat", "residual", "opq"):
+            chosen = mode
+        else:
+            raise ValueError(
+                f"mode must be 'auto', 'flat', 'residual', or 'opq'; got {mode!r}"
+            )
+        residual = chosen == "residual"
+        opq = chosen == "opq"
+    elif residual == "auto":
         residual, auto_stats = choose_residual_mode(
             assigned, _centroid_map(cent_rows)
         )

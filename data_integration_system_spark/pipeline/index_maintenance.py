@@ -98,6 +98,13 @@ def _main(argv: list[str]) -> int:
         action="store_true",
         help="ivfpq only: fit learned-rotation (OPQ) codebooks",
     )
+    ap.add_argument(
+        "--mode",
+        choices=["auto", "flat", "residual", "opq"],
+        help="ivfpq only: unified code-mode front door ('auto' applies "
+        "the full five-row ladder: tight→residual, structured→opq, "
+        "isotropic/noise→flat; overrides --residual/--opq)",
+    )
     args = ap.parse_args(argv)
     knobs: dict = {}
     if args.residual is not None:
@@ -106,8 +113,10 @@ def _main(argv: list[str]) -> int:
         }[args.residual]
     if args.opq:
         knobs["opq"] = True
+    if args.mode is not None:
+        knobs["mode"] = args.mode
     if knobs and args.kind != "ivfpq":
-        ap.error("--residual/--opq apply to the ivfpq tier only")
+        ap.error("--residual/--opq/--mode apply to the ivfpq tier only")
     from data_integration_system_spark.session import get_spark
 
     spark = get_spark("index-maintenance")

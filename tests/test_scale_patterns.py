@@ -1418,41 +1418,59 @@ def test_residual_auto_lands_on_the_winner_in_all_four_regimes(spark, tmp_path):
         )
         cent = sim.fit_ivf_centroids(spark, root, lloyd_iters=2)
         assigned = sim.nearest_centroid(corpus, cent).localCheckpoint()
-        return sim.choose_residual_mode(assigned, sim._centroid_map(cent.collect()))
+        cmap = sim._centroid_map(cent.collect())
+        use, st = sim.choose_residual_mode(assigned, cmap)
+        mode, st2 = sim.choose_codes_mode(assigned, cmap)
+        assert st == st2  # one measurement feeds both rules
+        return use, st, mode
 
     # wide isotropic (d3c shape, sigma=0.15): flat — ratio in the wide
     # band, residual covariance ~isotropic
     iso = str(tmp_path / "iso")
     sim.generate_clustered_embeddings(spark, iso, n=2000, n_clusters=20)
-    use, st = choice(iso)
-    assert not use
+    use, st, mode = choice(iso)
+    assert not use and mode == "flat"
     assert st["ratio"] > sim._AUTO_TIGHT_RATIO
     assert st["lowrank_frac"] > sim._AUTO_LOWRANK_FRAC
 
     # tight (d3t shape, sigma=0.05): residual, via the norm-ratio rule
+    # (re-centering is the win — a rotation cannot shrink a norm)
     tight = str(tmp_path / "tight")
     sim.generate_clustered_embeddings(spark, tight, n=2000, n_clusters=20,
                                       sigma=0.05)
-    use, st = choice(tight)
-    assert use
+    use, st, mode = choice(tight)
+    assert use and mode == "residual"
     assert st["ratio"] <= sim._AUTO_TIGHT_RATIO
 
-    # anisotropic low-rank (d3l shape, sigma=0.3 rank 8): residual via
-    # the STRUCTURE rule — the ratio sits in the same wide band as the
-    # isotropic-flat regime
+    # anisotropic low-rank (d3l shape, sigma=0.3 rank 8): the STRUCTURE
+    # rule — residual under the two-way r14 rule, OPQ under the r15
+    # ladder (same recall at 1.65x lower query cost, SCALE.md r15)
     low = str(tmp_path / "lowrank")
     sim.generate_clustered_embeddings(spark, low, n=2000, n_clusters=20,
                                       sigma=0.3, cov_rank=8)
-    use, st = choice(low)
-    assert use
+    use, st, mode = choice(low)
+    assert use and mode == "opq"
     assert st["ratio"] > sim._AUTO_TIGHT_RATIO
     assert st["lowrank_frac"] <= sim._AUTO_LOWRANK_FRAC
 
     # noise (the unclustered synthetic embeddings table): flat — the
     # centroids resolve nothing, residual norm ~ vector norm
-    use, st = choice("/root/testdata/sf0.001")
-    assert not use
+    use, st, mode = choice("/root/testdata/sf0.001")
+    assert not use and mode == "flat"
     assert st["ratio"] > sim._AUTO_TIGHT_RATIO
+
+    # mode="auto" builds through the ladder: the low-rank fixture gets
+    # an OPQ index end-to-end (rotation stored, meta flagged, queryable)
+    idx = str(tmp_path / "idx_mode_auto")
+    sim.build_ivfpq_index(spark, low, idx, mode="auto", store_vectors=False)
+    meta = spark.read.parquet(f"{idx}/meta").head()
+    assert meta["opq"] is True and meta["residual"] is False
+    assert meta["residual_mode"] == "auto"
+    emb = table(spark, low, "embeddings")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    assert sim.query_ivfpq_index(spark, idx, queries).count() > 0
 
 
 def test_residual_auto_build_logs_choice_into_meta(spark, tmp_path):
