@@ -1510,11 +1510,18 @@ def build_ivfpq_index(
     isotropic data it degrades gracefully to plain PQ.
 
     ``mode`` is the unified front door over both knobs: "flat",
-    "residual", "opq" set them explicitly; ``mode="auto"`` measures the
-    fit sample and applies the full five-row ladder
-    (choose_codes_mode: tight→residual, structured→opq,
-    isotropic/noise→flat), logged into meta.  When ``mode`` is given it
-    overrides ``residual``/``opq``."""
+    "residual", "opq", "residual+opq" set them explicitly;
+    ``mode="auto"`` measures the fit sample and applies the full
+    five-row ladder (choose_codes_mode: tight→residual,
+    structured→opq, isotropic/noise→flat), logged into meta.  When
+    ``mode`` is given it overrides ``residual``/``opq``.
+
+    "residual+opq" composes both: codes encode the ROTATED residual
+    (x_norm − c_norm) @ R — fit_opq learns the rotation on the residual
+    sample, pq_encode/pq_shortlist apply residual shift then rotation
+    symmetrically (the per-probed-centroid LUT shape; query cost is
+    residual's, since the LUT-per-probed-centroid dominates).  See the
+    SCALE.md r16 composition row for where it pays vs the pure modes."""
     from data_integration_system_spark.operators._common import (
         cluster_for_partitioned_write,
         parallelize_scan,
@@ -1533,14 +1540,15 @@ def build_ivfpq_index(
             chosen, auto_stats = choose_codes_mode(
                 assigned, _centroid_map(cent_rows)
             )
-        elif mode in ("flat", "residual", "opq"):
+        elif mode in ("flat", "residual", "opq", "residual+opq"):
             chosen = mode
         else:
             raise ValueError(
-                f"mode must be 'auto', 'flat', 'residual', or 'opq'; got {mode!r}"
+                "mode must be 'auto', 'flat', 'residual', 'opq', or "
+                f"'residual+opq'; got {mode!r}"
             )
-        residual = chosen == "residual"
-        opq = chosen == "opq"
+        residual = chosen in ("residual", "residual+opq")
+        opq = chosen in ("opq", "residual+opq")
     elif residual == "auto":
         residual, auto_stats = choose_residual_mode(
             assigned, _centroid_map(cent_rows)

@@ -91,6 +91,7 @@ _DRIVER_HEAD: list[str] = [
     #
     # (1) NEW this round (policy tier 1; each displaces the window's
     # last r13-tier name into _NEXT_ROTATION_FIRST at that moment):
+    "snapshot_maintenance_compaction",  # displaced filter_size_cap
     # (2) the 34 r12-stale queries (the registry's oldest rows):
     "event_type_transitions",
     "event_type_daily_trend",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "exact_substring_dup_spans",
     "filter_blocklist",
     "filter_scope",
-    "filter_size_cap",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -153,6 +153,7 @@ _DRIVER_HEAD: list[str] = [
 #: from data with ``python rehearse.py --coverage`` (writes
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
+    "filter_size_cap",  # displaced by r16 newcomer snapshot_maintenance_compaction
     "forecast_revenue",
     "group_quantiles_dist",
     "group_quantiles_jvm",

@@ -201,3 +201,59 @@ def test_externally_built_version_gets_manifest_on_commit(spark, tmp_path):
     assert man["relations"][""]["partition_col"] == "site"
     assert man["relations"][""]["total_rows"] == 400
     assert sn.read_current(spark, root).count() == 400
+
+
+def test_maintenance_pass_end_to_end_zero_listing_after_splice(spark, tmp_path):
+    """The full scheduled-maintenance pass behind the r16 driver row
+    (snapshot_maintenance_compaction): a store with two fragmented and
+    many clean site partitions goes through maintain_snapshot_store —
+    selective rewrite, clean-partition byte-copy, manifest SPLICE,
+    version prune — and the post-maintenance current read must still
+    schedule ZERO listing jobs (the spliced manifest, not a walk, feeds
+    the scan) while file counts prove the rewrite really compacted."""
+    from data_integration_system_spark.pipeline.maintenance import (
+        maintain_snapshot_store,
+    )
+
+    root = str(tmp_path / "store")
+    # throwaway v1 for the prune budget
+    sn.write_snapshot(_site_df(spark, 10, 1), root, partition_by="site")
+    # v2: sites 0/1 fragmented 8 ways, sites 2..9 one file each
+    df = _site_df(spark, 400, 10)
+    frag = df.filter(F.col("site").isin("site0", "site1")).repartition(8, "id")
+    clean = df.filter(~F.col("site").isin("site0", "site1")).repartition(8, "site")
+    sn.write_snapshot(clean.unionByName(frag), root, partition_by="site")
+    before = {(r.id, r.site, r.val) for r in sn.read_current(spark, root).collect()}
+
+    rep = maintain_snapshot_store(
+        spark, root, target_file_bytes=1 << 30, keep_versions=2
+    )
+    assert rep["compacted"]
+    assert sorted(rep["rewritten"]) == ["site=site0", "site=site1"]
+    assert rep["copied_partitions"] == 8
+    assert rep["pruned_versions"] == ["v000001"]
+    assert sn.list_versions(spark, root) == ["v000002", "v000003"]
+
+    man = im.read_manifest(spark, f"{root}/v000003")
+    for site in ("site0", "site1"):
+        assert len(man["relations"][""]["partitions"][site]["files"]) == 1
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    try:
+        sc.setJobGroup("maintained-read", "post-maintenance current read")
+        after = {
+            (r.id, r.site, r.val) for r in sn.read_current(spark, root).collect()
+        }
+        jobs = tracker.getJobIdsForGroup("maintained-read")
+    finally:
+        sc.setJobGroup("", "")
+    assert after == before
+    # one job = the collect scan itself; no extra listing/schema jobs
+    assert len(jobs) == 1, jobs
+
+    # time travel to the retained pre-compaction version still works
+    assert {
+        (r.id, r.site, r.val)
+        for r in sn.read_version(spark, root, "v000002").collect()
+    } == before

@@ -1910,3 +1910,50 @@ def test_residual_beats_flat_on_tight_clusters(spark, tmp_path):
         }
         recall[mode] = len(got & truth) / len(truth)
     assert recall["residual"] > recall["flat"], recall
+
+
+def test_residual_opq_composition_builds_and_answers(spark, tmp_path):
+    """mode="residual+opq" (r16): codes encode the ROTATED residual —
+    fit_opq learns R on the residual sample, encode applies
+    normalize → subtract centroid → rotate, and the query side builds
+    one rotated LUT per probed centroid.  Pins: both meta flags set,
+    rotation stored and orthogonal, end-to-end query answers, and the
+    append path composes both transforms (a planted twin of query 0
+    must win rank 1 through codes appended AFTER the build)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators import similarity as sim
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    root = str(tmp_path / "corpus")
+    # tight AND structured: the regime the composed mode exists for
+    sim.generate_clustered_embeddings(
+        spark, root, n=2000, n_clusters=20, sigma=0.3, cov_rank=8
+    )
+    idx = str(tmp_path / "idx_resopq")
+    sim.build_ivfpq_index(spark, root, idx, mode="residual+opq",
+                          store_vectors=False)
+    meta = spark.read.parquet(f"{idx}/meta").head()
+    assert meta["residual"] is True and meta["opq"] is True
+    R = np.asarray(sim._read_rotation(spark, idx, meta))
+    assert float(np.abs(R @ R.T - np.eye(R.shape[0])).max()) < 1e-9
+    assert "rotation" in im.read_manifest(spark, idx)["relations"]
+
+    emb = table(spark, root, "embeddings")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    assert sim.query_ivfpq_index(spark, idx, queries).count() > 0
+
+    twin = queries.filter(F.col("q_id") == 0).select(
+        F.lit(99_000_000).cast("long").alias("vec_id"),
+        F.col("qe").alias("embedding"),
+    )
+    sim.append_ivfpq_index(spark, idx, twin)
+    got = {
+        (r.q_id, r.c_id, r.rnk)
+        for r in sim.query_ivfpq_index(spark, idx, queries).collect()
+    }
+    assert (0, 99_000_000, 1) in got
