@@ -771,7 +771,15 @@ def fit_opq(
     Deterministic end-to-end: the sample draw is the fit_pq_codebooks
     hash-thinned one, Lloyd init is first-k-distinct, and SVD of a
     fixed matrix is deterministic — build and rebuild agree
-    bit-for-bit on the same corpus (the append parity contract)."""
+    bit-for-bit on the same corpus (the append parity contract).
+
+    Cost (measured at d3l, SCALE.md r16): ~94% of an OPQ build's
+    premium over flat is THIS function — ~111 s of driver numpy at
+    defaults, linear in ``opq_iters`` (each alternation refits m books
+    on the sample and takes one d×d SVD) and bounded by ``sample_cap``
+    regardless of corpus size, so it amortizes as a fixed per-rebuild
+    cost; the per-vector encode side adds only one d×d matmul per
+    Arrow batch (~7 s over 2M vectors)."""
     import numpy as np
 
     n = corpus.count()
@@ -1466,7 +1474,10 @@ def choose_codes_mode(
     Returns ``(mode, stats)`` with mode in {"flat", "residual",
     "opq"}.  choose_residual_mode keeps its two-way semantics for the
     ``residual="auto"`` knob (residual-vs-flat, the r14 evidence);
-    this is the r15 front door that also knows OPQ exists."""
+    this is the r15 front door that also knows OPQ exists.  The
+    "residual+opq" composition was measured at 2M scale and REJECTED
+    from the ladder (never beats the best pure mode on either regime —
+    SCALE.md r16), so auto never returns it."""
     use_residual, stats = choose_residual_mode(
         assigned, residual_centroids, sample_cap
     )
@@ -1520,8 +1531,13 @@ def build_ivfpq_index(
     (x_norm − c_norm) @ R — fit_opq learns the rotation on the residual
     sample, pq_encode/pq_shortlist apply residual shift then rotation
     symmetrically (the per-probed-centroid LUT shape; query cost is
-    residual's, since the LUT-per-probed-centroid dominates).  See the
-    SCALE.md r16 composition row for where it pays vs the pure modes."""
+    residual's).  Measured at 2M-vector scale (SCALE.md r16): the
+    composition NEVER beats the best pure mode — 0.875 vs 0.90 on
+    low-rank (per-cluster subspaces differ, so one global rotation of
+    pooled residuals decorrelates none of them), 0.35 vs residual's
+    0.45 on tight (the fit chases sample noise in near-isotropic
+    residuals) — so the auto ladder never picks it; the knob ships for
+    corpora that are simultaneously tight AND globally structured."""
     from data_integration_system_spark.operators._common import (
         cluster_for_partitioned_write,
         parallelize_scan,

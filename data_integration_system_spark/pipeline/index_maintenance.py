@@ -100,10 +100,11 @@ def _main(argv: list[str]) -> int:
     )
     ap.add_argument(
         "--mode",
-        choices=["auto", "flat", "residual", "opq"],
+        choices=["auto", "flat", "residual", "opq", "residual+opq"],
         help="ivfpq only: unified code-mode front door ('auto' applies "
         "the full five-row ladder: tight→residual, structured→opq, "
-        "isotropic/noise→flat; overrides --residual/--opq)",
+        "isotropic/noise→flat; 'residual+opq' composes both — rotated "
+        "residual codes; overrides --residual/--opq)",
     )
     args = ap.parse_args(argv)
     knobs: dict = {}

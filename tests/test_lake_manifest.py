@@ -257,3 +257,48 @@ def test_maintenance_pass_end_to_end_zero_listing_after_splice(spark, tmp_path):
         (r.id, r.site, r.val)
         for r in sn.read_version(spark, root, "v000002").collect()
     } == before
+
+
+def test_flat_clustered_layout_schedules_no_listing_job(spark, tmp_path):
+    """The r16 layout-dir adjudication's measured pin: a flat
+    (single-directory) clustered layout never schedules a distributed
+    listing job, even with MORE FILES than the 32-path discovery
+    threshold — the threshold counts directories, not files, so
+    write_clustered/write_zordered outputs need no manifest (SCALE.md
+    r16).  Cold-read budget: at most one job before the scan (parquet
+    schema inference, a 1-task footer read), never an ~n_files-task
+    listing."""
+    from data_integration_system_spark.pipeline.layout import write_clustered
+
+    path = str(tmp_path / "clustered40")
+    write_clustered(
+        spark.range(4000).select(
+            F.col("id"), (F.col("id") % 97).alias("k")
+        ),
+        path,
+        ["id"],
+        n_files=40,
+    )
+    n_files = len([
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ])
+    assert n_files == 40  # above the 32-PATH threshold on purpose
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    try:
+        sc.setJobGroup("flat-layout-cold", "cold clustered-layout read")
+        df = spark.read.parquet(path)
+        pre_scan = tracker.getJobIdsForGroup("flat-layout-cold")
+        # reader construction: schema inference only — 1 job, 1 task
+        assert len(pre_scan) <= 1, pre_scan
+        for j in pre_scan:
+            stages = tracker.getJobInfo(j).stageIds
+            n_tasks = sum(
+                tracker.getStageInfo(s).numTasks for s in stages
+            )
+            assert n_tasks <= 1, (j, n_tasks)
+        assert df.count() == 4000
+    finally:
+        sc.setJobGroup("", "")
