@@ -1494,7 +1494,7 @@ def build_ivfpq_index(
     index_path: str,
     lloyd_iters: int = _LLOYD_ITERS,
     residual: bool | str = False,
-    store_vectors: bool = True,
+    store_vectors: bool | str = True,
     opq: bool = False,
     mode: str | None = None,
 ) -> None:
@@ -1593,9 +1593,18 @@ def build_ivfpq_index(
     # instead of joining against the full corpus (512 MB/query at d3c,
     # unbounded at 100 TB) — the IVFFlat-refine layout production ANN
     # services run; storage pays one extra corpus copy at the index.
+    # store_vectors="sq8" (r16) stores that copy SCALAR-QUANTIZED
+    # (per-vector affine uint8, sq8_encode): ~3x less storage and
+    # probed re-rank I/O at measured-zero recall cost (SCALE.md r16).
     # store_vectors=False opts out (evaluation loops that re-rank
     # against an explicit corpus anyway, storage-tight deployments).
-    if store_vectors:
+    if store_vectors == "sq8":
+        cluster_for_partitioned_write(
+            sq8_encode(assigned, carry=("cent_id",)), "cent_id", k
+        ).write.mode("overwrite").partitionBy("cent_id").parquet(
+            f"{index_path}/vectors"
+        )
+    elif store_vectors:
         cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
             "overwrite"
         ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
@@ -1645,9 +1654,26 @@ def append_ivfpq_index(
     # CODES whose re-rank join silently dropped those candidates forever
     # (r14 ADVICE).  The manifest lockstep check below makes any
     # surviving divergence fail loudly at commit time.
+    from data_integration_system_spark.pipeline import index_manifest as im
+
+    man = im.read_manifest(spark, index_path)
     has_vectors = _fs_exists(spark, f"{index_path}/vectors")
     if has_vectors:
-        cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
+        # an SQ8 vectors relation (store_vectors="sq8") must be appended
+        # in its own encoding — detected from the manifest's stored
+        # schema (zero jobs) with a reader-schema fallback for
+        # pre-manifest indexes
+        vec_schema = None
+        if man is not None and "vectors" in man.get("relations", {}):
+            vec_schema = im._stored_schema(man["relations"]["vectors"])
+        if vec_schema is None:
+            vec_schema = spark.read.parquet(f"{index_path}/vectors").schema
+        payload = (
+            sq8_encode(assigned, carry=("cent_id",))
+            if "vq" in vec_schema.fieldNames()
+            else assigned
+        )
+        cluster_for_partitioned_write(payload, "cent_id", k).write.mode(
             "append"
         ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
     cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
@@ -1657,12 +1683,9 @@ def append_ivfpq_index(
     # re-list just those (sub-second) instead of walking all ~sqrt(n)
     # dirs (~21 s at d3c), so streaming micro-batch ingest stays cheap;
     # a pre-manifest index gets a full backfill commit instead
-    from data_integration_system_spark.pipeline import index_manifest as im
-
     touched = [
         int(r.cent_id) for r in assigned.select("cent_id").distinct().collect()
     ]
-    man = im.read_manifest(spark, index_path)
     if man is None or (has_vectors and "vectors" not in man["relations"]):
         # no manifest, or the vectors relation exists on disk but not in
         # the committed manifest (mid-migration state): full reconcile —
@@ -1717,6 +1740,92 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def sq8_encode(vectors_df: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Per-vector affine uint8 scalar quantization (SQ8) of the
+    L2-NORMALIZED vector — the refine-tier compression rung below
+    storing raw floats: ``(vec_id, vq array<smallint>, vmin double,
+    vscale double, *carry)`` where element i decodes as
+    ``vmin + vq[i]·vscale`` (vscale = (max−min)/255 over the unit
+    vector's components; constant vectors get vscale=0 and all-zero
+    codes).  array<smallint> of 0..255 values bit-packs to ~1 byte per
+    dimension in parquet vs 8 raw for array<double> — the vectors
+    relation (a full corpus copy inside the index) shrinks ~3× ON DISK
+    (snappy already ~2×-compresses the double pages; 8× is the raw
+    ratio), and so does every probed re-rank read.  Arrow-batched numpy at scan
+    parallelism, same shape as pq_encode; deterministic (no RNG), so
+    append and rebuild agree bit-for-bit.
+
+    Quantization error per component is ≤ vscale/2 ≈ 1/255 of the unit
+    vector's component RANGE — after the cosine re-rank renormalizes,
+    ranking flips only among candidates whose true similarities differ
+    by ~1e-3, which the d3-scale row (SCALE.md r16) measures as zero
+    recall loss."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"vec_id": [], "vq": [], "vmin": [], "vscale": [],
+                     **{c: [] for c in carry}}
+                )
+                continue
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms == 0, 1.0, norms)
+            lo = x.min(axis=1, keepdims=True)
+            scale = (x.max(axis=1, keepdims=True) - lo) / 255.0
+            q = np.rint(
+                (x - lo) / np.where(scale == 0, 1.0, scale)
+            ).clip(0, 255).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "vq": list(q),
+                    "vmin": lo.ravel(),
+                    "vscale": scale.ravel(),
+                    **{c: pdf[c].astype("int64") for c in carry},
+                }
+            )
+
+    return vectors_df.select("vec_id", "embedding", *carry).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("vq", ArrayType(ShortType())),
+                StructField("vmin", DoubleType()),
+                StructField("vscale", DoubleType()),
+            ]
+            + [StructField(c, LongType()) for c in carry]
+        ),
+    )
+
+
+def _sq8_decode(df: DataFrame) -> DataFrame:
+    """JVM-side SQ8 decode: ``vmin + vq[i]·vscale`` via a transform
+    lambda — stays inside whole-stage codegen on the re-rank's hot
+    path, no Python round-trip (cosine() renormalizes downstream, so
+    the decoded near-unit vector needs no correction)."""
+    return df.select(
+        "vec_id",
+        F.transform(
+            "vq",
+            lambda b: F.col("vmin") + b.cast("double") * F.col("vscale"),
+        ).alias("embedding"),
+    )
+
+
 def _index_resident_vectors(
     spark: SparkSession,
     index_path: str,
@@ -1729,22 +1838,28 @@ def _index_resident_vectors(
     the re-rank reads nprobe/k of this relation instead of scanning the
     caller's full corpus — the IVFFlat-refine layout.  None for
     pre-vectors indexes (callers keep pure-ADC ranking or pass their
-    own corpus)."""
+    own corpus).  SQ8-quantized relations (store_vectors="sq8", r16)
+    are detected by SCHEMA (the ``vq`` column) and decoded JVM-side —
+    readers need no meta lookup, and pre-sq8 indexes are untouched."""
     if manifest is not None:
         if "vectors" not in manifest.get("relations", {}):
             return None
         from data_integration_system_spark.pipeline import index_manifest as im
 
-        return im.read_relation(
+        df = im.read_relation(
             spark, index_path, "vectors", manifest=manifest, partitions=probed
-        ).select("vec_id", "embedding")
+        )
+        if "vq" in df.columns:
+            return _sq8_decode(df)
+        return df.select("vec_id", "embedding")
     if not _fs_exists(spark, f"{index_path}/vectors"):
         return None
-    return (
-        spark.read.parquet(f"{index_path}/vectors")
-        .filter(F.col("cent_id").isin(probed))
-        .select("vec_id", "embedding")
+    df = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cent_id").isin(probed)
     )
+    if "vq" in df.columns:
+        return _sq8_decode(df)
+    return df.select("vec_id", "embedding")
 
 
 def _probed_candidates(manifest: dict | None, sets: dict) -> int | None:
@@ -2405,6 +2520,88 @@ def similarity_ivfpq_opq_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"coalesce(n_hits_opq, 0) * 100 div {_TOP_K}")
                 .cast("long")
                 .alias("recall_opq_e2"),
+            )
+            .orderBy("q_id")
+            .localCheckpoint()  # sever lineage from the temp corpus
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("similarity_sq8_rerank_parity", oracle=None)
+def similarity_sq8_rerank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized refine tier under the driver gate (r16): two
+    composed indexes built through the REAL materialized path on the
+    same seeded clustered corpus — one storing the index-resident
+    re-rank relation as raw floats (store_vectors=True), one
+    scalar-quantized (store_vectors="sq8": per-vector affine uint8
+    over the unit vector, sq8_encode) — and each query's top-k served
+    through its OWN index-resident re-rank (vectors=None).  The row
+    reports per-query hits against exact numpy truth for both; parity
+    is the claim: quantization error per component is ≤ 1/255 of the
+    component range, far below the similarity gaps the re-rank
+    resolves (at this crowded tiny-fixture scale an occasional
+    shortlist-boundary near-tie may flip a single hit; the d3-scale
+    row measures recall 1.0 = float's at 2M vectors),
+    while the vectors relation (a full corpus copy inside
+    the index) and every probed re-rank read shrink ~3× on disk
+    (8× raw; snappy already ~2×-compresses the double pages —
+    fixture-pinned at ≥2.8×, d3-scale row in SCALE.md r16).
+    Approximate by construction -> rows-only.
+
+    Scale shape: identical to the other composed-index rows —
+    distributed seeded generation, BLAS assignment, pruned ADC probe,
+    manifest-backed zero-listing scans; the decode is a JVM transform
+    lambda inside the re-rank stage (no Python round-trip on the
+    serving path)."""
+    import shutil
+    import tempfile
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(_N_QUERIES + 2, n // 200)
+    root = tempfile.mkdtemp(prefix="ivfpq_sq8_")
+    try:
+        generate_clustered_embeddings(spark, root, n, k)
+        emb = table(spark, root, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+        truth = exact_topk_np(corpus, q_rows, _TOP_K).select("q_id", "c_id")
+        truth = truth.localCheckpoint()
+        hits = {}
+        for mode, sv in (("float", True), ("sq8", "sq8")):
+            idx = f"{root}/idx_{mode}"
+            build_ivfpq_index(spark, root, idx, store_vectors=sv)
+            got = query_ivfpq_index(spark, idx, qdf).select("q_id", "c_id")
+            hits[mode] = (
+                got.join(truth, ["q_id", "c_id"], "left_semi")
+                .groupBy("q_id")
+                .agg(F.count("*").cast("long").alias(f"n_hits_{mode}"))
+            )
+        out = (
+            qdf.select("q_id")
+            .join(hits["float"], "q_id", "left")
+            .join(hits["sq8"], "q_id", "left")
+            .select(
+                "q_id",
+                F.lit(k).cast("long").alias("k_centroids"),
+                F.coalesce("n_hits_float", F.lit(0))
+                .cast("long")
+                .alias("n_hits_float"),
+                F.coalesce("n_hits_sq8", F.lit(0))
+                .cast("long")
+                .alias("n_hits_sq8"),
+                F.expr(f"coalesce(n_hits_float, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_float_e2"),
+                F.expr(f"coalesce(n_hits_sq8, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_sq8_e2"),
             )
             .orderBy("q_id")
             .localCheckpoint()  # sever lineage from the temp corpus

@@ -106,6 +106,13 @@ def _main(argv: list[str]) -> int:
         "isotropic/noise→flat; 'residual+opq' composes both — rotated "
         "residual codes; overrides --residual/--opq)",
     )
+    ap.add_argument(
+        "--vectors",
+        choices=["float", "sq8", "none"],
+        help="ivfpq only: the index-resident re-rank relation — raw "
+        "floats (default), SQ8 scalar-quantized (~3x less storage "
+        "and re-rank I/O at measured-zero recall cost), or omitted",
+    )
     args = ap.parse_args(argv)
     knobs: dict = {}
     if args.residual is not None:
@@ -116,8 +123,12 @@ def _main(argv: list[str]) -> int:
         knobs["opq"] = True
     if args.mode is not None:
         knobs["mode"] = args.mode
+    if args.vectors is not None:
+        knobs["store_vectors"] = {
+            "float": True, "sq8": "sq8", "none": False,
+        }[args.vectors]
     if knobs and args.kind != "ivfpq":
-        ap.error("--residual/--opq/--mode apply to the ivfpq tier only")
+        ap.error("--residual/--opq/--mode/--vectors apply to the ivfpq tier only")
     from data_integration_system_spark.session import get_spark
 
     spark = get_spark("index-maintenance")

@@ -92,6 +92,7 @@ _DRIVER_HEAD: list[str] = [
     # (1) NEW this round (policy tier 1; each displaces the window's
     # last r13-tier name into _NEXT_ROTATION_FIRST at that moment):
     "snapshot_maintenance_compaction",  # displaced filter_size_cap
+    "similarity_sq8_rerank_parity",  # displaced filter_scope
     # (2) the 34 r12-stale queries (the registry's oldest rows):
     "event_type_transitions",
     "event_type_daily_trend",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "event_type_pagerank",
     "exact_substring_dup_spans",
     "filter_blocklist",
-    "filter_scope",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -154,6 +154,7 @@ _DRIVER_HEAD: list[str] = [
 #: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
 _NEXT_ROTATION_FIRST: list[str] = [
     "filter_size_cap",  # displaced by r16 newcomer snapshot_maintenance_compaction
+    "filter_scope",  # displaced by r16 newcomer similarity_sq8_rerank_parity
     "forecast_revenue",
     "group_quantiles_dist",
     "group_quantiles_jvm",

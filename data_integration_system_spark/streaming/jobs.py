@@ -390,7 +390,13 @@ def near_dup_sink(
     (the canonical rep of a large duplicate cluster is named by each
     member once), not a quadratic blow-up.  Cap >= every doc's true
     degree reproduces the uncapped pair set exactly (pinned in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    Trigger sizing (measured at the 5M-doc index, SCALE.md r16): the
+    per-batch machinery floor ~30 s dominates until tens of thousands
+    of docs per trigger — 400/4k/40k-doc batches ran 75/9.0/1.1 ms/doc
+    at batch walls of 30/36/45 s.  Size triggers to >=10k docs when
+    throughput-bound; sub-minute freshness costs ~66x throughput."""
     from data_integration_system_spark.operators.dedup import (
         append_minhash_index,
         query_minhash_index,
@@ -453,7 +459,12 @@ def fingerprint_overlap_sink(
     cannot inflate the overlap counts: query_fingerprint_index counts
     DISTINCT fp_hash per pair, so a redelivered batch re-emits pairs
     with IDENTICAL shared_fps and no sub-threshold pair ever crosses
-    min_shared.  Expects (doc_id, text)."""
+    min_shared.  Expects (doc_id, text).
+
+    Trigger sizing: same per-batch machinery floor as near_dup_sink
+    (measured ~20-30 s at the 5M-doc index, SCALE.md r15/r16) — size
+    triggers to >=10k docs when throughput-bound; the r16 batch-size
+    curve (75 -> 1.1 ms/doc from 400 to 40k docs/trigger) applies."""
     from data_integration_system_spark.operators.textops import (
         append_fingerprint_index,
         query_fingerprint_index,

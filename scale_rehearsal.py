@@ -3491,6 +3491,110 @@ def run_resopq_composition(spark) -> None:
         print(f"  attribution: {cost['attribution']}")
 
 
+def run_sq8_d3l(spark) -> None:
+    """r16: the SQ8-quantized refine tier at production scale.  Builds
+    .scale/d3l_idx_sq8 (store_vectors="sq8" — same flat codes as
+    d3l_idx_flat, vectors relation scalar-quantized) and measures, via
+    the INDEX-RESIDENT re-rank (vectors=None) on both indexes: recall@5
+    against the stored d3_lowrank truth, query med3, and the vectors
+    relation's on-disk bytes — the storage/IO claim (~3× over snappy'd
+    float64) and the zero-recall-cost claim at 2M vectors.  Section
+    "d3l_sq8" in SCALE_REHEARSAL_RECALL.json; resumes per key."""
+    import glob as _glob
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL_RECALL.json")
+    with open(path) as fh:
+        prev = json.load(fh)
+    prev = dict(prev)
+    row = dict(prev.get("d3l_sq8", {}))
+
+    def flush() -> None:
+        prev["d3l_sq8"] = row
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
+
+    truth = {tuple(p) for p in prev["d3_lowrank"]["truth"]["pairs"]}
+    emb = table(spark, D3L, "embeddings")
+    qdf = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .localCheckpoint()
+    )
+
+    idx_sq8 = os.path.join(HERE, ".scale", "d3l_idx_sq8")
+    # the historical d3l_idx_flat carries NO vectors relation
+    # (store_vectors skipped at its build), so the float-resident
+    # baseline gets its own build; querying the vectors-less index with
+    # vectors=None is recorded separately as the pure-ADC row — the
+    # "what the refine tier buys" control
+    idx_float = os.path.join(HERE, ".scale", "d3l_idx_floatvec")
+    idx_adc = os.path.join(HERE, ".scale", "d3l_idx_flat")
+    for key, idx, sv in (
+        ("build_sec", idx_sq8, "sq8"),
+        ("build_float_sec", idx_float, True),
+    ):
+        if key not in row or not os.path.exists(
+            os.path.join(idx, "vectors", "_SUCCESS")
+        ):
+            t0 = time.perf_counter()
+            build_ivfpq_index(spark, D3L, idx, store_vectors=sv)
+            row[key] = round(time.perf_counter() - t0, 3)
+            flush()
+            print(f"  {key}: {row[key]}s")
+
+    def rel_bytes(p):
+        return sum(
+            os.path.getsize(f)
+            for f in _glob.glob(f"{p}/**/*.parquet", recursive=True)
+        )
+
+    row["vectors_bytes"] = {
+        "float": rel_bytes(f"{idx_float}/vectors"),
+        "sq8": rel_bytes(f"{idx_sq8}/vectors"),
+    }
+    row["vectors_bytes"]["ratio"] = round(
+        row["vectors_bytes"]["float"] / row["vectors_bytes"]["sq8"], 2
+    )
+    flush()
+    print(f"  vectors bytes: {row['vectors_bytes']}")
+
+    def measure(idx_path):
+        # vectors=None: the index-resident relation re-ranks — the
+        # serving shape whose I/O the quantization shrinks
+        walls, got = [], set()
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = query_ivfpq_index(spark, idx_path, qdf, nprobe=3).collect()
+            walls.append(round(time.perf_counter() - t0, 3))
+            got = {(int(r.q_id), int(r.c_id)) for r in res}
+        return {
+            "recall_at_5": round(len(got & truth) / len(truth), 4),
+            "query_sec_med3": statistics.median(walls),
+        }
+
+    if "sq8_resident" not in row:
+        row["sq8_resident"] = measure(idx_sq8)
+        flush()
+        print(f"  sq8 resident: {row['sq8_resident']}")
+    if "float_resident" not in row:
+        row["float_resident"] = measure(idx_float)
+        flush()
+        print(f"  float resident: {row['float_resident']}")
+    if "flat_adc_only" not in row:
+        row["flat_adc_only"] = measure(idx_adc)
+        flush()
+        print(f"  flat ADC-only control: {row['flat_adc_only']}")
+
+
 def run_index_cold_probes(spark) -> None:
     """VERDICT r13 #4: the cold-open listing cost of the OTHER four
     index tiers, one row each.  The d3c IVFADC paid ~4 s of listing at
@@ -3922,6 +4026,11 @@ def main() -> None:
         help="r16: online minhash sink batch-size curve "
         "(400/4k/40k docs) at the 5M-doc index",
     )
+    ap.add_argument(
+        "--sq8-d3l", action="store_true",
+        help="r16: SQ8-quantized refine tier at 2M vectors — "
+        "bytes ratio + recall via the index-resident re-rank",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -3993,6 +4102,8 @@ def main() -> None:
         run_resopq_composition(spark)
     if args.online_sink_batchsize:
         run_online_sink_batchsize(spark)
+    if args.sq8_d3l:
+        run_sq8_d3l(spark)
     if args.time_passjoin:
         run_passjoin_timing(spark)
     if args.ivfpq_curve:
