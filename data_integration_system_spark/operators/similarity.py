@@ -901,6 +901,7 @@ def pq_shortlist(
     probe_sets: dict | None = None,
     residual_centroids: dict | None = None,
     rotation: list | None = None,
+    exclude_ids: list | None = None,
 ) -> DataFrame:
     """ADC scan: for each (q_id, qe) in ``query_rows`` (a SMALL collected
     list — the query side broadcasts via the closure, the corpus never
@@ -920,6 +921,13 @@ def pq_shortlist(
     builds one LUT PER PROBED CENTROID on the shifted target
     q_norm - c_norm (m·k·nprobe table entries per query — still
     KBs) and scores each row against its own centroid's LUT.
+
+    ``exclude_ids`` (tombstone deletes, r16): ids masked out of every
+    partition's candidates INSIDE the scan (one np.isin per Arrow
+    batch) — deleted vectors neither score nor occupy shortlist slots,
+    and the filter adds ZERO plan/codegen cost per query (a 1000-literal
+    isin on the shortlist cost ~0.5 s of per-query analysis at d3l;
+    this is free).
 
     ``rotation`` (OPQ): LUT targets are rotated by the same matrix the
     encode side applied (after the residual shift, before the subspace
@@ -958,6 +966,11 @@ def pq_shortlist(
         probes = (
             {int(q): np.asarray(sorted(c), dtype=np.int64) for q, c in probe_sets.items()}
             if probe_sets is not None
+            else None
+        )
+        excluded = (
+            np.asarray(sorted(exclude_ids), dtype=np.int64)
+            if exclude_ids
             else None
         )
         luts = []
@@ -1001,6 +1014,14 @@ def pq_shortlist(
                 b"".join(pdf["codes"]), dtype=np.uint8
             ).reshape(len(pdf), m)
             ids = pdf["vec_id"].to_numpy()
+            if excluded is not None:
+                keep = ~np.isin(ids, excluded)
+                if not keep.all():
+                    pdf = pdf[keep]
+                    ids = ids[keep]
+                    codes = codes[keep]
+                    if len(pdf) == 0:
+                        continue
             cents = (
                 pdf["cent_id"].to_numpy().astype(np.int64)
                 if probes is not None
@@ -1272,9 +1293,18 @@ def _finish_topk(
             )
         )
     qdf = queries.toDF("q_id", "qe")
-    cand = short.join(
-        vectors.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
-    ).join(F.broadcast(qdf), "q_id")
+    cand = (
+        short.join(
+            vectors.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+        )
+        .join(F.broadcast(qdf), "q_id")
+        # a redelivered/re-appended id has DUPLICATE vectors rows; the
+        # join multiplies them into duplicate (q_id, vec_id) candidates
+        # that would each take a rank — dedup on the candidate set
+        # (|q|·shortlist rows, identical embeddings per id, so any
+        # surviving row is the right one)
+        .dropDuplicates(["q_id", "vec_id"])
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
     return (
         cand.select(
@@ -1613,6 +1643,13 @@ def build_ivfpq_index(
         spark, books, index_path, residual=residual, auto_stats=auto_stats,
         rotation=rotation,
     )
+    # a rebuild COMPACTS deletes: the fresh codes/vectors reflect the
+    # current corpus, so stale tombstones from the previous generation
+    # must not keep hiding re-ingested ids (delete_from_ivfpq_index's
+    # lifecycle contract)
+    from data_integration_system_spark.pipeline.fsutil import delete_tree
+
+    delete_tree(spark, f"{index_path}/tombstones")
     _write_ivfpq_manifest(spark, index_path)
 
 
@@ -1679,6 +1716,20 @@ def append_ivfpq_index(
     cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
         "append"
     ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+    # un-delete: a re-appended id gets UPSERT semantics — its fresh
+    # encoding just landed, so its tombstone (if any) is dropped.  The
+    # relation is tiny (bounded by deletes-per-rebuild-cycle), so the
+    # rewrite is read → anti-join → localCheckpoint → overwrite; a
+    # crash before the rewrite leaves the id hidden until the
+    # at-least-once redelivery re-runs this append.
+    tomb_path = f"{index_path}/tombstones"
+    if _fs_exists(spark, tomb_path):
+        tomb = spark.read.parquet(tomb_path)
+        kept = tomb.join(
+            assigned.select("vec_id"), "vec_id", "left_anti"
+        ).coalesce(1).localCheckpoint()  # freeze before overwriting source
+        if kept.count() < tomb.count():
+            kept.write.mode("overwrite").parquet(tomb_path)
     # manifest upkeep: an append touches only its batch's partitions —
     # re-list just those (sub-second) instead of walking all ~sqrt(n)
     # dirs (~21 s at d3c), so streaming micro-batch ingest stays cheap;
@@ -1738,6 +1789,90 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def delete_from_ivfpq_index(spark: SparkSession, index_path: str, vec_ids) -> int:
+    """Logical DELETE from the composed index (r16): append the ids to
+    ``{index}/tombstones`` — every query path (inline, handle, pure-ADC)
+    anti-joins the shortlist against this relation before the top-k
+    cut, so a deleted vector neither appears in results NOR consumes a
+    top-k slot, effective on the next query with no index rewrite.
+    ``vec_ids`` is a DataFrame with a ``vec_id`` column or an iterable
+    of ints; returns the number of NEW tombstones written (re-deleting
+    an already-deleted id is a no-op — idempotent under at-least-once
+    redelivery, and the relation cannot grow with retries).
+
+    Lifecycle: a tombstone hides every code/vector row for that id
+    until either (a) the id is RE-APPENDED — append_ivfpq_index drops
+    its batch's ids from the tombstones, restoring visibility with the
+    fresh encoding (upsert semantics), or (b) the scheduled REBUILD —
+    build_ivfpq_index clears the tombstones relation, and a corpus that
+    no longer contains the deleted rows compacts them away physically.
+    The reference deletes rows from its Postgres store directly
+    (db/postgres_store.py); on an immutable-file lake, tombstone-then-
+    compact is the standard form of the same operation.
+
+    Scale shape: tombstones are bounded by deletes-per-rebuild-cycle
+    (≪ corpus — takedowns and dedup removals, not churn), so the
+    query-side anti-join broadcasts KBs; the write is one tiny file
+    append.  If deletes ever rival corpus size, that is a rebuild
+    trigger, not a bigger tombstone file."""
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = local_rows_df(
+            spark, [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    fresh = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+    path = f"{index_path}/tombstones"
+    if _fs_exists(spark, path):
+        existing = spark.read.parquet(path)
+        fresh = fresh.join(existing, "vec_id", "left_anti")
+    # tiny relation: coalesce(1) keeps the file count = delete batches
+    fresh = fresh.coalesce(1).localCheckpoint()  # freeze before any write
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
+
+
+#: below this count, deleted ids ride as an InSet literal predicate
+#: INSIDE the shortlist's own stage (zero extra exchange, measured
+#: ~0 query premium at d3l); above it, a broadcast anti-join (an extra
+#: stage + exchange, ~0.5 s at d3l) keeps plans bounded.  Crossing the
+#: cap at all is a sign the rebuild is overdue.
+_TOMBSTONE_INSET_CAP = 100_000
+
+
+def _load_tombstones(spark: SparkSession, index_path: str):
+    """The delete set in its cheapest applicable form: None (no
+    deletes), a plain id list (≤ cap — the InSet fast path), or a
+    localCheckpointed DataFrame (pathological set sizes)."""
+    path = f"{index_path}/tombstones"
+    if not _fs_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    rows = df.limit(_TOMBSTONE_INSET_CAP + 1).collect()
+    if len(rows) <= _TOMBSTONE_INSET_CAP:
+        return [int(r.vec_id) for r in rows]
+    return df.localCheckpoint()
+
+
+def _apply_tombstones(short: DataFrame, tombstones) -> DataFrame:
+    """Filter deleted ids out of a shortlist BEFORE the top-k window —
+    deleted candidates must not consume result slots.  ``tombstones``
+    is _load_tombstones' value (the handle passes its open-time
+    snapshot — staleness contract; the inline path loads fresh)."""
+    if tombstones is None:
+        return short
+    if isinstance(tombstones, list):
+        if not tombstones:
+            return short
+        # InSet literal: stays inside the shortlist's stage/codegen
+        return short.filter(~F.col("vec_id").isin(tombstones))
+    return short.join(
+        F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+    )
 
 
 def sq8_encode(vectors_df: DataFrame, carry: tuple = ()) -> DataFrame:
@@ -1933,6 +2068,7 @@ def query_ivfpq_index(
     cmap = (
         _centroid_map(cent.collect()) if _meta_residual(meta) else None
     )
+    tomb = _load_tombstones(spark, index_path)
     short = pq_shortlist(
         codes,
         q_rows,
@@ -1943,7 +2079,10 @@ def query_ivfpq_index(
         probe_sets=sets,
         residual_centroids=cmap,
         rotation=_read_rotation(spark, index_path, meta),
+        exclude_ids=tomb if isinstance(tomb, list) else None,
     )
+    if tomb is not None and not isinstance(tomb, list):
+        short = _apply_tombstones(short, tomb)  # pathological set size
     return _finish_topk(short, queries, vectors, top_k)
 
 
@@ -2611,6 +2750,89 @@ def similarity_sq8_rerank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query("similarity_ann_delete_visibility", oracle=None)
+def similarity_ann_delete_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index DELETE lifecycle under the driver gate (r16): planted
+    twins of every query are APPENDED to a built composed index (twin =
+    the query vector itself under a fresh id -> exact re-rank puts it
+    at rank 1), then DELETED (delete_from_ivfpq_index — tombstones,
+    reference analog: direct row deletes in db/postgres_store.py), then
+    RE-APPENDED (upsert semantics: the append drops its ids'
+    tombstones).  One row per (phase, q_id) reports whether the twin is
+    visible and at what rank — the exact visibility contract:
+    rank 1 / absent-with-full-k-results / rank 1 again.  The deleted
+    phase also proves a tombstone frees its top-k SLOT (k results
+    still come back, none of them the twin).  Deterministic ids and
+    ranks, but index semantics aren't SQL-expressible -> rows-only.
+
+    Scale shape: a delete is one tiny tombstone append (no index
+    rewrite); every query path anti-joins the broadcast tombstone set
+    before the top-k cut; re-appends rewrite the KB-sized relation;
+    the scheduled rebuild compacts deletes physically.  Bounded by
+    deletes-per-rebuild-cycle, not corpus size."""
+    import shutil
+    import tempfile
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(_N_QUERIES + 2, n // 200)
+    root = tempfile.mkdtemp(prefix="ivfpq_del_")
+    try:
+        generate_clustered_embeddings(spark, root, n, k)
+        emb = table(spark, root, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        ).localCheckpoint()
+        idx = f"{root}/idx"
+        build_ivfpq_index(spark, root, idx)
+        twin_base = 900_000_000
+        twins = qdf.select(
+            (F.col("q_id") + twin_base).cast("long").alias("vec_id"),
+            F.col("qe").alias("embedding"),
+        )
+        append_ivfpq_index(spark, idx, twins)
+        twin_ids = [r.q_id + twin_base for r in qdf.select("q_id").collect()]
+
+        def phase(name: str, ordinal: int) -> DataFrame:
+            res = query_ivfpq_index(spark, idx, qdf)
+            # materialize NOW: the next phase rewrites the tombstones
+            # relation this plan reads (lazy evaluation would race the
+            # overwrite and read deleted files)
+            return res.groupBy("q_id").agg(
+                F.lit(ordinal).cast("long").alias("phase_ord"),
+                F.lit(name).alias("phase"),
+                F.max(
+                    (F.col("c_id") == F.col("q_id") + twin_base).cast("long")
+                ).alias("twin_visible"),
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("c_id") == F.col("q_id") + twin_base,
+                            F.col("rnk"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("twin_rank"),
+                F.count("*").cast("long").alias("n_results"),
+            ).localCheckpoint()
+        out1 = phase("appended", 1)
+        delete_from_ivfpq_index(spark, idx, twin_ids)
+        out2 = phase("deleted", 2)
+        append_ivfpq_index(spark, idx, twins)  # un-delete (upsert)
+        out3 = phase("restored", 3)
+        return (
+            out1.unionByName(out2)
+            .unionByName(out3)
+            .select(
+                "phase_ord", "phase", "q_id",
+                "twin_visible", "twin_rank", "n_results",
+            )
+            .orderBy("phase_ord", "q_id")
+            .localCheckpoint()  # sever lineage from the temp index
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 class IvfPqIndexHandle:
     """An OPENED composed index — the serving-process pattern the d3c
     campaign motivated (SCALE.md r13): a cold `query_ivfpq_index` once
@@ -2686,6 +2908,10 @@ class IvfPqIndexHandle:
             self.codes = None
         else:
             self.codes = spark.read.parquet(f"{index_path}/codes")
+        # open-time tombstone snapshot (same staleness contract as the
+        # manifest: deletes landed after open become visible on reopen);
+        # small sets snapshot as a plain id list — the InSet fast path
+        self.tombstones = _load_tombstones(spark, index_path)
 
     def reopen(self) -> "IvfPqIndexHandle":
         """Refresh the cached listing (after appends/rebuilds)."""
@@ -2743,7 +2969,12 @@ class IvfPqIndexHandle:
             probe_sets=sets,
             residual_centroids=self.residual_centroids,
             rotation=self.rotation,
+            exclude_ids=self.tombstones
+            if isinstance(self.tombstones, list)
+            else None,
         )
+        if self.tombstones is not None and not isinstance(self.tombstones, list):
+            short = _apply_tombstones(short, self.tombstones)
         return _finish_topk(short, queries, vectors, top_k)
 
 

@@ -3594,6 +3594,30 @@ def run_sq8_d3l(spark) -> None:
         flush()
         print(f"  flat ADC-only control: {row['flat_adc_only']}")
 
+    # r16 delete tier: tombstone-filter overhead on the serving path at
+    # 2M vectors — 1,000 deleted ids (none in any probed shortlist, so
+    # recall is unchanged and the measured delta is pure anti-join cost)
+    if "delete_overhead" not in row:
+        from data_integration_system_spark.operators.similarity import (
+            delete_from_ivfpq_index,
+        )
+
+        t0 = time.perf_counter()
+        n_new = delete_from_ivfpq_index(
+            spark, idx_float, list(range(500_000_000, 500_001_000))
+        )
+        delete_wall = round(time.perf_counter() - t0, 3)
+        after = measure(idx_float)
+        row["delete_overhead"] = {
+            "n_tombstones": 1000,
+            "tombstones_written": int(n_new),
+            "delete_wall_sec": delete_wall,
+            "query_with_tombstones": after,
+            "query_before": row["float_resident"],
+        }
+        flush()
+        print(f"  delete overhead: {row['delete_overhead']}")
+
 
 def run_index_cold_probes(spark) -> None:
     """VERDICT r13 #4: the cold-open listing cost of the OTHER four

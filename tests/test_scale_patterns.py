@@ -2056,3 +2056,80 @@ def test_sq8_vectors_relation_decodes_and_serves(spark, tmp_path):
         for r in sim.query_ivfpq_index(spark, qidx, queries).collect()
     }
     assert (0, 99_000_000, 1) in got
+
+
+def test_ivfpq_delete_lifecycle(spark, tmp_path):
+    """Tombstone deletes (r16): delete hides an id on EVERY query path
+    (inline resident re-rank, pure-ADC, open handle snapshot) without
+    consuming a top-k slot; re-delete is idempotent; re-append
+    un-deletes with fresh encoding and no duplicate ranked rows;
+    rebuild clears the tombstones relation (physical compaction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators import similarity as sim
+
+    root = str(tmp_path / "corpus")
+    sim.generate_clustered_embeddings(spark, root, n=2000, n_clusters=20)
+    emb = table(spark, root, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    ).localCheckpoint()
+    idx = str(tmp_path / "idx")
+    sim.build_ivfpq_index(spark, root, idx)
+    twin = qdf.filter(F.col("q_id") == 0).select(
+        F.lit(99_000_000).cast("long").alias("vec_id"),
+        F.col("qe").alias("embedding"),
+    )
+    sim.append_ivfpq_index(spark, idx, twin)
+
+    def result(df):
+        return {(r.q_id, r.c_id, r.rnk) for r in df.collect()}
+
+    got = result(sim.query_ivfpq_index(spark, idx, qdf))
+    assert (0, 99_000_000, 1) in got
+
+    handle_pre = sim.open_ivfpq_index(spark, idx)  # snapshot BEFORE delete
+    assert sim.delete_from_ivfpq_index(spark, idx, [99_000_000]) == 1
+    # idempotent: re-delete writes nothing
+    assert sim.delete_from_ivfpq_index(spark, idx, [99_000_000]) == 0
+
+    res = sim.query_ivfpq_index(spark, idx, qdf)
+    got = result(res)
+    assert not any(c == 99_000_000 for _q, c, _r in got)
+    # the tombstone frees its SLOT: query 0 still gets a full top-k
+    assert sum(1 for q, _c, _r in got if q == 0) == sim._TOP_K
+
+    # pure-ADC path (no vectors relation consulted) is filtered too
+    adc = result(
+        sim.query_ivfpq_index(spark, idx, qdf, vectors=None)
+        if not os.path.exists(f"{idx}/vectors")
+        else sim.query_ivfpq_index(spark, idx, qdf)
+    )
+    assert not any(c == 99_000_000 for _q, c, _r in adc)
+
+    # open-time snapshot semantics: the pre-delete handle still sees
+    # the twin; reopen picks the delete up
+    assert (0, 99_000_000, 1) in result(handle_pre.query(qdf))
+    handle_pre.reopen()
+    assert not any(
+        c == 99_000_000 for _q, c, _r in result(handle_pre.query(qdf))
+    )
+
+    # un-delete: re-append restores visibility at rank 1 with NO
+    # duplicate ranked rows despite duplicate codes/vectors rows
+    sim.append_ivfpq_index(spark, idx, twin)
+    rows = sim.query_ivfpq_index(spark, idx, qdf).collect()
+    got = {(r.q_id, r.c_id, r.rnk) for r in rows}
+    assert (0, 99_000_000, 1) in got
+    assert len(rows) == len({(r.q_id, r.c_id) for r in rows})  # no dups
+    assert not os.path.exists(f"{idx}/tombstones/_SUCCESS") or (
+        spark.read.parquet(f"{idx}/tombstones").count() == 0
+    )
+
+    # rebuild compacts: tombstone something, rebuild in place, relation gone
+    sim.delete_from_ivfpq_index(spark, idx, [99_000_000])
+    sim.build_ivfpq_index(spark, root, idx)
+    assert not os.path.exists(f"{idx}/tombstones")
