@@ -2024,6 +2024,7 @@ def query_ivfpq_index(
     top_k: int = _TOP_K,
     nprobe: int = _IVFPQ_NPROBE,
     shortlist_x: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from the composed index: probe selection on the tiny
     centroids table -> the probed cent_ids prune the codes scan; the
@@ -2061,6 +2062,11 @@ def query_ivfpq_index(
     else:
         codes = spark.read.parquet(f"{index_path}/codes").filter(
             F.col("cent_id").isin(probed)  # literal -> PartitionFilters
+        )
+    if allowed is not None:
+        # pre-filter: only allowed ids compete for shortlist slots
+        codes = codes.join(
+            allowed.select("vec_id").distinct(), "vec_id", "left_semi"
         )
     if vectors is None:
         vectors = _index_resident_vectors(spark, index_path, man, probed)
@@ -2833,6 +2839,87 @@ def similarity_ann_delete_visibility(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query("similarity_filtered_topk", oracle=None)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN under the driver gate (r16): top-k among only the
+    vectors satisfying a metadata predicate (here vec_id parity — a
+    cluster-uncorrelated half of the corpus), served through
+    query_ivfpq_index(allowed=...)'s TRUE PRE-FILTER: the pruned codes
+    scan is semi-joined with the allowed set BEFORE shortlisting, so
+    every shortlist slot goes to an allowed candidate and
+    recall-within-the-filter survives any selectivity (post-filtering
+    an unfiltered shortlist starves exactly when the predicate is
+    selective).  The row reports per-query hits against exact numpy
+    truth computed over the FILTERED corpus, plus a disjointness proof
+    column (no returned id may violate the predicate).  Approximate by
+    construction -> rows-only.
+
+    Scale shape: the semi-join touches only the nprobe/k-pruned codes
+    slice (m bytes/vector), never the corpus; a small allowed set
+    broadcasts under AQE.  Operating rule (fixture-measured): a
+    SELECTIVE predicate thins per-cluster candidates, so scale nprobe
+    with selectivity — at 1-in-16 selectivity, nprobe=3 bounds
+    filtered recall at ~0.5 (filter-blind probes) while nprobe=10
+    recovers ≥0.9; post-filtering an unfiltered top-k measured 0.0
+    there.  A predicate CORRELATED with the cluster structure (whole
+    clusters excluded) shifts the burden entirely to probe selection —
+    filter-aware probing is the next refinement rung, not shipped."""
+    import shutil
+    import tempfile
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(_N_QUERIES + 2, n // 200)
+    root = tempfile.mkdtemp(prefix="ivfpq_filt_")
+    try:
+        generate_clustered_embeddings(spark, root, n, k)
+        emb = table(spark, root, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        allowed = corpus.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+        qdf = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
+        truth = exact_topk_np(
+            corpus.filter(F.col("vec_id") % 2 == 0), q_rows, _TOP_K
+        ).select("q_id", "c_id").localCheckpoint()
+        idx = f"{root}/idx"
+        build_ivfpq_index(spark, root, idx)
+        got = query_ivfpq_index(spark, idx, qdf, allowed=allowed).select(
+            "q_id", "c_id"
+        )
+        hits = (
+            got.join(truth, ["q_id", "c_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        violations = got.filter(F.col("c_id") % 2 != 0).groupBy("q_id").agg(
+            F.count("*").cast("long").alias("n_violations")
+        )
+        out = (
+            qdf.select("q_id")
+            .join(hits, "q_id", "left")
+            .join(violations, "q_id", "left")
+            .select(
+                "q_id",
+                F.lit(k).cast("long").alias("k_centroids"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.expr(f"coalesce(n_hits, 0) * 100 div {_TOP_K}")
+                .cast("long")
+                .alias("recall_e2"),
+                F.coalesce("n_violations", F.lit(0))
+                .cast("long")
+                .alias("n_predicate_violations"),
+            )
+            .orderBy("q_id")
+            .localCheckpoint()  # sever lineage from the temp corpus
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 class IvfPqIndexHandle:
     """An OPENED composed index — the serving-process pattern the d3c
     campaign motivated (SCALE.md r13): a cold `query_ivfpq_index` once
@@ -2925,6 +3012,7 @@ class IvfPqIndexHandle:
         top_k: int = _TOP_K,
         nprobe: int = _IVFPQ_NPROBE,
         shortlist_x: int | None = None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         import numpy as np
 
@@ -2955,6 +3043,12 @@ class IvfPqIndexHandle:
             )
         else:
             codes = self.codes.filter(F.col("cent_id").isin(probed))
+        if allowed is not None:
+            # filtered ANN (r16): same true pre-filter as the inline
+            # path — allowed ids only, before shortlisting
+            codes = codes.join(
+                allowed.select("vec_id").distinct(), "vec_id", "left_semi"
+            )
         if vectors is None:
             vectors = _index_resident_vectors(
                 self.spark, self.index_path, self.manifest, probed

@@ -94,6 +94,7 @@ _DRIVER_HEAD: list[str] = [
     "snapshot_maintenance_compaction",  # displaced filter_size_cap
     "similarity_sq8_rerank_parity",  # displaced filter_scope
     "similarity_ann_delete_visibility",  # displaced filter_blocklist
+    "similarity_filtered_topk",  # displaced exact_substring_dup_spans
     # (2) the 34 r12-stale queries (the registry's oldest rows):
     "event_type_transitions",
     "event_type_daily_trend",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "disjunctive_discount_revenue",
     "embedding_norms",
     "event_type_pagerank",
-    "exact_substring_dup_spans",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -156,6 +156,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "filter_size_cap",  # displaced by r16 newcomer snapshot_maintenance_compaction
     "filter_scope",  # displaced by r16 newcomer similarity_sq8_rerank_parity
     "filter_blocklist",  # displaced by r16 newcomer similarity_ann_delete_visibility
+    "exact_substring_dup_spans",  # displaced by r16 newcomer similarity_filtered_topk
     "forecast_revenue",
     "group_quantiles_dist",
     "group_quantiles_jvm",
