@@ -513,6 +513,32 @@ def ann_ingest_sink(spark: SparkSession, index_path: str):
     return apply
 
 
+def ann_delete_sink(spark: SparkSession, index_path: str):
+    """Streaming TAKEDOWN for the composed IVF-PQ index (r16): each
+    micro-batch of (vec_id) delete requests lands as tombstones
+    (operators/similarity.delete_from_ivfpq_index), hidden from every
+    query path on the next query with no index rewrite — the 24/7
+    delete half of the lifecycle whose ingest half ivfpq_ingest_sink
+    owns.  A takedown/dedup-removal feed runs both sinks against one
+    index: appends restore ids with fresh encodings (upsert), the
+    scheduled rebuild compacts tombstones physically.
+
+    At-least-once safe BY CONSTRUCTION: delete_from_ivfpq_index writes
+    only ids not already tombstoned, so a redelivered batch writes
+    nothing — the relation's size tracks DISTINCT deletes, not
+    deliveries.  Expects batches with a ``vec_id`` column."""
+    from data_integration_system_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delete_from_ivfpq_index(spark, index_path, batch.select("vec_id"))
+
+    return apply
+
+
 def pq_ingest_sink(spark: SparkSession, index_path: str):
     """Online PQ index growth — ann_ingest_sink's compressed-tier twin
     (VERDICT r11 #3): each micro-batch of (vec_id, embedding) rows is

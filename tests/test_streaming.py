@@ -1840,3 +1840,60 @@ def test_dedup_minhash_near_topk_cap(spark):
     assert set(k1) <= set(want)
     covered = {a for a, _, _ in k1} | {b for _, b, _ in k1}
     assert covered == set(deg), "a matched doc lost all its edges"
+
+
+def test_ann_delete_sink_hides_ids_and_dedups_redelivery(spark, tmp_path):
+    """Streaming takedown (r16): delete requests flowing through
+    ann_delete_sink land as tombstones — every listed id is hidden from
+    the composed index's queries after the stream drains, the relation
+    holds DISTINCT ids even when batches overlap (at-least-once
+    redelivery simulated by listing the same id in two files), and
+    unrelated ids keep serving."""
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators.similarity import (
+        _N_QUERIES,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from data_integration_system_spark.streaming.jobs import ann_delete_sink
+
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(spark, SF, idx)
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    before = query_ivfpq_index(spark, idx, queries).collect()
+    victims = sorted({r.c_id for r in before if r.rnk == 1})[:3]
+    assert victims
+
+    d = str(tmp_path / "delete_stream")
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    local_rows_df(
+        spark, [(int(v),) for v in victims], "vec_id long"
+    ).coalesce(1).write.parquet(d)
+    # redelivery: the same ids again, plus one fresh
+    local_rows_df(
+        spark, [(int(v),) for v in victims + [victims[0]]], "vec_id long"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(ann_delete_sink(spark, idx))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    assert tomb.count() == len(victims)  # distinct, despite redelivery
+    after = query_ivfpq_index(spark, idx, queries).collect()
+    assert not any(r.c_id in set(victims) for r in after)
+    assert len(after) > 0
