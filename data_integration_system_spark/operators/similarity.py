@@ -1812,6 +1812,12 @@ def delete_from_ivfpq_index(spark: SparkSession, index_path: str, vec_ids) -> in
     (db/postgres_store.py); on an immutable-file lake, tombstone-then-
     compact is the standard form of the same operation.
 
+    Single-writer contract (same as every index mutation here):
+    serialize deletes with appends — append_ivfpq_index's un-delete
+    rewrites this relation read-modify-write, so an interleaved delete
+    could be lost; the streaming sinks' foreachBatch serialization
+    already provides this, ad-hoc callers must.
+
     Scale shape: tombstones are bounded by deletes-per-rebuild-cycle
     (≪ corpus — takedowns and dedup removals, not churn), so the
     query-side anti-join broadcasts KBs; the write is one tiny file

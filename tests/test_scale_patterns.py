@@ -2205,3 +2205,56 @@ def test_filtered_ann_pre_filter_preserves_recall(spark, tmp_path):
         for r in h.query(qdf, allowed=allowed).collect()
     }
     assert hand == got  # (c)
+
+
+def test_r16_features_compose_on_one_index(spark, tmp_path):
+    """The r16 additions must COMPOSE, not just coexist: one index
+    built with OPQ codes AND SQ8-quantized resident vectors, queried
+    with a metadata pre-filter AND live tombstones — results honor all
+    four at once (allowed-only, no deleted ids, served through the
+    rotated codes and the quantized re-rank), and the handle path
+    agrees with the inline path."""
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators import similarity as sim
+
+    root = str(tmp_path / "corpus")
+    sim.generate_clustered_embeddings(
+        spark, root, n=2000, n_clusters=20, sigma=0.3, cov_rank=8
+    )
+    emb = table(spark, root, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= sim._N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    qdf = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    ).localCheckpoint()
+    idx = str(tmp_path / "idx")
+    sim.build_ivfpq_index(spark, root, idx, mode="opq", store_vectors="sq8")
+    meta = spark.read.parquet(f"{idx}/meta").head()
+    assert meta["opq"] is True
+    assert "vq" in spark.read.parquet(f"{idx}/vectors").columns
+
+    allowed = corpus.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    base = sim.query_ivfpq_index(
+        spark, idx, qdf, allowed=allowed, nprobe=8
+    ).collect()
+    assert base and all(r.c_id % 2 == 0 for r in base)
+
+    victims = sorted({r.c_id for r in base if r.rnk == 1})[:2]
+    sim.delete_from_ivfpq_index(spark, idx, victims)
+    after = sim.query_ivfpq_index(
+        spark, idx, qdf, allowed=allowed, nprobe=8
+    ).collect()
+    assert all(r.c_id % 2 == 0 for r in after)
+    assert not any(r.c_id in set(victims) for r in after)
+    # deletes free slots even under the filter: still a full result set
+    assert len({(r.q_id, r.rnk) for r in after}) == len(after)
+    assert len(after) >= len(base) - 2 * len(victims)
+
+    h = sim.open_ivfpq_index(spark, idx)
+    hand = {
+        tuple(r) for r in h.query(qdf, allowed=allowed, nprobe=8).collect()
+    }
+    assert hand == {tuple(r) for r in after}
