@@ -411,6 +411,13 @@ def build_minhash_index(
     local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    # a rebuild compacts deletes: clear the previous generation's
+    # tombstones (operators/tombstones lifecycle)
+    from data_integration_system_spark.operators.tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(spark, index_path)
 
 
 def append_minhash_index(
@@ -447,6 +454,32 @@ def append_minhash_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/bands")
     )
+    # un-delete (upsert): a re-appended doc serves again — its fresh
+    # band rows just landed (operators/tombstones lifecycle)
+    from data_integration_system_spark.operators.tombstones import (
+        drop_tombstones_for,
+    )
+
+    drop_tombstones_for(
+        spark, index_path, new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+
+
+def delete_from_minhash_index(spark: SparkSession, index_path: str, doc_ids) -> int:
+    """Logical DELETE from the minhash near-dup index (r16): tombstoned
+    docs stop appearing as MATCHES on the next query — the document
+    takedown path for the 24/7 near-dup surface (near_dup_sink keeps
+    matching new batches against everything else).  Same lifecycle as
+    the IVF-PQ tier (operators/tombstones): idempotent under
+    redelivery, re-append un-deletes with fresh band rows, the
+    scheduled build_minhash_index rebuild clears the relation and
+    compacts physically.  ``doc_ids`` is a DataFrame with ``doc_id`` or
+    an iterable of ints; returns the count of NEW tombstones."""
+    from data_integration_system_spark.operators.tombstones import (
+        append_tombstones,
+    )
+
+    return append_tombstones(spark, index_path, doc_ids, "doc_id")
 
 
 def query_minhash_index(
@@ -492,6 +525,17 @@ def query_minhash_index(
         .filter(F.col("q_id") != F.col("c_id"))
         # a pair colliding in several bands must verify once, not 8×
         .dropDuplicates(["q_id", "c_id"])
+    )
+    # deleted docs must not surface as matches: drop them from the
+    # candidate pairs BEFORE the exact-Jaccard verify (also saves the
+    # verify work) — operators/tombstones lifecycle
+    from data_integration_system_spark.operators.tombstones import (
+        exclude_tombstoned,
+        load_tombstones,
+    )
+
+    cand = exclude_tombstoned(
+        cand, load_tombstones(spark, index_path, "doc_id"), "c_id"
     )
     qs = qsh.select(F.col("doc_id").alias("q_id"), F.col("shingles").alias("q_sh"))
     inter = F.size(F.array_intersect("q_sh", "c_sh")).cast("double")

@@ -1647,9 +1647,11 @@ def build_ivfpq_index(
     # current corpus, so stale tombstones from the previous generation
     # must not keep hiding re-ingested ids (delete_from_ivfpq_index's
     # lifecycle contract)
-    from data_integration_system_spark.pipeline.fsutil import delete_tree
+    from data_integration_system_spark.operators.tombstones import (
+        clear_tombstones,
+    )
 
-    delete_tree(spark, f"{index_path}/tombstones")
+    clear_tombstones(spark, index_path)
     _write_ivfpq_manifest(spark, index_path)
 
 
@@ -1722,14 +1724,11 @@ def append_ivfpq_index(
     # rewrite is read → anti-join → localCheckpoint → overwrite; a
     # crash before the rewrite leaves the id hidden until the
     # at-least-once redelivery re-runs this append.
-    tomb_path = f"{index_path}/tombstones"
-    if _fs_exists(spark, tomb_path):
-        tomb = spark.read.parquet(tomb_path)
-        kept = tomb.join(
-            assigned.select("vec_id"), "vec_id", "left_anti"
-        ).coalesce(1).localCheckpoint()  # freeze before overwriting source
-        if kept.count() < tomb.count():
-            kept.write.mode("overwrite").parquet(tomb_path)
+    from data_integration_system_spark.operators.tombstones import (
+        drop_tombstones_for,
+    )
+
+    drop_tombstones_for(spark, index_path, assigned.select("vec_id"), "vec_id")
     # manifest upkeep: an append touches only its batch's partitions —
     # re-list just those (sub-second) instead of walking all ~sqrt(n)
     # dirs (~21 s at d3c), so streaming micro-batch ingest stays cheap;
@@ -1823,62 +1822,37 @@ def delete_from_ivfpq_index(spark: SparkSession, index_path: str, vec_ids) -> in
     query-side anti-join broadcasts KBs; the write is one tiny file
     append.  If deletes ever rival corpus size, that is a rebuild
     trigger, not a bigger tombstone file."""
-    from data_integration_system_spark.operators._common import local_rows_df
+    from data_integration_system_spark.operators.tombstones import (
+        append_tombstones,
+    )
 
-    if not isinstance(vec_ids, DataFrame):
-        vec_ids = local_rows_df(
-            spark, [(int(v),) for v in vec_ids], "vec_id long"
-        )
-    fresh = vec_ids.select(F.col("vec_id").cast("long")).distinct()
-    path = f"{index_path}/tombstones"
-    if _fs_exists(spark, path):
-        existing = spark.read.parquet(path)
-        fresh = fresh.join(existing, "vec_id", "left_anti")
-    # tiny relation: coalesce(1) keeps the file count = delete batches
-    fresh = fresh.coalesce(1).localCheckpoint()  # freeze before any write
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(path)
-    return n
-
-
-#: below this count, deleted ids ride as an InSet literal predicate
-#: INSIDE the shortlist's own stage (zero extra exchange, measured
-#: ~0 query premium at d3l); above it, a broadcast anti-join (an extra
-#: stage + exchange, ~0.5 s at d3l) keeps plans bounded.  Crossing the
-#: cap at all is a sign the rebuild is overdue.
-_TOMBSTONE_INSET_CAP = 100_000
+    return append_tombstones(spark, index_path, vec_ids, "vec_id")
 
 
 def _load_tombstones(spark: SparkSession, index_path: str):
-    """The delete set in its cheapest applicable form: None (no
-    deletes), a plain id list (≤ cap — the InSet fast path), or a
-    localCheckpointed DataFrame (pathological set sizes)."""
-    path = f"{index_path}/tombstones"
-    if not _fs_exists(spark, path):
-        return None
-    df = spark.read.parquet(path)
-    rows = df.limit(_TOMBSTONE_INSET_CAP + 1).collect()
-    if len(rows) <= _TOMBSTONE_INSET_CAP:
-        return [int(r.vec_id) for r in rows]
-    return df.localCheckpoint()
+    """The delete set in its cheapest applicable form (see
+    operators/tombstones.load_tombstones): None, an id list — the form
+    pq_shortlist takes into its scan closure for a ZERO-plan-cost
+    np.isin mask — or a DataFrame for pathological sizes."""
+    from data_integration_system_spark.operators.tombstones import (
+        load_tombstones,
+    )
+
+    return load_tombstones(spark, index_path, "vec_id")
 
 
 def _apply_tombstones(short: DataFrame, tombstones) -> DataFrame:
     """Filter deleted ids out of a shortlist BEFORE the top-k window —
     deleted candidates must not consume result slots.  ``tombstones``
     is _load_tombstones' value (the handle passes its open-time
-    snapshot — staleness contract; the inline path loads fresh)."""
-    if tombstones is None:
-        return short
-    if isinstance(tombstones, list):
-        if not tombstones:
-            return short
-        # InSet literal: stays inside the shortlist's stage/codegen
-        return short.filter(~F.col("vec_id").isin(tombstones))
-    return short.join(
-        F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+    snapshot — staleness contract; the inline path loads fresh).  The
+    list form normally never reaches here (pq_shortlist masks it
+    inside the scan); this is the DataFrame fallback."""
+    from data_integration_system_spark.operators.tombstones import (
+        exclude_tombstoned,
     )
+
+    return exclude_tombstoned(short, tombstones, "vec_id")
 
 
 def sq8_encode(vectors_df: DataFrame, carry: tuple = ()) -> DataFrame:

@@ -407,6 +407,12 @@ def build_fingerprint_index(
     local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    # a rebuild compacts deletes (operators/tombstones lifecycle)
+    from data_integration_system_spark.operators.tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(spark, index_path)
 
 
 def append_fingerprint_index(
@@ -442,6 +448,33 @@ def append_fingerprint_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/fps")
     )
+    # un-delete (upsert): a re-appended doc serves again
+    # (operators/tombstones lifecycle)
+    from data_integration_system_spark.operators.tombstones import (
+        drop_tombstones_for,
+    )
+
+    drop_tombstones_for(
+        spark, index_path, new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+
+
+def delete_from_fingerprint_index(
+    spark: SparkSession, index_path: str, doc_ids
+) -> int:
+    """Logical DELETE from the winnowing fingerprint index (r16):
+    tombstoned docs stop appearing as overlap MATCHES on the next
+    query — the takedown path for the fingerprint_overlap_sink
+    surface.  Same lifecycle as the other index tiers
+    (operators/tombstones): idempotent under redelivery, re-append
+    un-deletes, the scheduled build_fingerprint_index rebuild clears
+    and compacts.  ``doc_ids`` is a DataFrame with ``doc_id`` or an
+    iterable of ints; returns the count of NEW tombstones."""
+    from data_integration_system_spark.operators.tombstones import (
+        append_tombstones,
+    )
+
+    return append_tombstones(spark, index_path, doc_ids, "doc_id")
 
 
 def query_fingerprint_index(
@@ -477,12 +510,24 @@ def query_fingerprint_index(
     idx = spark.read.parquet(f"{index_path}/fps").filter(
         F.col("bucket").isin(probe)  # literal -> PartitionFilters
     )
-    return (
+    from data_integration_system_spark.operators.tombstones import (
+        exclude_tombstoned,
+        load_tombstones,
+    )
+
+    pairs = (
         qfp.select(F.col("doc_id").alias("q_id"), "bucket", "fp_hash")
         .join(idx.select("bucket", "fp_hash", F.col("doc_id").alias("c_id")),
               ["bucket", "fp_hash"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
+    )
+    # deleted docs must not surface as matches (tombstones lifecycle);
+    # filtered BEFORE the per-pair aggregation, so they cost nothing
+    pairs = exclude_tombstoned(
+        pairs, load_tombstones(spark, index_path, "doc_id"), "c_id"
+    )
+    return (
+        pairs.groupBy("q_id", "c_id")
         .agg(F.count_distinct("fp_hash").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )

@@ -539,6 +539,27 @@ def ann_delete_sink(spark: SparkSession, index_path: str):
     return apply
 
 
+def doc_delete_sink(spark: SparkSession, index_path: str):
+    """Streaming takedown for the DOCUMENT indexes (r16) — minhash
+    bands and winnowing fingerprints share one tombstone lifecycle
+    (operators/tombstones), so one sink serves both: each micro-batch
+    of (doc_id) requests lands as tombstones and the doc stops
+    surfacing as a match on the next query; re-ingest through the
+    ingest sinks un-deletes; the scheduled rebuild compacts.  Same
+    at-least-once-by-construction contract as ann_delete_sink.
+    Expects batches with a ``doc_id`` column."""
+    from data_integration_system_spark.operators.tombstones import (
+        append_tombstones,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_tombstones(spark, index_path, batch.select("doc_id"), "doc_id")
+
+    return apply
+
+
 def pq_ingest_sink(spark: SparkSession, index_path: str):
     """Online PQ index growth — ann_ingest_sink's compressed-tier twin
     (VERDICT r11 #3): each micro-batch of (vec_id, embedding) rows is

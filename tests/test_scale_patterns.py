@@ -2258,3 +2258,71 @@ def test_r16_features_compose_on_one_index(spark, tmp_path):
         tuple(r) for r in h.query(qdf, allowed=allowed, nprobe=8).collect()
     }
     assert hand == {tuple(r) for r in after}
+
+
+def test_doc_index_delete_lifecycle_minhash_and_fingerprint(spark, tmp_path):
+    """Document takedown on the near-dup surfaces (r16): for BOTH the
+    minhash and fingerprint indexes — delete hides a doc as a MATCH,
+    re-delete is idempotent, re-append un-deletes, rebuild clears the
+    tombstones relation.  The probe doc keeps matching its other
+    neighbors throughout (takedown is per-document, not per-query)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.operators import dedup, textops
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 6 + "alpha"),
+        (2, base * 6 + "beta"),
+        (3, base * 6 + "gamma"),
+        (4, "completely unrelated text about spark shuffles " * 8),
+    ]
+    docs = local_rows_df(spark, rows, "doc_id long, text string")
+    probe = local_rows_df(spark, [(100, base * 6 + "delta")],
+                          "doc_id long, text string")
+
+    # build via the append path onto an empty index root (both builders
+    # take sf_dir corpora; appends take DataFrames directly)
+    mh_idx = str(tmp_path / "mh")
+    dedup.append_minhash_index(spark, mh_idx, docs)
+    fp_idx = str(tmp_path / "fp")
+    textops.append_fingerprint_index(spark, fp_idx, docs)
+
+    def mh_matches():
+        return {
+            int(r.c_id)
+            for r in dedup.query_minhash_index(spark, mh_idx, probe).collect()
+        }
+
+    def fp_matches():
+        return {
+            int(r.c_id)
+            for r in textops.query_fingerprint_index(
+                spark, fp_idx, probe, min_shared=2
+            ).collect()
+        }
+
+    assert {1, 2, 3} <= mh_matches() and {1, 2, 3} <= fp_matches()
+
+    assert dedup.delete_from_minhash_index(spark, mh_idx, [2]) == 1
+    assert dedup.delete_from_minhash_index(spark, mh_idx, [2]) == 0
+    assert textops.delete_from_fingerprint_index(spark, fp_idx, [2]) == 1
+
+    got_mh, got_fp = mh_matches(), fp_matches()
+    assert 2 not in got_mh and {1, 3} <= got_mh
+    assert 2 not in got_fp and {1, 3} <= got_fp
+
+    # re-append un-deletes (upsert)
+    doc2 = local_rows_df(spark, [rows[1]], "doc_id long, text string")
+    dedup.append_minhash_index(spark, mh_idx, doc2)
+    textops.append_fingerprint_index(spark, fp_idx, doc2)
+    assert 2 in mh_matches() and 2 in fp_matches()
+    assert spark.read.parquet(f"{mh_idx}/tombstones").count() == 0
+
+    # rebuild clears the relation
+    dedup.delete_from_minhash_index(spark, mh_idx, [3])
+    dedup.build_minhash_index(spark, "/root/testdata/sf0.001", mh_idx)
+    assert not os.path.exists(f"{mh_idx}/tombstones")
