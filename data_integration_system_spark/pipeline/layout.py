@@ -319,6 +319,81 @@ def snapshot_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "snapshot_purge_probe",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE NOT (source IN ('src3', 'src7') AND doc_id % 3 = 0)
+    GROUP BY source, lang
+    """,
+)
+def snapshot_purge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake takedown primitive under the driver gate (r16):
+    documents committed as a source-partitioned copy-on-write snapshot,
+    then a key set drawn from TWO sources is HARD-DELETED through
+    ``purge_snapshot`` — only those two partitions are re-read and
+    rewritten with the keys anti-joined out, the other 18 are
+    byte-copied, the new version's manifest is spliced, and the commit
+    is the standard OCC pointer swap.  The result is the full
+    per-(source, lang) rollup of the purged store, so the oracle is the
+    same aggregation over the raw table minus exactly the purged keys —
+    identical rows prove locate → selective rewrite → copy → splice →
+    commit end-to-end, including that untouched partitions lost
+    nothing.  The query raises if the pass wasn't selective (rewrote
+    more than the two affected partitions or copied fewer than the
+    rest), so a degraded purge fails the driver row instead of passing
+    vacuously.
+
+    Scale shape: purge compute tracks the AFFECTED partitions' bytes
+    (a takedown touches a handful of sites/dates at 100 TB); the
+    key-location scan is column-pruned; retained older versions still
+    hold the rows until prune_snapshots — the report names them, and
+    the completing prune is pinned in tests/test_lake_manifest.py."""
+    import shutil
+    import tempfile
+
+    from data_integration_system_spark.catalog import table
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="snappurge_")
+    try:
+        root = tmp + "/store"
+        write_snapshot(
+            cluster_for_partitioned_write(docs, "source", _DOCUMENT_SOURCES),
+            root,
+            partition_by="source",
+        )
+        purge_ids = docs.filter(
+            F.col("source").isin("src3", "src7") & (F.col("doc_id") % 3 == 0)
+        ).select("doc_id")
+        rep = purge_snapshot(spark, root, purge_ids, "doc_id")
+        if (
+            not rep.get("purged")
+            or sorted(rep.get("rewritten", [])) != ["src3", "src7"]
+            or rep.get("copied_partitions") != _DOCUMENT_SOURCES - 2
+        ):
+            raise RuntimeError(f"purge pass degraded: {rep}")
+        return (
+            read_current(spark, root)
+            .groupBy("source", "lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            # tiny (source × lang grain); materializing lets the temp
+            # store be deleted
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,
@@ -584,6 +659,120 @@ def compact_snapshot(
         "n_files_before": n_files,
         "n_files_after": n_after,
         "bytes": total,
+    }
+
+
+def purge_snapshot(
+    spark: SparkSession,
+    root: str,
+    ids_df,
+    key_col: str,
+) -> dict:
+    """Hard-delete rows from the CURRENT snapshot by key — the lake's
+    right-to-be-forgotten / takedown primitive (r16), completing the
+    tombstone story: index tiers hide deleted ids logically
+    (operators/tombstones); the lake REWRITES, because the obligation
+    is to the bytes, not the query results.
+
+    Selective, like compact_partitions: one column-pruned scan finds
+    which partitions hold the keys, ONLY those partitions are re-read
+    and rewritten with the keys anti-joined out, every clean partition
+    is byte-copied, the new version's file manifest is SPLICED from the
+    base (re-listing only rewrites), and the commit is the same
+    copy-on-write OCC pointer swap as every other snapshot write —
+    readers never see a half-purged table.  Flat (non-partitioned)
+    stores take a full anti-join rewrite through write_snapshot.
+
+    Retention caveat, by design: RETAINED older versions still contain
+    the purged rows (they are immutable time travel) — a forget
+    obligation completes when ``prune_snapshots`` drops every version
+    older than the purge, so the returned report names the versions
+    still holding the data.  Returns the report dict.
+
+    Scale shape: compute tracks the AFFECTED partitions' bytes (a
+    takedown touches a handful of sites/dates), the key-location scan
+    reads one column, copies are sequential IO, splice is O(rewrites).
+    ``ids_df`` is a DataFrame with ``key_col`` or an iterable of
+    values."""
+    from data_integration_system_spark.operators._common import local_rows_df
+    from data_integration_system_spark.pipeline import index_manifest as im
+    from data_integration_system_spark.pipeline.snapshots import (
+        list_versions,
+        read_version,
+    )
+
+    if not isinstance(ids_df, DataFrame):
+        ids_df = local_rows_df(
+            spark, [(v,) for v in ids_df], f"{key_col} long"
+        )
+    ids_df = ids_df.select(key_col).distinct().localCheckpoint()
+    version = current_version(spark, root)
+    if version is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    part_col, _n = _partition_layout(spark, f"{root}/{version}")
+    cur = read_version(spark, root, version)
+    if part_col is None:
+        kept = cur.join(ids_df, key_col, "left_anti")
+        new_name = write_snapshot(kept, root, expect_current=version)
+        return {
+            "purged": True,
+            "version": new_name,
+            "previous_version": version,
+            "partition_by": None,
+            "rewritten": ["<flat>"],
+            "copied_partitions": 0,
+            "versions_retaining_purged_rows":
+                [v for v in list_versions(spark, root) if v != new_name],
+        }
+
+    # one column-pruned scan locates the keys' partitions
+    affected = sorted(
+        str(r[part_col])
+        for r in cur.join(ids_df, key_col, "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {
+            "purged": False,
+            "version": version,
+            "partition_by": part_col,
+            "rewritten": [],
+        }
+    new_name = allocate_version(spark, root)
+    for value in affected:
+        (
+            read_version(spark, root, version, partitions=[value])
+            .join(ids_df, key_col, "left_anti")
+            .write.mode("errorifexists")
+            .parquet(f"{root}/{new_name}/{part_col}={value}")
+        )
+    p, fs = hadoop_path(spark, f"{root}/{version}")
+    copied = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and "=" in name):
+            continue
+        if name.split("=", 1)[1] in affected:
+            continue
+        copy_tree(spark, f"{root}/{version}/{name}", f"{root}/{new_name}/{name}")
+        copied += 1
+    base_man = im.read_manifest(spark, f"{root}/{version}")
+    if base_man is not None and "" in base_man.get("relations", {}):
+        im.splice_manifest_from(
+            spark, f"{root}/{new_name}", base_man, {"": affected}
+        )
+    commit_version(spark, root, new_name, expect_current=version)
+    return {
+        "purged": True,
+        "version": new_name,
+        "previous_version": version,
+        "partition_by": part_col,
+        "rewritten": affected,
+        "copied_partitions": copied,
+        "versions_retaining_purged_rows":
+            [v for v in list_versions(spark, root) if v != new_name],
     }
 
 

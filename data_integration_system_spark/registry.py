@@ -95,6 +95,7 @@ _DRIVER_HEAD: list[str] = [
     "similarity_sq8_rerank_parity",  # displaced filter_scope
     "similarity_ann_delete_visibility",  # displaced filter_blocklist
     "similarity_filtered_topk",  # displaced exact_substring_dup_spans
+    "snapshot_purge_probe",  # displaced event_type_pagerank
     # (2) the 34 r12-stale queries (the registry's oldest rows):
     "event_type_transitions",
     "event_type_daily_trend",
@@ -142,7 +143,6 @@ _DRIVER_HEAD: list[str] = [
     "customer_order_distribution",
     "disjunctive_discount_revenue",
     "embedding_norms",
-    "event_type_pagerank",
 ]
 
 #: Queries that must lead the NEXT round's rotation (fold into the front
@@ -157,6 +157,7 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "filter_scope",  # displaced by r16 newcomer similarity_sq8_rerank_parity
     "filter_blocklist",  # displaced by r16 newcomer similarity_ann_delete_visibility
     "exact_substring_dup_spans",  # displaced by r16 newcomer similarity_filtered_topk
+    "event_type_pagerank",  # displaced by r16 newcomer snapshot_purge_probe
     "forecast_revenue",
     "group_quantiles_dist",
     "group_quantiles_jvm",

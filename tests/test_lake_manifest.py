@@ -302,3 +302,62 @@ def test_flat_clustered_layout_schedules_no_listing_job(spark, tmp_path):
         assert df.count() == 4000
     finally:
         sc.setJobGroup("", "")
+
+
+def test_purge_snapshot_selective_rewrite_and_prune_completes_forget(
+    spark, tmp_path
+):
+    """Lake purge (r16): keys drawn from two site partitions are
+    hard-deleted — only those partitions rewritten, the rest
+    byte-copied, spliced manifest feeds a ZERO-listing-job post-purge
+    read; retained older versions still hold the rows (immutable time
+    travel — the report names them) and prune_snapshots completes the
+    forget; a flat store takes the full-rewrite path."""
+    from data_integration_system_spark.pipeline.layout import purge_snapshot
+
+    root = str(tmp_path / "store")
+    df = _site_df(spark, 400, 10)
+    sn.write_snapshot(df.repartition(4, "site"), root, partition_by="site")
+    # half of each target site (site membership is id % 10, so a
+    # parity filter would miss site1's all-odd ids)
+    victims = [r.id for r in df.filter(
+        F.col("site").isin("site0", "site1") & (F.col("id") < 200)
+    ).select("id").collect()]
+
+    rep = purge_snapshot(spark, root, victims, "id")
+    assert rep["purged"]
+    assert sorted(rep["rewritten"]) == ["site0", "site1"]
+    assert rep["copied_partitions"] == 8
+    assert rep["versions_retaining_purged_rows"] == ["v000001"]
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    try:
+        sc.setJobGroup("purged-read", "post-purge current read")
+        after = {(r.id, r.site) for r in sn.read_current(spark, root).collect()}
+        jobs = tracker.getJobIdsForGroup("purged-read")
+    finally:
+        sc.setJobGroup("", "")
+    assert len(jobs) == 1, jobs  # spliced manifest: no listing/schema jobs
+    assert not any(i in set(victims) for i, _s in after)
+    want = {(r.id, r.site) for r in df.collect() if r.id not in set(victims)}
+    assert after == want
+
+    # time travel still shows the purged rows until pruned
+    old = {(r.id, r.site) for r in sn.read_version(spark, root, "v000001").collect()}
+    assert set(victims) <= {i for i, _s in old}
+    removed = sn.prune_snapshots(spark, root, keep=1)
+    assert removed == ["v000001"]  # forget complete
+    assert sn.list_versions(spark, root) == [rep["version"]]
+
+    # idempotent: purging already-absent keys is a no-op report
+    rep2 = purge_snapshot(spark, root, victims, "id")
+    assert not rep2["purged"] and rep2["rewritten"] == []
+
+    # flat store: full anti-join rewrite through write_snapshot
+    flat = str(tmp_path / "flat")
+    sn.write_snapshot(df, flat)
+    rep3 = purge_snapshot(spark, flat, victims, "id")
+    assert rep3["purged"] and rep3["rewritten"] == ["<flat>"]
+    kept = {r.id for r in sn.read_current(spark, flat).collect()}
+    assert not (kept & set(victims)) and len(kept) == 400 - len(victims)
