@@ -3619,6 +3619,71 @@ def run_sq8_d3l(spark) -> None:
         print(f"  delete overhead: {row['delete_overhead']}")
 
 
+def run_purge_lake(spark) -> None:
+    """r16: the lake purge primitive priced at metastore scale — the
+    2,000-site / 2M-row committed store (.scale/lake2k, r15).  Purges
+    500 keys drawn from TWO sites through purge_snapshot (locate via
+    one column-pruned scan, rewrite 2 partitions, byte-copy 1,998,
+    splice, OCC commit), measures the wall and the post-purge probe,
+    verifies content, then RESTORES the fixture (drops the new version,
+    resets _CURRENT) so the campaign is re-runnable and other lake2k
+    rows stay comparable.  Section "lake_purge_2k" in
+    SCALE_REHEARSAL.json."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_integration_system_spark.pipeline.layout import purge_snapshot
+    from data_integration_system_spark.pipeline.snapshots import read_current
+
+    path = os.path.join(HERE, "SCALE_REHEARSAL.json")
+    with open(path) as fh:
+        prev = json.load(fh)
+    prev = dict(prev)
+    if "lake_purge_2k" in prev:
+        print("  lake_purge_2k: already recorded, skipping")
+        return
+    root = os.path.join(HERE, ".scale", "lake2k")
+    # deterministic half-and-half draw: a bare limit() would satisfy
+    # itself from the first partition's files alone
+    victims = (
+        read_current(spark, root, partitions=["site0", "site1"])
+        .filter(F.col("id") < 500 * 2000)  # site = id % 2000 -> 250/site
+        .select("id")
+        .localCheckpoint()
+    )
+    n_victims = victims.count()
+    t0 = time.perf_counter()
+    rep = purge_snapshot(spark, root, victims, "id")
+    purge_wall = round(time.perf_counter() - t0, 3)
+    assert rep["purged"] and sorted(rep["rewritten"]) == ["site0", "site1"]
+    assert rep["copied_partitions"] == 1998
+    t0 = time.perf_counter()
+    probe_n = read_current(spark, root, partitions=["site0", "site1"]).count()
+    probe_wall = round(time.perf_counter() - t0, 3)
+    assert probe_n == 2000 - n_victims
+    row = {
+        "store": "lake2k (2,000 sites, 2M rows)",
+        "keys_purged": int(n_victims),
+        "rewritten_partitions": 2,
+        "copied_partitions": 1998,
+        "purge_wall_sec": purge_wall,
+        "post_purge_probe_sec": probe_wall,
+        "note": "locate = one column-pruned scan; compute tracks the 2 "
+                "affected partitions' bytes; 1,998 clean partitions are "
+                "sequential byte-copies; manifest splice O(rewrites)",
+    }
+    # restore the fixture: drop the purge version, reset the pointer
+    new_v = rep["version"]
+    shutil.rmtree(os.path.join(root, new_v))
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        fh.write(rep["previous_version"])
+    prev["lake_purge_2k"] = row
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1, sort_keys=True)
+    print(f"  lake_purge_2k: {row}")
+
+
 def run_index_cold_probes(spark) -> None:
     """VERDICT r13 #4: the cold-open listing cost of the OTHER four
     index tiers, one row each.  The d3c IVFADC paid ~4 s of listing at
@@ -4055,6 +4120,11 @@ def main() -> None:
         help="r16: SQ8-quantized refine tier at 2M vectors — "
         "bytes ratio + recall via the index-resident re-rank",
     )
+    ap.add_argument(
+        "--purge-lake", action="store_true",
+        help="r16: purge_snapshot priced at the 2,000-site store "
+        "(selective rewrite; fixture restored after)",
+    )
     args = ap.parse_args()
 
     from data_integration_system_spark.session import get_spark
@@ -4128,6 +4198,8 @@ def main() -> None:
         run_online_sink_batchsize(spark)
     if args.sq8_d3l:
         run_sq8_d3l(spark)
+    if args.purge_lake:
+        run_purge_lake(spark)
     if args.time_passjoin:
         run_passjoin_timing(spark)
     if args.ivfpq_curve:
