@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 
 from data_integration_system_spark.catalog import table
 from data_integration_system_spark.functions.hashing import content_hash, normalize_ws
-from data_integration_system_spark.operators._common import drop_hot_keys
+from data_integration_system_spark.operators._common import (
+    cluster_for_partitioned_write,
+    drop_hot_keys,
+    local_rows_df,
+)
 from data_integration_system_spark.registry import query
-from data_integration_system_spark.operators._common import local_rows_df
 
 
 @query(
@@ -427,11 +430,20 @@ def append_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = _INDEX_BUCKETS,
+    shingles_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> None:
     """Incrementally index new documents: compute their band rows with
     the SAME pipeline as build_minhash_index and append them into the
     bucket partitions.  Creates the index (meta included) when none
     exists, so a stream can start cold.
+
+    ``shingles_df``/``bands_df`` let a caller that ALSO probes the same
+    batch (near_dup_sink: append then query per trigger) derive the
+    shingle sets / band rows once and share them — the derivations are
+    deterministic, so sharing changes no output, it only removes the
+    duplicate shingle+signature passes (measured ~2-3 s per sf0.1
+    trigger, r17).
 
     The hot-bucket cap is deliberately NOT applied here: an append sees
     only its own batch, so a globally-hot bucket is a REBUILD concern —
@@ -445,15 +457,25 @@ def append_minhash_index(
         local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{index_path}/meta")
-    sh = shingle_sets(new_docs, text_col, id_col)
-    bands = minhash_bands(new_docs, text_col, id_col, shingles_df=sh)
-    (
-        bands.join(sh, "doc_id")
-        .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/bands")
+    sh = shingles_df if shingles_df is not None else shingle_sets(
+        new_docs, text_col, id_col
     )
+    bands = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(new_docs, text_col, id_col, shingles_df=sh)
+    )
+    joined = bands.join(sh, "doc_id").withColumn(
+        "bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int")
+    )
+    # bucket-clustered write, like build_minhash_index: the batch
+    # arrives in 1-2 partitions (a localCheckpointed micro-batch), so a
+    # bare partitionBy write is ONE task serially creating up to
+    # n_buckets files — measured 13-30 s vs 4-11 s clustered per sf0.1
+    # trigger (r17); clustering also keeps it at 1 file/bucket/batch
+    cluster_for_partitioned_write(joined, "bucket", n_buckets).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{index_path}/bands")
     # un-delete (upsert): a re-appended doc serves again — its fresh
     # band rows just landed (operators/tombstones lifecycle)
     from data_integration_system_spark.operators.tombstones import (
@@ -489,6 +511,8 @@ def query_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.2,
+    shingles_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup lookup against a built index: (q_id, c_id, jaccard) for
     every indexed document sharing an LSH bucket with a query document,
@@ -499,11 +523,20 @@ def query_minhash_index(
     filters on the bands scan — a lookup reads <= 8/n_buckets of the
     index, which is what makes this an index rather than a filtered full
     scan.  Querying the corpus against itself reproduces
-    dedup_minhash_near exactly (pinned in tests)."""
+    dedup_minhash_near exactly (pinned in tests).
+
+    ``shingles_df``/``bands_df``: share the deterministic derivations
+    with an append over the SAME batch (see append_minhash_index)."""
     n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
-    qsh = shingle_sets(query_docs, text_col, id_col)
+    qsh = shingles_df if shingles_df is not None else shingle_sets(
+        query_docs, text_col, id_col
+    )
     qbands = (
-        minhash_bands(query_docs, text_col, id_col, shingles_df=qsh)
+        (
+            bands_df
+            if bands_df is not None
+            else minhash_bands(query_docs, text_col, id_col, shingles_df=qsh)
+        )
         .withColumn("bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int"))
         .localCheckpoint()  # tiny; freezes the probe list for the collect
     )

@@ -422,11 +422,18 @@ def append_fingerprint_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = _FP_INDEX_BUCKETS,
+    fps_df: DataFrame | None = None,
 ) -> None:
     """Incrementally index new documents' winnowing fingerprints —
     the append sibling of build_fingerprint_index (API symmetry with
     append_minhash_index).  Creates the index (meta included) when none
     exists, so a stream can start cold.
+
+    ``fps_df``: a precomputed ``winnow_fingerprints`` relation for the
+    SAME batch, shared with a probe over it (fingerprint_overlap_sink
+    appends then queries per trigger; the derivation is deterministic,
+    so sharing changes no output — it removes the duplicate
+    fingerprint pass).
 
     Stop-hash pruning is deliberately NOT applied per append: a batch
     can't see global document frequencies — rebuild periodically (the
@@ -439,15 +446,23 @@ def append_fingerprint_index(
         local_rows_df(spark, [(int(n_buckets),)], "n_buckets int").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{index_path}/meta")
-    fp = winnow_fingerprints(new_docs, text_col, id_col, spread=False)
-    (
-        fp.withColumn(
-            "bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int")
-        )
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/fps")
+    fp = (
+        fps_df
+        if fps_df is not None
+        else winnow_fingerprints(new_docs, text_col, id_col, spread=False)
+    ).withColumn("bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int"))
+    # bucket-clustered write, like build_fingerprint_index: a micro-batch
+    # arrives in 1-2 partitions, so a bare partitionBy write is ONE task
+    # serially creating up to n_buckets files (same measured 3-7x tax as
+    # append_minhash_index, r17); clustering writes whole buckets in
+    # parallel, 1 file/bucket/batch
+    from data_integration_system_spark.operators._common import (
+        cluster_for_partitioned_write,
     )
+
+    cluster_for_partitioned_write(fp, "bucket", n_buckets).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{index_path}/fps")
     # un-delete (upsert): a re-appended doc serves again
     # (operators/tombstones lifecycle)
     from data_integration_system_spark.operators.tombstones import (
@@ -484,10 +499,13 @@ def query_fingerprint_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_shared: int = 5,
+    fps_df: DataFrame | None = None,
 ) -> DataFrame:
     """Overlap lookup against a built fingerprint index: (q_id, c_id,
     shared_fps) for every indexed document sharing >= min_shared
-    fingerprints with a query document.
+    fingerprints with a query document.  ``fps_df``: share the
+    deterministic fingerprint derivation with an append over the SAME
+    batch (see append_fingerprint_index).
 
     Probe protocol: the query docs' fingerprint buckets are collected as
     literals -> PartitionFilters on the index scan; a lookup reads only
@@ -502,7 +520,11 @@ def query_fingerprint_index(
     count and push sub-threshold pairs over min_shared."""
     n_buckets = spark.read.parquet(f"{index_path}/meta").head()["n_buckets"]
     qfp = (
-        winnow_fingerprints(query_docs, text_col, id_col, spread=False)
+        (
+            fps_df
+            if fps_df is not None
+            else winnow_fingerprints(query_docs, text_col, id_col, spread=False)
+        )
         .withColumn("bucket", F.pmod(F.col("fp_hash"), F.lit(n_buckets)).cast("int"))
         .localCheckpoint()  # freezes the probe list for the collect
     )

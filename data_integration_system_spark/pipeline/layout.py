@@ -662,6 +662,37 @@ def compact_snapshot(
     }
 
 
+def _copy_trees(
+    spark: SparkSession, src_root: str, dst_root: str, names: list[str]
+) -> None:
+    """Byte-copy ``names`` child dirs from ``src_root`` to ``dst_root``
+    through a thread pool.  Each copy_tree is a blocking driver-side FS
+    copy (Hadoop FileUtil via py4j — the gateway is thread-safe, one
+    connection per thread), so a serial loop makes a clean-partition
+    carry-forward O(partitions) in wall: the measured 44.1 s purge at
+    the 2,000-site store was DOMINATED by 1,998 sequential copies
+    (SCALE.md r16).  Pooling bounds the wall by the largest partition
+    plus copy parallelism; 16 threads saturate a local disk and are a
+    sane default for object stores (server-side copy latency-bound)."""
+    if not names:
+        return
+    if len(names) == 1:
+        copy_tree(spark, f"{src_root}/{names[0]}", f"{dst_root}/{names[0]}")
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(names))) as pool:
+        # list() re-raises the first failure before the caller commits
+        list(
+            pool.map(
+                lambda n: copy_tree(
+                    spark, f"{src_root}/{n}", f"{dst_root}/{n}"
+                ),
+                names,
+            )
+        )
+
+
 def purge_snapshot(
     spark: SparkSession,
     root: str,
@@ -691,9 +722,12 @@ def purge_snapshot(
 
     Scale shape: compute tracks the AFFECTED partitions' bytes (a
     takedown touches a handful of sites/dates), the key-location scan
-    reads one column, copies are sequential IO, splice is O(rewrites).
-    ``ids_df`` is a DataFrame with ``key_col`` or an iterable of
-    values."""
+    reads one column, clean-partition copies and per-partition rewrites
+    run through thread pools (wall bounded by the largest item, not the
+    partition count — the serial copy loop dominated the measured
+    44.1 s purge at the 2,000-site store, SCALE.md r16), splice is
+    O(rewrites).  ``ids_df`` is a DataFrame with ``key_col`` or an
+    iterable of values."""
     from data_integration_system_spark.operators._common import local_rows_df
     from data_integration_system_spark.pipeline import index_manifest as im
     from data_integration_system_spark.pipeline.snapshots import (
@@ -725,14 +759,48 @@ def purge_snapshot(
                 [v for v in list_versions(spark, root) if v != new_name],
         }
 
-    # one column-pruned scan locates the keys' partitions
-    affected = sorted(
-        str(r[part_col])
+    # Everything below operates in DIR-NAME space (hive-ESCAPED partition
+    # value strings), like compact_partitions: the data values coming out
+    # of the locate scan are RAW, while dir names, manifest keys, and the
+    # copy-skip comparison all carry Spark's hive escaping (spaces,
+    # colons, slashes, NULL -> __HIVE_DEFAULT_PARTITION__).  Matching raw
+    # values against those silently turned the purge into a byte-copy of
+    # the un-purged partition for any escaped value — the hard-delete
+    # primitive retaining the rows while reporting purged=True (ADVICE
+    # r16 high).  One listing of the version dir gives the authoritative
+    # dir names; raw values are matched through _unescape_hive, and a
+    # purged key whose partition cannot be matched to a dir FAILS LOUDLY
+    # instead of silently retaining rows.
+    p, fs = hadoop_path(spark, f"{root}/{version}")
+    dir_names = [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    by_value: dict[str | None, str] = {
+        _unescape_hive(n.split("=", 1)[1]): n.split("=", 1)[1]
+        for n in dir_names
+    }
+    # one column-pruned scan locates the keys' partitions (raw values)
+    hit_values = [
+        r[part_col]
         for r in cur.join(ids_df, key_col, "left_semi")
         .select(part_col)
         .distinct()
         .collect()
-    )
+    ]
+    affected: list[str] = []  # hive-escaped dir-value strings
+    for raw in hit_values:
+        key = None if raw is None else str(raw)
+        if key not in by_value:
+            raise ValueError(
+                f"purge_snapshot: partition value {raw!r} (from the key-"
+                f"location scan) matches no partition dir under "
+                f"{root}/{version} (have {sorted(dir_names)[:10]}...); "
+                "refusing a purge that would silently retain rows"
+            )
+        affected.append(by_value[key])
+    affected = sorted(set(affected))
     if not affected:
         return {
             "purged": False,
@@ -741,23 +809,35 @@ def purge_snapshot(
             "rewritten": [],
         }
     new_name = allocate_version(spark, root)
-    for value in affected:
+
+    def _rewrite(dir_value: str) -> None:
+        # read the partition DIR directly (not basePath-restored), so the
+        # rewritten files match the byte-copied partitions structurally:
+        # no partition column embedded in the data files (ADVICE r16 low)
         (
-            read_version(spark, root, version, partitions=[value])
+            spark.read.parquet(f"{root}/{version}/{part_col}={dir_value}")
             .join(ids_df, key_col, "left_anti")
             .write.mode("errorifexists")
-            .parquet(f"{root}/{new_name}/{part_col}={value}")
+            .parquet(f"{root}/{new_name}/{part_col}={dir_value}")
         )
-    p, fs = hadoop_path(spark, f"{root}/{version}")
-    copied = 0
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and "=" in name):
-            continue
-        if name.split("=", 1)[1] in affected:
-            continue
-        copy_tree(spark, f"{root}/{version}/{name}", f"{root}/{new_name}/{name}")
-        copied += 1
+
+    clean = [
+        n for n in dir_names if n.split("=", 1)[1] not in set(affected)
+    ]
+    copied = len(clean)
+    # rewrites are independent small Spark jobs and the clean-partition
+    # copies are independent driver-side FS copies: both pools bound the
+    # wall by the largest item instead of the sum (the serial copy loop
+    # dominated the measured 44.1 s purge at the 2,000-site store —
+    # SCALE.md r16; same rationale as compact_partitions' rewrite pool)
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(affected) == 1:
+        _rewrite(affected[0])
+    else:
+        with ThreadPoolExecutor(max_workers=min(8, len(affected))) as pool:
+            list(pool.map(_rewrite, affected))
+    _copy_trees(spark, f"{root}/{version}", f"{root}/{new_name}", clean)
     base_man = im.read_manifest(spark, f"{root}/{version}")
     if base_man is not None and "" in base_man.get("relations", {}):
         im.splice_manifest_from(
@@ -792,8 +872,9 @@ def compact_partitions(
     thousand is fragmented (a streaming sink appending to today's
     partition fragments exactly one), so its cost is proportional to
     table size; this one's compute is proportional to the FRAGMENTED
-    bytes (the copy of clean partitions is sequential IO a real lake
-    amortizes with server-side copy).  ``max_rewrites`` bounds a
+    bytes (the clean-partition copies are pooled byte-copies — see
+    _copy_trees — that a real lake further amortizes with server-side
+    copy).  ``max_rewrites`` bounds a
     scheduled run — the worst offenders (by excess file count) are
     rewritten now, the rest ride along as copies and are picked up next
     run, so an incremental compactor does bounded work per trigger.
@@ -867,8 +948,7 @@ def compact_partitions(
         with ThreadPoolExecutor(max_workers=min(8, len(frag))) as pool:
             # list() re-raises the first failure before the commit below
             list(pool.map(lambda t: _rewrite(t[0], t[1]), frag))
-    for name in clean:
-        copy_tree(spark, f"{root}/{version}/{name}", f"{root}/{new_name}/{name}")
+    _copy_trees(spark, f"{root}/{version}", f"{root}/{new_name}", clean)
     # file manifest for the new version by SPLICE, not full walk: the
     # copied clean partitions' entries are byte-identical to the base
     # version's, so only the rewritten partitions are re-listed —

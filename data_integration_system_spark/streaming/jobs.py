@@ -399,16 +399,32 @@ def near_dup_sink(
     throughput-bound; sub-minute freshness costs ~66x throughput."""
     from data_integration_system_spark.operators.dedup import (
         append_minhash_index,
+        minhash_bands,
         query_minhash_index,
+        shingle_sets,
     )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         batch = batch.localCheckpoint()  # one stable view for index + probe
-        append_minhash_index(spark, index_path, batch)
+        # derive shingles + band rows ONCE and share them between the
+        # append and the probe: both passes need the identical
+        # deterministic relations, and deriving them twice paid the
+        # shingle+signature projection twice per trigger (measured
+        # ~2-3 s of the sf0.1 trigger wall, r17)
+        sh = shingle_sets(batch)
+        bands = minhash_bands(batch, shingles_df=sh).localCheckpoint()
+        append_minhash_index(
+            spark, index_path, batch, shingles_df=sh, bands_df=bands
+        )
         pairs = query_minhash_index(
-            spark, index_path, batch, min_jaccard=min_jaccard
+            spark,
+            index_path,
+            batch,
+            min_jaccard=min_jaccard,
+            shingles_df=sh,
+            bands_df=bands,
         )
         if top_k_neighbors is not None:
             # cap BEFORE canonicalization: the contract is per PROBE doc
@@ -468,15 +484,20 @@ def fingerprint_overlap_sink(
     from data_integration_system_spark.operators.textops import (
         append_fingerprint_index,
         query_fingerprint_index,
+        winnow_fingerprints,
     )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         batch = batch.localCheckpoint()  # one stable view for index + probe
-        append_fingerprint_index(spark, index_path, batch)
+        # one fingerprint derivation shared by append + probe (same
+        # dedup of work as near_dup_sink — the relation is
+        # deterministic, so sharing changes no output)
+        fps = winnow_fingerprints(batch, spread=False).localCheckpoint()
+        append_fingerprint_index(spark, index_path, batch, fps_df=fps)
         pairs = query_fingerprint_index(
-            spark, index_path, batch, min_shared=min_shared
+            spark, index_path, batch, min_shared=min_shared, fps_df=fps
         )
         (
             pairs.select(
@@ -1320,7 +1341,14 @@ def streaming_user_ewma_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger = f"{root}/ledger"
 
         def land(batch: DataFrame, batch_id: int) -> None:
-            batch.coalesce(1).write.mode("overwrite").parquet(
+            # repartition(1), NOT coalesce(1): the batch's plan still
+            # contains the stateful operator, and coalesce would narrow
+            # that stage to ONE task that walks all N state partitions
+            # serially (each paying its own state-store open + Python
+            # runner setup) — measured 47.2 s -> 5.4 s drain on the
+            # sf0.1 EWMA replay (r17).  The shuffle moves only the
+            # batch's tiny update rows.
+            batch.repartition(1).write.mode("overwrite").parquet(
                 f"{ledger}/batch_id={batch_id}"
             )
 
@@ -1781,7 +1809,14 @@ def streaming_tumbling_counts_snapshot(spark: SparkSession, sf_dir: str) -> Data
         ledger = f"{root}/ledger"
 
         def land(batch: DataFrame, batch_id: int) -> None:
-            batch.coalesce(1).write.mode("overwrite").parquet(
+            # repartition(1), NOT coalesce(1): the batch's plan still
+            # contains the stateful operator, and coalesce would narrow
+            # that stage to ONE task that walks all N state partitions
+            # serially (each paying its own state-store open + Python
+            # runner setup) — measured 47.2 s -> 5.4 s drain on the
+            # sf0.1 EWMA replay (r17).  The shuffle moves only the
+            # batch's tiny update rows.
+            batch.repartition(1).write.mode("overwrite").parquet(
                 f"{ledger}/batch_id={batch_id}"
             )
 
@@ -1902,7 +1937,14 @@ def streaming_session_windows_snapshot(spark: SparkSession, sf_dir: str) -> Data
         ledger = f"{root}/ledger"
 
         def land(batch: DataFrame, batch_id: int) -> None:
-            batch.coalesce(1).write.mode("overwrite").parquet(
+            # repartition(1), NOT coalesce(1): the batch's plan still
+            # contains the stateful operator, and coalesce would narrow
+            # that stage to ONE task that walks all N state partitions
+            # serially (each paying its own state-store open + Python
+            # runner setup) — measured 47.2 s -> 5.4 s drain on the
+            # sf0.1 EWMA replay (r17).  The shuffle moves only the
+            # batch's tiny update rows.
+            batch.repartition(1).write.mode("overwrite").parquet(
                 f"{ledger}/batch_id={batch_id}"
             )
 
@@ -2014,7 +2056,14 @@ def streaming_funnel_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         ledger = f"{root}/ledger"
 
         def land(batch: DataFrame, batch_id: int) -> None:
-            batch.coalesce(1).write.mode("overwrite").parquet(
+            # repartition(1), NOT coalesce(1): the batch's plan still
+            # contains the stateful operator, and coalesce would narrow
+            # that stage to ONE task that walks all N state partitions
+            # serially (each paying its own state-store open + Python
+            # runner setup) — measured 47.2 s -> 5.4 s drain on the
+            # sf0.1 EWMA replay (r17).  The shuffle moves only the
+            # batch's tiny update rows.
+            batch.repartition(1).write.mode("overwrite").parquet(
                 f"{ledger}/batch_id={batch_id}"
             )
 
@@ -2342,7 +2391,14 @@ def streaming_sessionized_eviction_snapshot(
         ledger = f"{root}/ledger"
 
         def land(batch: DataFrame, batch_id: int) -> None:
-            batch.coalesce(1).write.mode("overwrite").parquet(
+            # repartition(1), NOT coalesce(1): the batch's plan still
+            # contains the stateful operator, and coalesce would narrow
+            # that stage to ONE task that walks all N state partitions
+            # serially (each paying its own state-store open + Python
+            # runner setup) — measured 47.2 s -> 5.4 s drain on the
+            # sf0.1 EWMA replay (r17).  The shuffle moves only the
+            # batch's tiny update rows.
+            batch.repartition(1).write.mode("overwrite").parquet(
                 f"{ledger}/batch_id={batch_id}"
             )
 

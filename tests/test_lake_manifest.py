@@ -361,3 +361,44 @@ def test_purge_snapshot_selective_rewrite_and_prune_completes_forget(
     assert rep3["purged"] and rep3["rewritten"] == ["<flat>"]
     kept = {r.id for r in sn.read_current(spark, flat).collect()}
     assert not (kept & set(victims)) and len(kept) == 400 - len(victims)
+
+
+def test_purge_snapshot_escaped_and_null_partition_values(spark, tmp_path):
+    """ADVICE r16 high: purge matched RAW partition values against
+    hive-ESCAPED dir names / manifest keys, so any value Spark escapes
+    (space, colon, NULL sentinel) made the 'rewrite' read an empty
+    frame, byte-copied the original un-purged dir, and still reported
+    purged=True — the hard-delete primitive silently retaining rows.
+    Pins: escaped-value and NULL partitions are actually rewritten, the
+    untouched partition is copied, and the purged keys are GONE."""
+    from data_integration_system_spark.pipeline.layout import purge_snapshot
+
+    root = str(tmp_path / "store")
+    site = (
+        F.when(F.col("id") % 3 == 0, F.lit("a b:c"))
+        .when(F.col("id") % 3 == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("plain"))
+    )
+    df = spark.range(60).select("id", site.alias("site"), (F.col("id") * 7).alias("val"))
+    sn.write_snapshot(df.repartition(3, "site"), root, partition_by="site")
+    victims = [0, 3, 6, 1, 4]  # escaped-partition ids + NULL-partition ids
+
+    rep = purge_snapshot(spark, root, victims, "id")
+    assert rep["purged"]
+    # rewritten is reported in dir-name space (hive-escaped values)
+    assert sorted(rep["rewritten"]) == ["__HIVE_DEFAULT_PARTITION__", "a b%3Ac"]
+    assert rep["copied_partitions"] == 1  # 'plain' byte-copied
+
+    after = {r.id for r in sn.read_current(spark, root).collect()}
+    assert not (after & set(victims))
+    assert after == set(range(60)) - set(victims)
+    # partition column still reconstructs correctly from the dir names
+    sites = {
+        r.site
+        for r in sn.read_current(spark, root).select("site").distinct().collect()
+    }
+    assert sites == {"a b:c", None, "plain"}
+    # rewritten partitions stay structurally identical to copied ones:
+    # no partition column embedded in the data files (ADVICE r16 low)
+    direct = spark.read.parquet(f"{root}/{rep['version']}/site=a b%3Ac")
+    assert "site" not in direct.columns
