@@ -1005,11 +1005,24 @@ def dedup_embedding_near(
     n_bits = _emb_lsh_bits(n_vec)
     n_tables = _emb_lsh_tables(n_bits)
 
-    planes_by_table = F.lit(
-        [
-            [[sign(t, p, j) for j in range(dim)] for p in range(n_bits)]
+    # One parsed SQL literal, NOT F.lit(nested list): F.lit recurses
+    # into ~n_tables·n_bits·dim element-wise Column constructions
+    # through the py4j gateway — measured 2.15 s of pure DRIVER time at
+    # the shipped 8×6×64 geometry (r17) — where the parser builds the
+    # identical constant array<array<array<double>>> in one call.
+    planes_by_table = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)"
+            % ",".join(
+                "array(%s)"
+                % ",".join(
+                    repr(sign(t, p, j)) + "D" for j in range(dim)
+                )
+                for p in range(n_bits)
+            )
             for t in range(n_tables)
-        ]
+        )
     )
 
     def _dot(row):
@@ -1441,6 +1454,14 @@ def _banded_block_candidates(sized: DataFrame) -> DataFrame:
     )
 
 
+#: connected-components local fast path: edge sets at or under this size
+#: (~3 MB collected as two longs/row) are solved driver-side with
+#: union-find instead of paying O(log² n) star-contraction rounds of
+#: distributed fixed cost.  Bounded operand, same class as the tombstone
+#: INSET_CAP — the distributed path is the contract above the cap.
+_CC_LOCAL_EDGE_CAP = 200_000
+
+
 def connected_components_min_label(
     pairs: DataFrame, max_rounds: int = 25
 ) -> DataFrame:
@@ -1473,6 +1494,44 @@ def connected_components_min_label(
         .localCheckpoint()
     )
     n_edges = edges.count()
+    if n_edges <= _CC_LOCAL_EDGE_CAP:
+        # Bounded driver-side union-find: a near-dup PAIR graph is tiny
+        # relative to its corpus (|edges| ≈ duplicates, not documents),
+        # and below the cap (~3 MB collected) the star-contraction
+        # loop's per-round fixed cost — 2 checkpointed jobs × ~4
+        # shuffles × O(log² n) rounds — dwarfs the work: measured ~2 s
+        # of round machinery for a few hundred edges at sf0.1 vs ~10 ms
+        # locally (r17).  Same labels by construction (min doc_id per
+        # component); the distributed path takes over past the cap,
+        # exactly like the tombstone INSET_CAP split.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            if r not in comp_min or node < comp_min[r]:
+                comp_min[r] = node
+        out = sorted((node, comp_min[find(node)]) for node in parent)
+        return local_rows_df(
+            pairs.sparkSession, out, "doc_id long, label long"
+        )
     for _ in range(max_rounds):
         # large-star
         d = edges.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(

@@ -95,6 +95,16 @@ def curate_corpus(
                 .select("doc_id"),
             )
         )
+    # Each stage relation is consumed TWICE — once in the semi-join
+    # chain below and once by the report count — so without a barrier
+    # the full stage lineage (the near-dup LSH pass especially) executes
+    # twice.  Lazy checkpoint: materialized by whichever action runs
+    # first, reused by the second; the relations are doc_id lists,
+    # strictly smaller than the corpus.  (Eager checkpointing here was
+    # measured SLOWER — it serializes the stage jobs upfront.)
+    stages = [
+        (name, ids.localCheckpoint(eager=False)) for name, ids in stages
+    ]
 
     curated = docs
     for _name, ids in stages:

@@ -1236,10 +1236,9 @@ def streaming_dup_rate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
         src = f"{root}/in"
         # three deterministic single-file batches (append keeps one dir)
-        for b in range(3):
-            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+        _stage_batches(
+            docs.withColumn("__b", (F.col("doc_id") % 3).cast("int")), src
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -1328,11 +1327,10 @@ def streaming_user_ewma_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
         staged = ev.withColumn("b", tercile).localCheckpoint()
         src = f"{root}/in"
-        for b in (1, 2, 3):
-            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-            _pin_batch_mtimes(src, b)
+        _stage_batches(
+            staged.withColumn("__b", (F.col("b") - 1).cast("int")).drop("b"),
+            src,
+        )
         stream = (
             spark.readStream.schema(staged.drop("b").schema)
             .option("maxFilesPerTrigger", "1")
@@ -1443,11 +1441,10 @@ def streaming_user_ewma_jvm_snapshot(
         tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
         staged = ev.withColumn("b", tercile).localCheckpoint()
         src = f"{root}/in"
-        for b in (1, 2, 3):
-            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-            _pin_batch_mtimes(src, b)
+        _stage_batches(
+            staged.withColumn("__b", (F.col("b") - 1).cast("int")).drop("b"),
+            src,
+        )
         stream = (
             spark.readStream.schema(staged.drop("b").schema)
             .option("maxFilesPerTrigger", "1")
@@ -1552,10 +1549,12 @@ def streaming_quality_monitor_snapshot(spark: SparkSession, sf_dir: str) -> Data
         )
         src = f"{root}/in"
         # three deterministic single-file batches (append keeps one dir)
-        for b in range(3):
-            orders.filter(F.col("o_orderkey") % 3 == b).drop(
-                "o_orderkey"
-            ).coalesce(1).write.mode("append").parquet(src)
+        _stage_batches(
+            orders.withColumn(
+                "__b", (F.col("o_orderkey") % 3).cast("int")
+            ).drop("o_orderkey"),
+            src,
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -1626,10 +1625,9 @@ def streaming_length_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataF
         docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
         src = f"{root}/in"
         # three deterministic single-file batches (append keeps one dir)
-        for b in range(3):
-            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+        _stage_batches(
+            docs.withColumn("__b", (F.col("doc_id") % 3).cast("int")), src
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -1708,10 +1706,12 @@ def streaming_retention_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
         src = f"{root}/in"
         # three deterministic single-file batches (append keeps one dir)
-        for b in range(3):
-            ev.filter(F.col("event_id") % 3 == b).drop("event_id").coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        _stage_batches(
+            ev.withColumn("__b", (F.col("event_id") % 3).cast("int")).drop(
+                "event_id"
+            ),
+            src,
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -1785,11 +1785,12 @@ def streaming_tumbling_counts_snapshot(spark: SparkSession, sf_dir: str) -> Data
         tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
         staged = ev.withColumn("b", tercile).localCheckpoint()
         src = f"{root}/in"
-        for b in (1, 2, 3):
-            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _pin_batch_mtimes(src, b)
+        _stage_batches(
+            staged.withColumn("__b", (F.col("b") - 1).cast("int")).drop(
+                "b", "event_id"
+            ),
+            src,
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -1912,11 +1913,12 @@ def streaming_session_windows_snapshot(spark: SparkSession, sf_dir: str) -> Data
         tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
         staged = ev.withColumn("b", tercile).localCheckpoint()
         src = f"{root}/in"
-        for b in (1, 2, 3):
-            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _pin_batch_mtimes(src, b)
+        _stage_batches(
+            staged.withColumn("__b", (F.col("b") - 1).cast("int")).drop(
+                "b", "event_id"
+            ),
+            src,
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -2026,11 +2028,12 @@ def streaming_funnel_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
         staged = ev.withColumn("b", tercile).localCheckpoint()
         src = f"{root}/in"
-        for b in (1, 2, 3):
-            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _pin_batch_mtimes(src, b)
+        _stage_batches(
+            staged.withColumn("__b", (F.col("b") - 1).cast("int")).drop(
+                "b", "event_id"
+            ),
+            src,
+        )
         schema = spark.read.parquet(src).schema
 
         def side(kind: str, alias: str) -> DataFrame:
@@ -2096,6 +2099,36 @@ def streaming_funnel_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _stage_batches(df: DataFrame, src: str, n: int = 3) -> None:
+    """Land ``df`` (carrying an int ``__b`` column in [0, n)) as ``n``
+    single-file micro-batches under ``src`` with pinned increasing
+    mtimes — in ONE partitioned write job instead of n filtered
+    scan+coalesce(1) writes (the serial form re-scanned the input n
+    times; measured ~2-3 s of each snapshot fixture at sf0.1, r17).
+    Batch CONTENT is identical — same rows per __b value; only
+    within-file row order can differ, and every replay sink is
+    order-insensitive within a batch (folds sort, aggregations
+    commute).  Local-filesystem fixture helper, like _pin_batch_mtimes."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    staging = f"{src}__staging"
+    df.repartition(n, F.col("__b")).write.partitionBy("__b").parquet(staging)
+    _os.makedirs(src, exist_ok=True)
+    for b in range(n):
+        parts = _glob.glob(f"{staging}/__b={b}/part-*.parquet")
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"_stage_batches: expected exactly 1 file for batch {b}, "
+                f"found {parts}"
+            )
+        dst = f"{src}/batch-{b}.parquet"
+        _os.replace(parts[0], dst)
+        _os.utime(dst, ((b + 1) * 1e6, (b + 1) * 1e6))
+    _shutil.rmtree(staging, ignore_errors=True)
+
+
 def _docs_trisected(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
     """Shared fixture for the document-stream snapshots: the documents
     corpus staged as three deterministic doc_id-keyed micro-batch files
@@ -2107,11 +2140,9 @@ def _docs_trisected(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     src = f"{root}/in"
-    for b in range(3):
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        _pin_batch_mtimes(src, b + 1)
+    _stage_batches(
+        docs.withColumn("__b", (F.col("doc_id") % 3).cast("int")), src
+    )
     return (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1")
@@ -2272,11 +2303,9 @@ def streaming_ann_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
             "vec_id", "embedding"
         )
         src = f"{root}/in"
-        for b in range(3):
-            corpus.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-            _pin_batch_mtimes(src, b + 1)
+        _stage_batches(
+            corpus.withColumn("__b", (F.col("vec_id") % 3).cast("int")), src
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -2377,11 +2406,12 @@ def streaming_sessionized_eviction_snapshot(
         tercile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
         staged = ev.withColumn("b", tercile).localCheckpoint()
         src = f"{root}/in"
-        for b in (1, 2, 3):
-            staged.filter(F.col("b") == b).drop("b", "event_id").coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _pin_batch_mtimes(src, b)
+        _stage_batches(
+            staged.withColumn("__b", (F.col("b") - 1).cast("int")).drop(
+                "b", "event_id"
+            ),
+            src,
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", "1")
@@ -2524,11 +2554,12 @@ def streaming_jobs_fold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("").alias("error"),
             F.col("o_orderdate").alias("created_at"),
         ).localCheckpoint()
-        for b in range(3):
-            subs.filter(
-                F.pmod(F.col("job_id").cast("long"), F.lit(3)) == b
-            ).coalesce(1).write.mode("append").parquet(jobs_path)
-            _pin_batch_mtimes(jobs_path, b + 1)
+        _stage_batches(
+            subs.withColumn(
+                "__b", F.pmod(F.col("job_id").cast("long"), F.lit(3)).cast("int")
+            ),
+            jobs_path,
+        )
         q = job_worker_stream(
             spark,
             jobs_path,
