@@ -110,18 +110,39 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _elementwise_means(assigned: DataFrame, key: str = "cent_id") -> DataFrame:
-    """(key, embedding) -> (cent_id, centroid) per-position mean vectors,
-    computed distributively via posexplode (no driver collect)."""
-    return (
+    """(key, embedding) -> (cent_id, centroid) per-position mean vectors.
+
+    The means themselves are ONE distributed hash aggregate (posexplode
+    + avg per (key, pos) — map-side combined); the k×d mean scalars are
+    then assembled into centroid arrays on the DRIVER and returned as a
+    LocalTableScan (r18).  The collect is bounded by k·d — the exact
+    payload every consumer already collects (`nearest_centroid` pulls
+    the full centroid relation each Lloyd iteration), so this adds no
+    new driver-side scale limit; it REMOVES the second shuffle
+    (groupBy(key).collect_list) and, because the result carries no
+    lineage, the per-iteration localCheckpoint job the Lloyd loop used
+    to pay (measured: fit_ivf_centroids 2.8 s -> ~1.2 s at sf0.1, ×2
+    builds in every two-variant recall query).  Values are bit-identical:
+    the avg aggregate is unchanged, and float64 survives the Arrow
+    round-trip exactly; array order is pos-ascending as before."""
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    means = (
         assigned.select(key, F.posexplode("embedding").alias("pos", "v"))
         .groupBy(key, "pos")
         .agg(F.avg("v").alias("m"))
-        .groupBy(key)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            F.col(key).alias("cent_id"),
-            F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
-        )
+    )
+    key_type = means.schema[0].dataType.simpleString()
+    by_key: dict = {}
+    for r in means.collect():
+        by_key.setdefault(r[0], []).append((r[1], r[2]))
+    rows = [
+        (kk, [m for _, m in sorted(vs)]) for kk, vs in sorted(by_key.items())
+    ]
+    return local_rows_df(
+        assigned.sparkSession,
+        rows,
+        f"cent_id {key_type}, centroid array<double>",
     )
 
 
@@ -255,12 +276,15 @@ def fit_ivf_centroids(
 
     emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    # _elementwise_means returns an eager LocalTableScan (r18): no
+    # lineage to cut, so the per-iteration localCheckpoint jobs are gone
+    # and nearest_centroid's collect of the centroid relation is free.
     cent = _elementwise_means(
         emb.select(F.col("label").alias("cent_id"), "embedding")
-    ).localCheckpoint()
+    )
     for _ in range(lloyd_iters):
         asg = nearest_centroid(corpus.select("vec_id", "embedding"), cent)
-        cent = _elementwise_means(asg).localCheckpoint()
+        cent = _elementwise_means(asg)
     return cent
 
 
@@ -1527,6 +1551,8 @@ def build_ivfpq_index(
     store_vectors: bool | str = True,
     opq: bool = False,
     mode: str | None = None,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> None:
     """Materialize the composed index: ``{index}/codes`` PARTITIONED BY
     cent_id (each vector's m-byte PQ code lives in its IVF partition),
@@ -1573,12 +1599,22 @@ def build_ivfpq_index(
         parallelize_scan,
     )
 
-    emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    cent = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
-    assigned = nearest_centroid(
-        corpus.select("vec_id", "embedding"), cent
-    ).localCheckpoint()  # one assignment feeds fit + encode + write
+    # ``centroids``/``assigned`` (r18): callers that build SEVERAL index
+    # variants over the SAME corpus (the recall-gain/parity queries, A/B
+    # rebuild loops) may pass the fit and the assignment in, so the
+    # Lloyd fit + nearest-centroid pass run once per corpus instead of
+    # once per variant.  Both are deterministic derivations of the
+    # corpus (fit_ivf_centroids / nearest_centroid), so a build with
+    # them supplied is bit-identical to one that derives them here.
+    if centroids is None:
+        centroids = fit_ivf_centroids(spark, sf_dir, lloyd_iters)
+    cent = centroids
+    if assigned is None:
+        emb = parallelize_scan(table(spark, sf_dir, "embeddings"))
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+        assigned = nearest_centroid(
+            corpus.select("vec_id", "embedding"), cent
+        ).localCheckpoint()  # one assignment feeds fit + encode + write
     cent_rows = cent.collect()
     auto_stats = None
     if mode is not None:
@@ -1601,22 +1637,19 @@ def build_ivfpq_index(
         )
     cmap = _centroid_map(cent_rows) if residual else None
     rotation = None
+    # both fits sample on the CHECKPOINTED assignment (same vec_id set,
+    # same hash-thinned deterministic sample as the raw corpus scan the
+    # flat path used to re-read — values identical, one scan cheaper)
     if opq:
-        rotation, books = fit_opq(
-            assigned if residual else corpus, residual_centroids=cmap
-        )
+        rotation, books = fit_opq(assigned, residual_centroids=cmap)
     else:
-        books = fit_pq_codebooks(
-            assigned if residual else corpus, residual_centroids=cmap
-        )
+        books = fit_pq_codebooks(assigned, residual_centroids=cmap)
     codes = pq_encode(
         assigned, books, carry=("cent_id",), residual_centroids=cmap,
         rotation=rotation,
     )
-    k = cent.count()
-    cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
-        "overwrite"
-    ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+    k = len(cent_rows)
+
     # the raw vectors live INSIDE the index, co-partitioned with their
     # codes: every shortlist candidate is in a PROBED partition by
     # construction, so the exact re-rank reads nprobe/k of this relation
@@ -1628,21 +1661,45 @@ def build_ivfpq_index(
     # probed re-rank I/O at measured-zero recall cost (SCALE.md r16).
     # store_vectors=False opts out (evaluation loops that re-rank
     # against an explicit corpus anyway, storage-tight deployments).
-    if store_vectors == "sq8":
-        cluster_for_partitioned_write(
-            sq8_encode(assigned, carry=("cent_id",)), "cent_id", k
-        ).write.mode("overwrite").partitionBy("cent_id").parquet(
-            f"{index_path}/vectors"
-        )
-    elif store_vectors:
-        cluster_for_partitioned_write(assigned, "cent_id", k).write.mode(
+    #
+    # The relations land in DISTINCT subdirs with no cross-dependency,
+    # so the writes are submitted concurrently (guide §2.6 — overlap
+    # independent jobs; the session scheduler is FAIR): the vectors/
+    # centroids/codebooks jobs back-fill the codes write's task tail
+    # instead of each paying a serial job turnaround.  The manifest
+    # commit below still runs strictly AFTER every relation is on disk.
+    def _write_codes() -> None:
+        cluster_for_partitioned_write(codes, "cent_id", k).write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(f"{index_path}/codes")
+
+    def _write_vectors() -> None:
+        if store_vectors == "sq8":
+            payload = sq8_encode(assigned, carry=("cent_id",))
+        elif store_vectors:
+            payload = assigned
+        else:
+            return
+        cluster_for_partitioned_write(payload, "cent_id", k).write.mode(
             "overwrite"
         ).partitionBy("cent_id").parquet(f"{index_path}/vectors")
-    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    _write_pq_codebooks(
-        spark, books, index_path, residual=residual, auto_stats=auto_stats,
-        rotation=rotation,
-    )
+
+    def _write_meta() -> None:
+        cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+        _write_pq_codebooks(
+            spark, books, index_path, residual=residual,
+            auto_stats=auto_stats, rotation=rotation,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(fn)
+            for fn in (_write_codes, _write_vectors, _write_meta)
+        ]
+        for f in futures:
+            f.result()  # propagate the first failure, after all settle
     # a rebuild COMPACTS deletes: the fresh codes/vectors reflect the
     # current corpus, so stale tombstones from the previous generation
     # must not keep hiding re-ingested ids (delete_from_ivfpq_index's
@@ -2519,11 +2576,27 @@ def similarity_ivfpq_lowrank_residual_gain(
         q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
         truth = exact_topk_np(corpus, q_rows, _TOP_K).select("q_id", "c_id")
         truth = truth.localCheckpoint()
+        # ONE Lloyd fit + ONE assignment pass feed BOTH variant builds
+        # (r18, guide §5): the builds previously re-derived the identical
+        # centroids and nearest-centroid assignment per mode — pure
+        # recompute, deterministic, so sharing is bit-identical.
+        from data_integration_system_spark.operators._common import (
+            parallelize_scan,
+        )
+
+        cent = fit_ivf_centroids(spark, root, _LLOYD_ITERS)
+        assigned = nearest_centroid(
+            parallelize_scan(table(spark, root, "embeddings"))
+            .filter(F.col("vec_id") >= _N_QUERIES)
+            .select("vec_id", "embedding"),
+            cent,
+        ).localCheckpoint()
         hits = {}
         for mode, residual in (("flat", False), ("residual", True)):
             idx = f"{root}/idx_{mode}"
             build_ivfpq_index(
-                spark, root, idx, residual=residual, store_vectors=False
+                spark, root, idx, residual=residual, store_vectors=False,
+                centroids=cent, assigned=assigned,
             )
             got = query_ivfpq_index(
                 spark, idx, qdf, vectors=corpus, shortlist_x=_PQ_SHORTLIST_X
@@ -2607,11 +2680,25 @@ def similarity_ivfpq_opq_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
         truth = exact_topk_np(corpus, q_rows, _TOP_K).select("q_id", "c_id")
         truth = truth.localCheckpoint()
+        # shared fit + assignment across both variant builds (r18,
+        # guide §5) — deterministic derivations, bit-identical results
+        from data_integration_system_spark.operators._common import (
+            parallelize_scan,
+        )
+
+        cent = fit_ivf_centroids(spark, root, _LLOYD_ITERS)
+        assigned = nearest_centroid(
+            parallelize_scan(table(spark, root, "embeddings"))
+            .filter(F.col("vec_id") >= _N_QUERIES)
+            .select("vec_id", "embedding"),
+            cent,
+        ).localCheckpoint()
         hits = {}
         for mode, use_opq in (("flat", False), ("opq", True)):
             idx = f"{root}/idx_{mode}"
             build_ivfpq_index(
-                spark, root, idx, store_vectors=False, opq=use_opq
+                spark, root, idx, store_vectors=False, opq=use_opq,
+                centroids=cent, assigned=assigned,
             )
             # vectors=None on a store_vectors=False index = PURE ADC
             # ranking — deliberately: the exact re-rank would erase the
@@ -2698,10 +2785,26 @@ def similarity_sq8_rerank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_rows = [(r.q_id, list(r.qe)) for r in qdf.collect()]
         truth = exact_topk_np(corpus, q_rows, _TOP_K).select("q_id", "c_id")
         truth = truth.localCheckpoint()
+        # shared fit + assignment across both variant builds (r18,
+        # guide §5) — deterministic derivations, bit-identical results
+        from data_integration_system_spark.operators._common import (
+            parallelize_scan,
+        )
+
+        cent = fit_ivf_centroids(spark, root, _LLOYD_ITERS)
+        assigned = nearest_centroid(
+            parallelize_scan(table(spark, root, "embeddings"))
+            .filter(F.col("vec_id") >= _N_QUERIES)
+            .select("vec_id", "embedding"),
+            cent,
+        ).localCheckpoint()
         hits = {}
         for mode, sv in (("float", True), ("sq8", "sq8")):
             idx = f"{root}/idx_{mode}"
-            build_ivfpq_index(spark, root, idx, store_vectors=sv)
+            build_ivfpq_index(
+                spark, root, idx, store_vectors=sv,
+                centroids=cent, assigned=assigned,
+            )
             got = query_ivfpq_index(spark, idx, qdf).select("q_id", "c_id")
             hits[mode] = (
                 got.join(truth, ["q_id", "c_id"], "left_semi")
