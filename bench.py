@@ -147,6 +147,35 @@ HEADLINE = (
 #: appeared in BENCH_DETAIL — every query gets a recorded time now)
 _COLD_K = 29
 
+#: changed-paths verification tier (ADDITIVE — r18): queries whose
+#: implementation changed in r17/r18 but whose names fall outside both
+#: this round's cold-tier slice and HEADLINE, so the rotation alone
+#: would leave the optimization claims without a driver-side number
+#: (VERDICT r17 "Next round" #1: the streaming stateful-drain fix—
+#: repartition(1) landing sinks + staged fixture batches — was builder-
+#: measured 47.2 -> 5.4 s but rotated out of the r17 bench slice).
+#: Timed AFTER the cold tier, OUTSIDE the suite wall, skipping names the
+#: round's slices already timed — entries are only ever ADDED to the
+#: sidecar/compact dicts, never removed or renamed.
+_CHANGED_PATHS = (
+    # r17 streaming snapshot fixes awaiting driver confirmation
+    "streaming_user_ewma_snapshot",
+    "streaming_near_dup_snapshot",
+    "streaming_tumbling_counts_snapshot",
+    "streaming_session_windows_snapshot",
+    "streaming_sessionized_eviction_snapshot",
+    "streaming_funnel_pairs_snapshot",
+    "streaming_dup_rate_snapshot",
+    # r17 dedup CC fast path (driver saw dedup_clusters only via the
+    # r17 cold slice; keep both CC consumers priced while changed)
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    # r18 touched paths outside this round's slices
+    "part_name_near_matches",
+    "event_type_pagerank",
+    "part_copurchase_pairs",
+)
+
 
 def _next_round_no() -> int:
     """The round this bench run belongs to = latest recorded round + 1
@@ -395,6 +424,19 @@ def main() -> None:
         except Exception as ex:
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
+    # changed-paths tier: like the cold tier (outside the suite wall),
+    # but pinned to the names whose code changed recently — skips
+    # anything the headline/cold slices already timed this run
+    for name in _CHANGED_PATHS:
+        if name in timings or name in errors or name not in queries:
+            continue
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+
     # Sub-second queries false-flag at this rig's noise floor: three
     # consecutive rounds flagged DISJOINT sub-second sets (SCALE.md r9),
     # so any query whose PREVIOUS recording was sub-second gets two
@@ -428,6 +470,30 @@ def main() -> None:
     except Exception as ex:
         errors["release"] = f"{type(ex).__name__}: {ex}"[:200]
 
+    # Optional scaling probe (ADDITIVE — r18, VERDICT r17 #6): at sf0.1
+    # the 1-4 s queries are fixed-overhead-bound, so the driver's
+    # low-core/high-core ratio reads ~1 and cannot distinguish parallel
+    # from serial (it false-flagged `suspect_cpus_ignored` on a correct
+    # harness — session.py:123/143 demonstrably honor SPARK_GRAFT_CPUS).
+    # Point SPARK_GRAFT_SCALING_SF_DIR at a larger fixture (e.g. a
+    # generated sf1) and the same three scale-probe queries are timed
+    # there into a separate additive key, where compute dominates and
+    # the ratio is meaningful.  Unset (the driver's runs): no change.
+    scaling_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR")
+    scaling_probe: dict[str, float] = {}
+    if scaling_dir:
+        for name in (
+            "multiway_star_join",
+            "dedup_ngram_jaccard",
+            "dedup_embedding_near",
+        ):
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, scaling_dir).count()
+                scaling_probe[name] = round(time.perf_counter() - t0, 3)
+            except Exception as ex:
+                errors[f"scaling:{name}"] = f"{type(ex).__name__}: {ex}"[:200]
+
     out = {
         "metric": "suite_wall_sec",
         "value": total,
@@ -437,6 +503,8 @@ def main() -> None:
         "calibration_sec": calibration,
         "cold_tier": cold,
     }
+    if scaling_probe:
+        out["scaling_probe"] = {"sf_dir": scaling_dir, "queries": scaling_probe}
     if builds:
         out["index_build"] = builds
     if errors:

@@ -1529,8 +1529,12 @@ def connected_components_min_label(
             if r not in comp_min or node < comp_min[r]:
                 comp_min[r] = node
         out = sorted((node, comp_min[find(node)]) for node in parent)
+        # schema follows the INPUT pair column type (ADVICE r17): the
+        # distributed path returns doc_id/label in doc_a's type, so the
+        # result schema must not silently change with edge count
+        id_type = edges.schema["a"].dataType.simpleString()
         return local_rows_df(
-            pairs.sparkSession, out, "doc_id long, label long"
+            pairs.sparkSession, out, f"doc_id {id_type}, label {id_type}"
         )
     for _ in range(max_rounds):
         # large-star

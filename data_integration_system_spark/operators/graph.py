@@ -46,6 +46,51 @@ def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pagerank_int driver-side fast-path bound: edge sets at or under this
+#: collect (~3 MB of (src, dst, n) rows at the cap) and the power method
+#: runs as a Python integer loop — the same bounded-collect pattern as
+#: dedup's _CC_LOCAL_EDGE_CAP.  The event-type transition graph is
+#: |types|² at most (hundreds of rows); the distributed loop remains the
+#: contract above the cap.
+_PR_LOCAL_EDGE_CAP = 200_000
+
+
+def _pagerank_int_local(
+    edge_rows: list, iters: int, node_type: str, spark
+) -> DataFrame:
+    """Driver-side twin of the distributed loop below: IDENTICAL integer
+    recurrence (all BIGINT ops over non-negative operands, so Python //
+    equals SQL div), so the result is bit-equal by construction — pinned
+    against the distributed path in tests/test_scale_patterns.py."""
+    from data_integration_system_spark.operators._common import local_rows_df
+
+    out_w: dict = {}
+    nodes: set = set()
+    for src, dst, n in edge_rows:
+        out_w[src] = out_w.get(src, 0) + n
+        nodes.add(src)
+        nodes.add(dst)
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return local_rows_df(spark, [], f"node {node_type}, rank_e9 long")
+    base = _BASE_NUM // n_nodes
+    init = _SCALE // n_nodes
+    r = {node: init for node in nodes}
+    for _ in range(iters):
+        inflow: dict = {}
+        for src, dst, n in edge_rows:
+            inflow[dst] = inflow.get(dst, 0) + (r[src] * n) // out_w[src]
+        r = {
+            node: base + (_DAMP_PCT * inflow.get(node, 0)) // 100
+            for node in nodes
+        }
+    return local_rows_df(
+        spark,
+        sorted(r.items()),
+        f"node {node_type}, rank_e9 long",
+    )
+
+
 def pagerank_int(
     edges: DataFrame, iters: int = _ITERS
 ) -> DataFrame:
@@ -56,11 +101,26 @@ def pagerank_int(
     summed per target; new rank = 0.15·1e9//N + (85 × inflow)//100.
     All BIGINT ops — associative, order-independent, engine-identical.
 
-    Scale shape: per round ONE shuffle keyed on dst (map-side combined)
-    plus the broadcast-sized node relation join; localCheckpoint cuts
-    lineage like the crawl/CC loops.  Dangling mass is dropped on both
-    engines identically (the standard simplification)."""
+    Edge sets at or under ``_PR_LOCAL_EDGE_CAP`` take a bounded
+    driver-side fast path (r18): the weighted edge relation of a TYPE
+    graph is |types|² at most, so 8 distributed rounds (each one
+    shuffle + an eager lineage cut) priced ~2.5 s of fixed job overhead
+    at sf0.1 for microseconds of integer arithmetic.  The recurrence is
+    pure BIGINT, so the Python loop is bit-identical to the distributed
+    one (parity-pinned in tests).
+
+    Scale shape (above the cap): per round ONE shuffle keyed on dst
+    (map-side combined) plus the broadcast-sized node relation join;
+    localCheckpoint cuts lineage like the crawl/CC loops.  Dangling
+    mass is dropped on both engines identically (the standard
+    simplification)."""
     edges = edges.localCheckpoint()
+    if edges.count() <= _PR_LOCAL_EDGE_CAP:
+        node_type = edges.schema[0].dataType.simpleString()
+        edge_rows = [(r[0], r[1], int(r[2])) for r in edges.collect()]
+        return _pagerank_int_local(
+            edge_rows, iters, node_type, edges.sparkSession
+        )
     out_w = edges.groupBy("src").agg(F.sum("n").alias("total"))
     nodes = (
         edges.select(F.col("src").alias("node"))

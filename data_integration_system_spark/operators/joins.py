@@ -1955,8 +1955,13 @@ def ed2_segment_candidates(parts: DataFrame) -> DataFrame:
     # true pair is re-found by up to ~75 probe keys, and carrying the
     # name strings through that multiplicity dominates the shuffle —
     # dedup the narrow (id, id) rows first (map-side partial), then
-    # join the two names back once per UNIQUE pair
-    names = p.select(
+    # join the two names back once per UNIQUE pair.  The join-back /
+    # residue sides read the RAW parts relation, not the parallelized
+    # one (r18): they feed broadcasts and a tiny quadratic — the
+    # round-robin respread only helps the probe explode, and it was
+    # costing one Exchange per broadcast side (plan: 3 Exchanges under
+    # BroadcastExchange removed).
+    names = parts.select(
         F.col("p_partkey").alias("nid"), F.col("p_name").alias("nm")
     )
     passjoin = (
@@ -1981,8 +1986,12 @@ def ed2_segment_candidates(parts: DataFrame) -> DataFrame:
     # residue: pairs where a side has len < 3 (unsegmentable index) —
     # the distance bound forces the other side to len <= 4, so the
     # quadratic runs shorts x (len <= 4) only
-    shorts = p.filter(F.length("p_name") < 3)
-    small = p.filter(F.length("p_name") <= 4)
+    shorts = parts.select("p_partkey", "p_brand", "p_name").filter(
+        F.length("p_name") < 3
+    )
+    small = parts.select("p_partkey", "p_brand", "p_name").filter(
+        F.length("p_name") <= 4
+    )
     residue = (
         shorts.alias("x")
         .join(
@@ -2000,7 +2009,14 @@ def ed2_segment_candidates(parts: DataFrame) -> DataFrame:
         )
     )
 
-    return passjoin.unionByName(residue).dropDuplicates(["part_a", "part_b"])
+    # the two routes are disjoint (index side len >= 3 vs shorts < 3)
+    # and passjoin is already deduped, so only the residue can carry a
+    # duplicate (a pair where BOTH sides are short appears once per
+    # ordering) — dedup the tiny residue instead of re-shuffling the
+    # whole union (r18: removes the post-union Exchange + SortAggregate)
+    return passjoin.unionByName(
+        residue.dropDuplicates(["part_a", "part_b"])
+    )
 
 
 @query(

@@ -781,17 +781,50 @@ def purge_snapshot(
         _unescape_hive(n.split("=", 1)[1]): n.split("=", 1)[1]
         for n in dir_names
     }
-    # one column-pruned scan locates the keys' partitions (raw values)
+    # one column-pruned scan locates the keys' partitions — the value
+    # is formatted to string BY SPARK (ADVICE r17): Python str() of a
+    # typed partition value diverges from Spark's dir formatting
+    # (boolean True -> 'True' where the dir says 'true'), so a
+    # legitimate purge on such a column raised the loud mismatch below.
+    # Spark's cast-to-string is the same formatting partitionBy used to
+    # write the dir name, so typed values round-trip; NULL stays None
+    # (the hive default sentinel is matched through the None key).
     hit_values = [
-        r[part_col]
+        r[0]
         for r in cur.join(ids_df, key_col, "left_semi")
-        .select(part_col)
+        .select(F.col(part_col).cast("string"))
         .distinct()
         .collect()
     ]
+    if any(v not in by_value for v in hit_values):
+        # inference-LOSSY dir strings (a dir '01' is type-inferred to 1,
+        # which formats back as '1'): re-locate through a plain
+        # directory read with partition type inference disabled, so the
+        # scanned values ARE the unescaped dir strings.  Rare path —
+        # only taken when the fast typed scan cannot match a dir — and
+        # the loud failure below still guards anything left over.
+        from data_integration_system_spark.operators._common import (
+            _SESSION_CONF_LOCK,
+        )
+
+        _INF = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        with _SESSION_CONF_LOCK:
+            prev_inf = spark.conf.get(_INF)
+            try:
+                spark.conf.set(_INF, "false")
+                hit_values = [
+                    r[0]
+                    for r in spark.read.parquet(f"{root}/{version}")
+                    .join(ids_df, key_col, "left_semi")
+                    .select(F.col(part_col).cast("string"))
+                    .distinct()
+                    .collect()
+                ]
+            finally:
+                spark.conf.set(_INF, prev_inf)
     affected: list[str] = []  # hive-escaped dir-value strings
     for raw in hit_values:
-        key = None if raw is None else str(raw)
+        key = raw  # Spark-formatted string (or None), never re-formatted
         if key not in by_value:
             raise ValueError(
                 f"purge_snapshot: partition value {raw!r} (from the key-"

@@ -2116,15 +2116,30 @@ def _stage_batches(df: DataFrame, src: str, n: int = 3) -> None:
     staging = f"{src}__staging"
     df.repartition(n, F.col("__b")).write.partitionBy("__b").parquet(staging)
     _os.makedirs(src, exist_ok=True)
+    empty = None  # built lazily; an all-empty df still needs the schema
     for b in range(n):
         parts = _glob.glob(f"{staging}/__b={b}/part-*.parquet")
-        if len(parts) != 1:
+        if len(parts) > 1:
             raise RuntimeError(
-                f"_stage_batches: expected exactly 1 file for batch {b}, "
+                f"_stage_batches: expected at most 1 file for batch {b}, "
                 f"found {parts}"
             )
         dst = f"{src}/batch-{b}.parquet"
-        _os.replace(parts[0], dst)
+        if parts:
+            _os.replace(parts[0], dst)
+        else:
+            # a __b class with zero rows (ADVICE r17): the pre-r17
+            # per-batch coalesce(1) append wrote an EMPTY batch file and
+            # the replay consumed it — keep that contract by writing an
+            # empty single-row-group file with the staged schema instead
+            # of failing the fixture
+            if empty is None:
+                empty = df.sparkSession.createDataFrame(
+                    [], df.drop("__b").schema
+                )
+            empty.coalesce(1).write.mode("overwrite").parquet(f"{staging}/__empty")
+            (src_file,) = _glob.glob(f"{staging}/__empty/part-*.parquet")
+            _os.replace(src_file, dst)
         _os.utime(dst, ((b + 1) * 1e6, (b + 1) * 1e6))
     _shutil.rmtree(staging, ignore_errors=True)
 

@@ -402,3 +402,55 @@ def test_purge_snapshot_escaped_and_null_partition_values(spark, tmp_path):
     # no partition column embedded in the data files (ADVICE r16 low)
     direct = spark.read.parquet(f"{root}/{rep['version']}/site=a b%3Ac")
     assert "site" not in direct.columns
+
+
+def test_purge_snapshot_boolean_partition_values(spark, tmp_path):
+    """ADVICE r17 low: the locate scan's partition value was formatted
+    with Python str(), which writes booleans as 'True' where the dir
+    (Spark's cast-to-string) says 'true' — a legitimate purge on a
+    boolean-partitioned store raised the loud mismatch error.  Spark
+    now does the formatting, so typed values round-trip to dir names."""
+    from data_integration_system_spark.pipeline.layout import purge_snapshot
+
+    root = str(tmp_path / "boolstore")
+    df = spark.range(40).select(
+        "id",
+        (F.col("id") % 2 == 0).alias("flag"),
+        (F.col("id") * 3).alias("val"),
+    )
+    sn.write_snapshot(df.repartition(2, "flag"), root, partition_by="flag")
+
+    rep = purge_snapshot(spark, root, [0, 2, 4], "id")  # flag=true rows
+    assert rep["purged"]
+    assert rep["rewritten"] == ["true"]
+    assert rep["copied_partitions"] == 1  # flag=false byte-copied
+    after = {r.id for r in sn.read_current(spark, root).collect()}
+    assert after == set(range(40)) - {0, 2, 4}
+    # partition inference has no boolean rule, so the dirs read back as
+    # strings — standard Spark partition-column behavior, and exactly
+    # why the purge's value->dir match must use Spark's own formatting
+    flags = {
+        r.flag
+        for r in sn.read_current(spark, root).select("flag").distinct().collect()
+    }
+    assert flags == {"true", "false"}
+
+
+def test_purge_snapshot_inference_lossy_partition_values(spark, tmp_path):
+    """ADVICE r17 low, second half: a STRING partition value that LOOKS
+    numeric ('01') is type-inferred on read (-> 1 -> '1'), so the fast
+    typed locate scan cannot match its dir.  The inference-off fallback
+    re-scan must recover the true dir string instead of raising."""
+    from data_integration_system_spark.pipeline.layout import purge_snapshot
+
+    root = str(tmp_path / "zpstore")
+    site = F.when(F.col("id") % 2 == 0, F.lit("01")).otherwise(F.lit("10"))
+    df = spark.range(20).select("id", site.alias("site"))
+    sn.write_snapshot(df.repartition(2, "site"), root, partition_by="site")
+
+    rep = purge_snapshot(spark, root, [0, 2], "id")  # site='01' rows
+    assert rep["purged"]
+    assert rep["rewritten"] == ["01"]
+    assert rep["copied_partitions"] == 1
+    after = {r.id for r in sn.read_current(spark, root).collect()}
+    assert after == set(range(20)) - {0, 2}

@@ -430,6 +430,51 @@ def test_cc_empty_and_single_edge(spark):
     assert _cc_spark(spark, [(4, 9)]) == {4: 4, 9: 4}
 
 
+def test_cc_distributed_path_matches_union_find(spark, monkeypatch):
+    """The star-contraction loop — the declared contract ABOVE
+    _CC_LOCAL_EDGE_CAP — must itself stay union-find-correct: with the
+    cap forced to 0 every graph takes the distributed path (ADVICE r17:
+    the cap absorbed every <=400-edge test, leaving the loop untested).
+    Includes the 128-node chain so the logarithmic-round convergence
+    pin runs through star contraction again."""
+    import random
+
+    from data_integration_system_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_CC_LOCAL_EDGE_CAP", 0)
+    for seed, n, m in ((7, 60, 30), (13, 40, 400)):
+        rng = random.Random(seed)
+        pairs = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)}
+        assert _cc_spark(spark, pairs) == _union_find_labels(pairs)
+    chain = [(i, i + 1) for i in range(128)]
+    assert _cc_spark(spark, chain, max_rounds=10) == {
+        i: 0 for i in range(129)
+    }
+
+
+def test_cc_local_path_preserves_id_type(spark):
+    """The bounded union-find fast path must return the INPUT pair
+    column type (ADVICE r17: it hardcoded long, so int/string ids got a
+    schema that silently changed with edge count)."""
+    from data_integration_system_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "doc_a string, doc_b string"
+    )
+    out = connected_components_min_label(df)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string",
+        "string",
+    ]
+    assert {(r.doc_id, r.label) for r in out.collect()} == {
+        ("a", "a"),
+        ("b", "a"),
+        ("c", "a"),
+    }
+
+
 def test_dedup_clusters_labels_are_component_minima(spark):
     """End-to-end: dedup_clusters labels equal union-find over the
     actual near-dup pairs, and cluster_size counts members."""
@@ -508,6 +553,30 @@ def test_pagerank_int_empty_graph(spark):
     out = pagerank_int(edges)
     assert out.columns == ["node", "rank_e9"]
     assert out.count() == 0
+
+
+def test_pagerank_local_fast_path_matches_distributed(spark, monkeypatch):
+    """The bounded driver-side power method (edge sets <=
+    _PR_LOCAL_EDGE_CAP) must be bit-equal to the distributed loop — the
+    declared contract above the cap — on graphs with cycles, weights,
+    and dangling nodes.  Forces the distributed path by zeroing the cap
+    and compares both results rank-for-rank."""
+    from data_integration_system_spark.operators import graph
+
+    rows = [
+        ("a", "b", 3), ("b", "c", 1), ("c", "a", 2),  # weighted cycle
+        ("c", "d", 5),                                # dangling sink d
+        ("e", "a", 1), ("a", "c", 7),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, n long")
+    local = {
+        (r.node, r.rank_e9) for r in graph.pagerank_int(edges).collect()
+    }
+    monkeypatch.setattr(graph, "_PR_LOCAL_EDGE_CAP", 0)
+    dist = {
+        (r.node, r.rank_e9) for r in graph.pagerank_int(edges).collect()
+    }
+    assert local == dist and len(local) == 5
 
 
 def test_shuffle_partition_plan_by_deployment(spark):

@@ -1897,3 +1897,30 @@ def test_ann_delete_sink_hides_ids_and_dedups_redelivery(spark, tmp_path):
     after = query_ivfpq_index(spark, idx, queries).collect()
     assert not any(r.c_id in set(victims) for r in after)
     assert len(after) > 0
+
+
+def test_stage_batches_writes_empty_batch_file(spark, tmp_path):
+    """ADVICE r17: a __b class with zero rows must replay as an EMPTY
+    micro-batch file (the pre-r17 per-batch coalesce(1) contract), not
+    fail the fixture.  Batch 1 here is deliberately vacant."""
+    from data_integration_system_spark.streaming.jobs import _stage_batches
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.lit(2))
+        .cast("int")
+        .alias("__b"),
+    )
+    src = str(tmp_path / "in")
+    _stage_batches(df, src)
+    import os
+
+    files = sorted(os.listdir(src))
+    assert files == ["batch-0.parquet", "batch-1.parquet", "batch-2.parquet"]
+    assert spark.read.parquet(f"{src}/batch-1.parquet").count() == 0
+    got = spark.read.parquet(src)
+    assert got.count() == 10
+    assert [f.name for f in got.schema.fields] == ["id"]
+    # mtimes still strictly increasing (oldest-first pacing pin)
+    mtimes = [os.path.getmtime(f"{src}/{f}") for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
