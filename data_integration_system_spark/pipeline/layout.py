@@ -676,11 +676,35 @@ def _copy_trees(
     sane default for object stores (server-side copy latency-bound)."""
     if not names:
         return
+    from concurrent.futures import ThreadPoolExecutor
+
+    sp, sfs = hadoop_path(spark, src_root)
+    if sfs.getScheme() == "file":
+        # local-filesystem fast path (r18): each Hadoop copy_tree is ~4
+        # py4j round-trips + FileUtil setup — ~78 ms/partition even
+        # pooled, 9.7 s of the re-priced 2,000-site purge.  On file://
+        # the same byte copy (data + .crc sidecars verbatim) is plain
+        # shutil, no gateway traffic.  Non-local schemes (HDFS, s3a)
+        # keep the Hadoop path below.
+        import os as _os
+        import shutil as _shutil
+
+        src_base = sp.toUri().getPath()
+        dst_base = hadoop_path(spark, dst_root)[0].toUri().getPath()
+        _os.makedirs(dst_base, exist_ok=True)
+        with ThreadPoolExecutor(max_workers=min(32, len(names))) as pool:
+            list(
+                pool.map(
+                    lambda n: _shutil.copytree(
+                        f"{src_base}/{n}", f"{dst_base}/{n}"
+                    ),
+                    names,
+                )
+            )
+        return
     if len(names) == 1:
         copy_tree(spark, f"{src_root}/{names[0]}", f"{dst_root}/{names[0]}")
         return
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=min(16, len(names))) as pool:
         # list() re-raises the first failure before the caller commits
         list(

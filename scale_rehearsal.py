@@ -3671,11 +3671,19 @@ def run_purge_lake(spark) -> None:
         "post_purge_probe_sec": probe_wall,
         "note": "locate = one column-pruned scan; compute tracks the 2 "
                 "affected partitions' bytes; 1,998 clean partitions are "
-                "sequential byte-copies; manifest splice O(rewrites)",
+                "POOLED byte-copies (32-thread shutil on local fs, "
+                "Hadoop FileUtil pool elsewhere); manifest splice "
+                "O(rewrites)",
     }
-    # restore the fixture: drop the purge version, reset the pointer
+    # restore the fixture: drop the purge version, reset the pointer.
+    # The pointer was committed through Hadoop's checksummed local FS,
+    # so a raw Python rewrite leaves a stale ._CURRENT.crc sidecar and
+    # every later Hadoop read fails with ChecksumException — drop it.
     new_v = rep["version"]
     shutil.rmtree(os.path.join(root, new_v))
+    crc = os.path.join(root, "._CURRENT.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     with open(os.path.join(root, "_CURRENT"), "w") as fh:
         fh.write(rep["previous_version"])
     prev["lake_purge_2k"] = row
