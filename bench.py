@@ -173,7 +173,7 @@ _CHANGED_PATHS = (
     # r18 touched paths outside this round's slices
     "part_name_near_matches",
     "event_type_pagerank",
-    "part_copurchase_pairs",
+    "streaming_jobs_fold_snapshot",
 )
 
 

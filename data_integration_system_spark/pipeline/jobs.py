@@ -356,11 +356,30 @@ def run_pending_jobs(
     output_root: str,
     fetch_fn: FetchFn = default_http_fetch,
     limit: int = 10,
+    max_workers: int = 4,
 ) -> list[dict[str, Any]]:
     """The worker-daemon poll loop body (worker_daemon.py:20-58), batch
     form: claim up to `limit` oldest PENDING jobs, run each
     (PENDING→RUNNING→DONE/FAILED transitions appended to the log), write
-    outputs under ``{output_root}/{job_id}``; returns the reports."""
+    outputs under ``{output_root}/{job_id}``; returns the reports in
+    claim order.
+
+    Claimed jobs run CONCURRENTLY (``max_workers`` driver threads,
+    guide §2.6): each job is fixed-count orchestration — BFS rounds,
+    snapshot writes, report collects — whose per-round Spark jobs leave
+    most of the cluster idle, so overlapping jobs back-fills the tails
+    (measured: the 8-job sf0.1 drain 35 s serial → see SCALE.md r18).
+    Every job writes only its own ``{output_root}/{job_id}`` paths, so
+    bodies are independent; LOG appends stay SERIALIZED (the claim loop
+    appends every RUNNING row before any body starts, and terminal rows
+    are appended under a lock) because concurrent parquet appends into
+    the ONE jobs-log dir would race on the shared ``_temporary``
+    staging dir.  Crash semantics: the whole claimed batch is marked
+    RUNNING up front — after a worker death the batch reads RUNNING
+    (was: unstarted tail stayed PENDING), which is the reference
+    daemon's claim-then-process shape (worker_daemon.py:31-38); stale
+    RUNNING recovery remains the resubmission path either way.
+    ``max_workers=1`` restores the strictly serial walk."""
     pending = (
         current_jobs(spark, jobs_path)
         .filter(F.col("status") == "PENDING")
@@ -368,18 +387,33 @@ def run_pending_jobs(
         .limit(limit)
         .collect()
     )
-    reports = []
-    for row in pending:
+    if not pending:
+        return []
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    for row in pending:  # claim the batch (serial appends, one log dir)
         job_status_update(spark, jobs_path, row["job_id"], "RUNNING")
+    log_lock = threading.Lock()
+
+    def run_one(row) -> dict[str, Any]:
         report = run_job(
             spark, job_request_of(row),
             f"{output_root.rstrip('/')}/{row['job_id']}", fetch_fn,
         )
-        job_status_update(
-            spark, jobs_path, row["job_id"], report["status"], report["error"]
-        )
-        reports.append({"job_id": row["job_id"]} | report)
-    return reports
+        with log_lock:
+            job_status_update(
+                spark, jobs_path, row["job_id"], report["status"],
+                report["error"],
+            )
+        return {"job_id": row["job_id"]} | report
+
+    if max_workers <= 1 or len(pending) == 1:
+        return [run_one(row) for row in pending]
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(pending))
+    ) as pool:
+        return list(pool.map(run_one, pending))
 
 
 def run_job(

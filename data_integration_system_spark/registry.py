@@ -75,89 +75,51 @@ def _load_all_modules() -> None:
 # else in registration order; the most-often-verified queries fall out of the
 # 50-query window.
 _DRIVER_HEAD: list[str] = [
-    # Round 16 window (CORRECTNESS_r15 landed 50/50 green — 47 exact +
-    # 3 rows-only-by-design — so the whole r15 head rotates OUT).
-    # Coverage histogram after `python rehearse.py --coverage` through
-    # r15: r12=34, r13=50, r14=50, r15=50.  Window = the 34 r12-stale
-    # queries (== the r15 _NEXT_ROTATION_FIRST queue, verbatim) + the
-    # first 16 of the r13 tier (alphabetical), exactly 50; the displaced
-    # 34-query r13 alphabetical tail sits in _NEXT_ROTATION_FIRST for
-    # r17.  Queries NEW in r16 go at the very front as they land (names
-    # UNCOMMENTED only once registered — the registry rejects unknown
-    # names), each displacing the window's LAST r13-tier name into
-    # _NEXT_ROTATION_FIRST at the moment of displacement.  Regenerate
-    # the plan from data with `python rehearse.py --coverage` instead of
-    # hand-counting.
+    # Round 18 window (optimization round 2).  VERDICT r17's gate caveat:
+    # the queries whose PLANS changed in r17 were not in the r17 sample
+    # (the rotation had not advanced), and r18 changed more paths — so
+    # policy tier 1 this round is "changed code first": the r17 dedup-CC
+    # + streaming-fixture paths, and the r18 similarity/pagerank/
+    # PassJoin/purge paths.  Tier 2 fills the remaining slots from the
+    # stalest green tier (r13, the head of the r17 _NEXT_ROTATION_FIRST
+    # queue).  Coverage through r17: never_checked=0, oldest_round=13
+    # (python rehearse.py --coverage).
     #
-    # (1) NEW this round (policy tier 1; each displaces the window's
-    # last r13-tier name into _NEXT_ROTATION_FIRST at that moment):
-    "snapshot_maintenance_compaction",  # displaced filter_size_cap
-    "similarity_sq8_rerank_parity",  # displaced filter_scope
-    "similarity_ann_delete_visibility",  # displaced filter_blocklist
-    "similarity_filtered_topk",  # displaced exact_substring_dup_spans
-    "snapshot_purge_probe",  # displaced event_type_pagerank
-    # (2) the 34 r12-stale queries (the registry's oldest rows):
-    "event_type_transitions",
-    "event_type_daily_trend",
-    "embedding_centroid_per_label",
-    "event_zscore_outliers",
-    "fingerprint_overlap_pairs",
-    "group_quantiles",
-    "idle_rich_customers",
-    "kmeans_assign_int",
-    "large_volume_orders",
-    "pareto_revenue_share",
-    "percentile_approx_check",
-    "purchase_streak_islands",
-    "quantity_price_correlation",
-    "range_join_events",
-    "rolling_7day_event_volume",
-    "salted_event_type_rollup",
-    "semi_join_existing",
-    "session_windows",
-    "shipmode_priority_counts",
-    "shipping_priority",
-    "similarity_ann_recall_matrix",
-    "similarity_ivfpq_topk",
+    # (1) r17/r18 changed paths (29):
+    "dedup_clusters",
+    "dedup_corpus_keep_reps",
+    "dedup_embedding_near",
+    "dedup_minhash_near",
+    "streaming_user_ewma_snapshot",
+    "streaming_near_dup_snapshot",
+    "streaming_tumbling_counts_snapshot",
+    "streaming_session_windows_snapshot",
+    "streaming_sessionized_eviction_snapshot",
+    "streaming_funnel_pairs_snapshot",
+    "streaming_length_profile_snapshot",
+    "streaming_quality_monitor_snapshot",
+    "streaming_retention_snapshot",
+    "streaming_ann_ingest_snapshot",
+    "streaming_fingerprint_overlap_snapshot",
+    "event_type_pagerank",
+    "part_name_near_matches",
+    "similarity_ivf_topk",
     "similarity_recall_at_k",
-    "sliding_window_avg",
-    "streaming_dup_rate_snapshot",
-    "streaming_jobs_fold_snapshot",
-    "streaming_user_ewma_jvm_snapshot",
-    "token_count_bpe",
-    "tumbling_window_counts",
-    "upsert_changed_rows",
-    "user_value_ewma_jvm",
-    "volume_shipping",
-    "weekday_order_stats",
-    "window_rank_frames",
-    # (3) the first 16 of the r13 tier (alphabetical):
-    "agg_counts_by_group",
-    "agg_cube_events",
-    "agg_distinct",
-    "agg_rollup",
-    "approx_distinct",
-    "cheapest_supplier_per_part",
-    "column_stats_lineitem",
-    "content_hash_point_lookup",
-    "customer_order_distribution",
-    "disjunctive_discount_revenue",
-    "embedding_norms",
-]
-
-#: Queries that must lead the NEXT round's rotation (fold into the front
-#: of _DRIVER_HEAD when updating it).  After the r16 rotation this queue
-#: holds the 34-query alphabetical tail of the r13 tier displaced by
-#: window math; any query displaced mid-round by an r16 newcomer is
-#: APPENDED here at the moment of displacement.  Regenerate the plan
-#: from data with ``python rehearse.py --coverage`` (writes
-#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
-_NEXT_ROTATION_FIRST: list[str] = [
-    "filter_size_cap",  # displaced by r16 newcomer snapshot_maintenance_compaction
-    "filter_scope",  # displaced by r16 newcomer similarity_sq8_rerank_parity
-    "filter_blocklist",  # displaced by r16 newcomer similarity_ann_delete_visibility
-    "exact_substring_dup_spans",  # displaced by r16 newcomer similarity_filtered_topk
-    "event_type_pagerank",  # displaced by r16 newcomer snapshot_purge_probe
+    "similarity_ivfpq_topk",
+    "similarity_ann_recall_matrix",
+    "similarity_ivfpq_clustered_recall",
+    "similarity_ivfpq_lowrank_residual_gain",
+    "similarity_ivfpq_opq_gain",
+    "similarity_sq8_rerank_parity",
+    "similarity_ann_delete_visibility",
+    "similarity_filtered_topk",
+    "snapshot_purge_probe",
+    "snapshot_maintenance_compaction",
+    # (2) the stalest green tier (r13), in r17 queue order (21):
+    "filter_size_cap",
+    "filter_scope",
+    "filter_blocklist",
+    "exact_substring_dup_spans",
     "forecast_revenue",
     "group_quantiles_dist",
     "group_quantiles_jvm",
@@ -171,20 +133,29 @@ _NEXT_ROTATION_FIRST: list[str] = [
     "ntile_quartiles",
     "order_fulfillment_lag",
     "part_copurchase_pairs",
-    "part_name_near_matches",
     "partsupp_profit",
     "pii_redact",
     "quality_filter_gopher",
     "regional_nation_volume",
+]
+
+#: Queries that must lead the NEXT round's rotation (fold into the front
+#: of _DRIVER_HEAD when updating it).  After the r16 rotation this queue
+#: holds the 34-query alphabetical tail of the r13 tier displaced by
+#: window math; any query displaced mid-round by an r16 newcomer is
+#: APPENDED here at the moment of displacement.  Regenerate the plan
+#: from data with ``python rehearse.py --coverage`` (writes
+#: CORRECTNESS_COVERAGE.json) instead of hand-maintaining this list.
+_NEXT_ROTATION_FIRST: list[str] = [
+    # r13-green tail of the r17 queue displaced by the r18 changed-paths
+    # tier; they lead whatever rotation comes next.
     "returned_item_report",
     "sample_stratified",
     "segment_top_orders",
     "session_opening_paths",
     "signup_purchase_funnel",
-    "similarity_ivfpq_clustered_recall",
     "snapshot_reconcile",
     "source_quality_report",
-    "streaming_user_ewma_snapshot",
     "supplier_share_of_nation",
     "text_normalize",
     "token_count_bpe_big",
