@@ -1281,7 +1281,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10 to near-linear.  Token/shingle arrays are staged via
     localCheckpoint (CollapseProject would otherwise re-split the text
     per array reference)."""
-    docs = table(spark, sf_dir, "documents")
+    from data_integration_system_spark.operators._common import parallelize_scan
+
+    # spread the unsplittable scan (1 file partition at sf0.1): the
+    # tokenize+shingle+hash pass below is checkpointed at the SCAN's
+    # partitioning, so without the respread it runs serial regardless
+    # of core count (r18 A/B: 2.6 -> 2.2 s warm at sf0.1, 5.8 -> 5.3 s
+    # at sf1; no-ops once the corpus arrives in many splits)
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", "source", _tokens(F.col("text")).alias("toks")
     ).localCheckpoint()
