@@ -340,16 +340,20 @@ def append_ivf_index(
     build_ivf_index rebuild (the compaction analog) refits Lloyd over
     the full corpus and re-partitions.  At 100 TB this is the standard
     ANN serving cadence: cheap online appends, scheduled offline refits."""
-    cent = spark.read.parquet(f"{index_path}/centroids").localCheckpoint()
+    # one read + one collect of the tiny centroid relation feeds the
+    # dispatch and the write task count (r18 — was a checkpoint job +
+    # a second collect + a count job per micro-batch append)
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    cent_rows = cent.collect()
     assigned = nearest_centroid(
-        new_vectors.select("vec_id", "embedding"), cent
+        new_vectors.select("vec_id", "embedding"), cent, rows=cent_rows
     )
     from data_integration_system_spark.operators._common import (
         cluster_for_partitioned_write,
     )
 
     cluster_for_partitioned_write(
-        assigned, "cent_id", cent.count()
+        assigned, "cent_id", len(cent_rows)
     ).write.mode("append").partitionBy("cent_id").parquet(f"{index_path}/corpus")
 
 
@@ -1727,20 +1731,24 @@ def append_ivfpq_index(
         cluster_for_partitioned_write,
     )
 
-    cent = spark.read.parquet(f"{index_path}/centroids").localCheckpoint()
+    # ONE read + ONE collect of the tiny centroid relation feeds the
+    # assignment dispatch, the residual map, and k (r18 — was a
+    # localCheckpoint job + a second collect + a count job per append)
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    cent_rows = cent.collect()
     meta = spark.read.parquet(f"{index_path}/meta").head()
     books = _codebooks_from_rows(
         spark.read.parquet(f"{index_path}/codebooks").collect(), meta["m"]
     )
     assigned = nearest_centroid(
-        new_vectors.select("vec_id", "embedding"), cent
+        new_vectors.select("vec_id", "embedding"), cent, rows=cent_rows
     ).localCheckpoint()  # one assignment feeds both writes + touched set
-    cmap = _centroid_map(cent.collect()) if _meta_residual(meta) else None
+    cmap = _centroid_map(cent_rows) if _meta_residual(meta) else None
     codes = pq_encode(
         assigned, books, carry=("cent_id",), residual_centroids=cmap,
         rotation=_read_rotation(spark, index_path, meta),
     )
-    k = cent.count()
+    k = len(cent_rows)
     # vectors relation stays in lockstep with codes — but ONLY if the
     # index has one (appending vectors a pre-r14 index lacks for older
     # rows would make the index-resident re-rank silently partial).
@@ -2379,14 +2387,22 @@ def _nearest_centroid_np(df: DataFrame, cent_rows: list) -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
-def nearest_centroid(df: DataFrame, cent: DataFrame) -> DataFrame:
+def nearest_centroid(
+    df: DataFrame, cent: DataFrame, rows: list | None = None
+) -> DataFrame:
     """Assignment dispatcher: the inline HOF argmax below
     _NP_ASSIGN_MIN_K centroids (shuffle-free, whole-stage), the BLAS
     mapInPandas path at realistic k (the matmul wins once per-row HOF
     interpretation costs more than one Arrow hop).  Both are
     deterministic with identical tie semantics, so which side of the
-    threshold a corpus lands on never changes an assignment."""
-    rows = cent.collect()  # bounded: k×dim, the same rows both paths need
+    threshold a corpus lands on never changes an assignment.
+
+    ``rows`` (r18): callers that already hold ``cent.collect()`` (the
+    append path derives k, the residual map, and this dispatch from the
+    same rows) pass it in to skip the duplicate collect — values are
+    the same rows either way."""
+    if rows is None:
+        rows = cent.collect()  # bounded: k×dim, both paths need them
     if len(rows) >= _NP_ASSIGN_MIN_K:
         return _nearest_centroid_np(df, rows)
     return _nearest_centroid(df, cent)
